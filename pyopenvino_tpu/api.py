@@ -1,0 +1,144 @@
+"""OpenVINO-compatible facade — the drop-in API layer.
+
+Mirrors the reference's user-facing surface (reference:
+pyopenvino/inference_engine.py:47-321):
+
+    ie = IECore()
+    net = ie.read_network(xml, bin)        # → IENetwork
+    exenet = ie.load_network(net, 'TPU')   # → ExecutableNetwork
+    exenet.kernel_type = 'special'         # naive/numpy/special still accepted
+    res = exenet.infer({input_name: blob}) # {result_node_name: ndarray}
+
+Inputs bind by Parameter node name, outputs key by Result node name, exactly
+like the reference (inference_engine.py:300-303,313-319).  The reference's
+kernel_type strings map onto typed backends (config.py): naive/numpy → the
+numpy interpreter, special → the XLA-compiled TPU path.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from pyopenvino_tpu.config import KERNEL_TYPE_TO_BACKEND, Backend, Config, QuantMode
+from pyopenvino_tpu.ir import Model, read_ir_model
+from pyopenvino_tpu.ops import supported_ops
+from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+
+class IENetwork:
+    """Thin wrapper over the typed Model with the reference's net.inputs /
+    net.outputs conveniences (inference_engine.py:79-81)."""
+
+    def __init__(self, model: Model):
+        self.model = model
+        self.name = model.name
+        self.inputs = [
+            {"id": n.id, "name": n.name, "shape": n.outputs[n.out_port].shape}
+            for n in model.parameters
+        ]
+        self.outputs = [
+            {"id": n.id, "name": n.name, "shape": n.inputs[0].shape}
+            for n in model.results
+        ]
+
+    @property
+    def input_info(self) -> Dict[str, dict]:
+        return {i["name"]: i for i in self.inputs}
+
+
+class ExecutableNetwork:
+    """A loaded network with a selectable backend.
+
+    Compilation is lazy per backend: setting ``kernel_type``/``backend``
+    switches which engine ``infer`` uses.  Debug hooks (expected_result,
+    capture_node_args) ride on the interpreter backend like the reference's
+    (inference_engine.py:214-216).
+    """
+
+    def __init__(self, network: IENetwork, config: Config):
+        self.ienet = network
+        self.config = config
+        self._interpreter: Optional[Interpreter] = None
+        self._compiled = {}
+        self.expected_result = None
+        self.capture_node_args = []
+
+    # reference-compatible knob (inference_engine.py:215)
+    @property
+    def kernel_type(self) -> str:
+        return self.config.backend.value
+
+    @kernel_type.setter
+    def kernel_type(self, value: str):
+        if value not in KERNEL_TYPE_TO_BACKEND:
+            raise ValueError(
+                f"unknown kernel_type {value!r}; "
+                f"accepted: {sorted(KERNEL_TYPE_TO_BACKEND)}"
+            )
+        self.config = self.config.replace(backend=KERNEL_TYPE_TO_BACKEND[value])
+
+    @property
+    def backend(self) -> Backend:
+        return self.config.backend
+
+    def _get_interpreter(self) -> Interpreter:
+        if self._interpreter is None:
+            self._interpreter = Interpreter(self.ienet.model)
+        it = self._interpreter
+        it.expected_result = self.expected_result
+        it.capture_node_args = self.capture_node_args
+        return it
+
+    def _get_compiled(self):
+        key = (self.config.backend, self.config.quant, self.config.compute_dtype)
+        if key not in self._compiled:
+            from pyopenvino_tpu.runtime.compiler import compile_model
+
+            self._compiled[key] = compile_model(self.ienet.model, self.config)
+        return self._compiled[key]
+
+    def infer(
+        self, inputs: Dict[str, np.ndarray], verbose: bool = False
+    ) -> Dict[str, np.ndarray]:
+        if self.config.backend == Backend.INTERPRETER:
+            return self._get_interpreter().run(inputs, verbose=verbose)
+        return self._get_compiled().infer(inputs, verbose=verbose)
+
+    def infer_batch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return self._get_compiled().infer_batch(inputs)
+
+
+class IECore:
+    def __init__(self):
+        self.supported = set(supported_ops())
+
+    def read_network(self, model: str, weights: Optional[str] = None) -> IENetwork:
+        # NOTE: unlike the reference, `weights` is honoured
+        # (inference_engine.py:105-110 ignores it).
+        return IENetwork(read_ir_model(model, weights))
+
+    def check_nodes(self, network: IENetwork):
+        """Fail-fast unsupported-op check (the reference warns and later
+        sys.exit()s mid-run — inference_engine.py:62-71,270-272)."""
+        unsupported = {
+            n.op_type
+            for n in network.model.nodes.values()
+            if n.op_type not in self.supported
+        }
+        if unsupported:
+            raise ValueError(f"unsupported node types: {sorted(unsupported)}")
+
+    def load_network(
+        self,
+        network: IENetwork,
+        device_name: str = "TPU",
+        num_requests: int = 1,
+        config: Optional[Config] = None,
+    ) -> ExecutableNetwork:
+        self.check_nodes(network)
+        cfg = config or Config()
+        if device_name.upper() in ("CPU", "INTERPRETER"):
+            cfg = cfg.replace(backend=Backend.INTERPRETER)
+        return ExecutableNetwork(network, cfg)

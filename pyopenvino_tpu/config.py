@@ -1,0 +1,73 @@
+"""Typed engine configuration.
+
+The reference's only runtime knob is the stringly-typed
+``Executable_Network.kernel_type`` attribute (reference:
+pyopenvino/inference_engine.py:215; README.md:133-136 documents values
+naive/numpy/special).  Here that becomes one typed dataclass covering the
+execution backend, quantization mode, device mesh and batching policy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Backend(enum.Enum):
+    """Execution backend for a compiled network.
+
+    INTERPRETER mirrors the reference's layer-at-a-time numpy execution
+    (reference: pyopenvino/inference_engine.py:259-292) and exists for
+    differential testing and per-layer debugging.  XLA traces the whole graph
+    into one jitted function.  PALLAS additionally routes hot ops through
+    hand-written Pallas TPU kernels.
+    """
+
+    INTERPRETER = "interpreter"
+    XLA = "xla"
+    PALLAS = "pallas"
+
+
+class QuantMode(enum.Enum):
+    NONE = "none"          # FP32 weights/activations
+    BF16 = "bf16"          # bfloat16 weights + activations (MXU native)
+    INT8_WEIGHT = "int8w"  # INT8 weight-only, per-output-channel scales
+
+
+# Map the reference's kernel_type strings onto backends so the facade stays
+# drop-in compatible (reference kernel types: README.md:133-136).
+KERNEL_TYPE_TO_BACKEND = {
+    "naive": Backend.INTERPRETER,
+    "numpy": Backend.INTERPRETER,
+    "special": Backend.XLA,
+    "interpreter": Backend.INTERPRETER,
+    "xla": Backend.XLA,
+    "pallas": Backend.PALLAS,
+}
+
+
+@dataclasses.dataclass
+class Config:
+    backend: Backend = Backend.XLA
+    quant: QuantMode = QuantMode.NONE
+
+    # Device mesh axes.  data = batch sharding (DP), model = channel sharding
+    # (TP).  (1, 1) means single chip; the mesh layer in parallel/mesh.py
+    # builds a jax Mesh from these.
+    mesh_data: int = 1
+    mesh_model: int = 1
+
+    # Batching policy for serving: pad request batches up to the nearest
+    # bucket to avoid jit-cache thrash (SURVEY.md §7 hard part 5).
+    batch_buckets: tuple = (1, 2, 4, 8, 16, 32)
+
+    # Debugging: per-layer timing in interpreter mode, and golden feature-map
+    # comparison (the reference's expected_result hook,
+    # reference: pyopenvino/inference_engine.py:214,284-287).
+    verbose: bool = False
+
+    # Compute dtype for the XLA/Pallas path ("float32" or "bfloat16").
+    compute_dtype: str = "float32"
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)

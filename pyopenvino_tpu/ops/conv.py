@@ -1,0 +1,139 @@
+"""Convolution and GroupConvolution.
+
+Reference semantics: op_plugins/Convolution.py (2-D conv, NCHW x OIHW,
+auto_pad/rounding handling at :21-49) and op_plugins/GroupConvolution.py
+(grouped conv, G-Co-Ci-Kh-Kw weights).  Fixed here relative to the reference:
+batch-N support (reference hardcodes batch index 0, Convolution.py:112-113),
+dilation in the fast path (reference im2col ignores dilation,
+Convolution.py:57-87), and general grouped conv (the reference's channel
+indexing is only correct for pure depthwise, GroupConvolution.py:77-78).
+
+TPU path: ``lax.conv_general_dilated`` in NHWC/HWIO — XLA lowers this straight
+onto the MXU.  INT8 weight-only quantization dequantizes per-output-channel
+scales at trace time (see passes/quantize.py); the Pallas backend fuses the
+dequant into the GEMM epilogue instead (kernels/conv_gemm.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.ir import attrs as A
+from pyopenvino_tpu.ops.padding import conv_padding
+from pyopenvino_tpu.ops.spec import Op, ShapeResult, TValue, register
+
+
+def _im2col(x: np.ndarray, kh, kw, sh, sw, dh, dw, pads, pad_value=0.0):
+    """(N, C, H, W) → (N, C, kh, kw, OH, OW) patch tensor (batched, dilated)."""
+    (pt, pb), (pl, pr) = pads
+    xp = np.pad(
+        x, ((0, 0), (0, 0), (pt, pb), (pl, pr)), constant_values=pad_value
+    )
+    H, W = xp.shape[2:]
+    oh = (H - (dh * (kh - 1) + 1)) // sh + 1
+    ow = (W - (dw * (kw - 1) + 1)) // sw + 1
+    n, c = x.shape[:2]
+    cols = np.empty((n, c, kh, kw, oh, ow), dtype=x.dtype)
+    for i in range(kh):
+        for j in range(kw):
+            i0, j0 = i * dh, j * dw
+            cols[:, :, i, j] = xp[
+                :, :, i0 : i0 + sh * (oh - 1) + 1 : sh, j0 : j0 + sw * (ow - 1) + 1 : sw
+            ]
+    return cols
+
+
+def _conv_attrs(node):
+    return (
+        A.get_int_tuple(node.attrs, "strides", (1, 1)),
+        A.get_int_tuple(node.attrs, "dilations", (1, 1)),
+    )
+
+
+@register
+class Convolution(Op):
+    type_name = "Convolution"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        n, _, h, w = in_shapes[0]
+        co, _, kh, kw = in_shapes[1]
+        pad = conv_padding(node.attrs, (h, w), (kh, kw))
+        return ShapeResult({node.out_port: (n, co, pad.out_h, pad.out_w)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        x, wgt = inputs[0], inputs[1]
+        (sh, sw), (dh, dw) = _conv_attrs(node)
+        co, ci, kh, kw = wgt.shape
+        pad = conv_padding(node.attrs, x.shape[2:], (kh, kw))
+        cols = _im2col(x, kh, kw, sh, sw, dh, dw, pad.pads)
+        out = np.einsum("nchwij,ochw->noij", cols, wgt, optimize=True)
+        return {node.out_port: out.astype(x.dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+        from jax import lax
+
+        x = inputs[0].nhwc()
+        (sh, sw), (dh, dw) = _conv_attrs(node)
+        w = ctx.weight_for(node, inputs[1])  # OIHW, possibly dequantized
+        co, ci, kh, kw = w.shape
+        pad = conv_padding(node.attrs, inputs[0].shape[2:], (kh, kw))
+        w_hwio = jnp.transpose(w, (2, 3, 1, 0))
+        out = lax.conv_general_dilated(
+            x,
+            w_hwio.astype(x.dtype),
+            window_strides=(sh, sw),
+            padding=pad.pads,
+            rhs_dilation=(dh, dw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return {node.out_port: TValue(out.astype(x.dtype), "CL")}
+
+
+@register
+class GroupConvolution(Op):
+    type_name = "GroupConvolution"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        n, _, h, w = in_shapes[0]
+        g, co, _, kh, kw = in_shapes[1]
+        pad = conv_padding(node.attrs, (h, w), (kh, kw))
+        return ShapeResult({node.out_port: (n, g * co, pad.out_h, pad.out_w)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        x, wgt = inputs[0], inputs[1]
+        (sh, sw), (dh, dw) = _conv_attrs(node)
+        g, co, ci, kh, kw = wgt.shape
+        pad = conv_padding(node.attrs, x.shape[2:], (kh, kw))
+        cols = _im2col(x, kh, kw, sh, sw, dh, dw, pad.pads)
+        n = x.shape[0]
+        cols = cols.reshape(n, g, ci, kh, kw, *cols.shape[-2:])
+        out = np.einsum("ngchwij,gochw->ngoij", cols, wgt, optimize=True)
+        out = out.reshape(n, g * co, *out.shape[-2:])
+        return {node.out_port: out.astype(x.dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+        from jax import lax
+
+        x = inputs[0].nhwc()
+        (sh, sw), (dh, dw) = _conv_attrs(node)
+        w = ctx.weight_for(node, inputs[1])  # (G, Co, Ci, Kh, Kw)
+        g, co, ci, kh, kw = w.shape
+        pad = conv_padding(node.attrs, inputs[0].shape[2:], (kh, kw))
+        # feature_group_count expects OIHW with O = G*Co, I = Ci
+        w_hwio = jnp.transpose(w.reshape(g * co, ci, kh, kw), (2, 3, 1, 0))
+        out = lax.conv_general_dilated(
+            x,
+            w_hwio.astype(x.dtype),
+            window_strides=(sh, sw),
+            padding=pad.pads,
+            rhs_dilation=(dh, dw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=g,
+            preferred_element_type=jnp.float32,
+        )
+        return {node.out_port: TValue(out.astype(x.dtype), "CL")}

@@ -1,0 +1,188 @@
+"""Element-wise / activation / normalization ops.
+
+Reference semantics: op_plugins/{Add,Multiply,ReLU,Clamp,Sigmoid,SoftMax,LRN}.py.
+Quirks fixed per SURVEY.md §7: Multiply's for/else dispatch bug
+(Multiply.py:51-58) is moot here (one implementation per backend); SoftMax
+honours its declared `axis` attribute (the reference normalizes over the whole
+tensor, SoftMax.py:10-25) and subtracts the running max for stability; LRN is
+across-channels with the reference's window [c - size//2, c + size//2]
+clamped to the channel range (LRN.py:19), and its second input (axes) is
+accepted and ignored exactly like the reference (LRN.py:67).
+
+Binary broadcast ops stay channels-last when either operand is: the
+(1, C, 1, 1) bias/BN constants are transposed to (1, 1, 1, C) at trace time,
+which XLA folds into the weight constant.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from pyopenvino_tpu.ir import attrs as A
+from pyopenvino_tpu.ops.spec import Op, ShapeResult, TValue, register
+
+
+def _broadcast_shape(a, b):
+    return tuple(np.broadcast_shapes(a, b))
+
+
+class _Binary(Op):
+    np_fn = None
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        out = _broadcast_shape(in_shapes[0], in_shapes[1])
+        res = ShapeResult({node.out_port: out})
+        if in_values.get(0) is not None and in_values.get(1) is not None:
+            res.values[node.out_port] = self.np_fn(in_values[0], in_values[1])
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: self.np_fn(inputs[0], inputs[1])}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        a, b = inputs[0], inputs[1]
+        # Keep 4-D math channels-last if either side already is.
+        if a.layout == "CL" or b.layout == "CL":
+            pa = a.nhwc() if len(a.shape) == 4 else a.arr
+            pb = b.nhwc() if len(b.shape) == 4 else b.arr
+            return {node.out_port: TValue(self.np_fn(pa, pb), "CL")}
+        return {node.out_port: TValue(self.np_fn(a.arr, b.arr), "L")}
+
+
+@register
+class Add(_Binary):
+    type_name = "Add"
+    np_fn = staticmethod(lambda a, b: a + b)
+
+
+@register
+class Multiply(_Binary):
+    type_name = "Multiply"
+    np_fn = staticmethod(lambda a, b: a * b)
+
+
+class _Unary(Op):
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def _apply_np(self, node, x):
+        raise NotImplementedError
+
+    def _apply_jx(self, node, x):
+        raise NotImplementedError
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: self._apply_np(node, inputs[0])}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        tv = inputs[0]
+        return {node.out_port: TValue(self._apply_jx(node, tv.arr), tv.layout)}
+
+
+@register
+class ReLU(_Unary):
+    type_name = "ReLU"
+
+    def _apply_np(self, node, x):
+        return np.maximum(x, 0)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.maximum(x, 0)
+
+
+@register
+class Clamp(_Unary):
+    type_name = "Clamp"
+
+    def _apply_np(self, node, x):
+        lo = A.get_float(node.attrs, "min")
+        hi = A.get_float(node.attrs, "max")
+        return np.clip(x, lo, hi)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        lo = A.get_float(node.attrs, "min")
+        hi = A.get_float(node.attrs, "max")
+        return jnp.clip(x, lo, hi)
+
+
+@register
+class Sigmoid(_Unary):
+    type_name = "Sigmoid"
+
+    def _apply_np(self, node, x):
+        return (1.0 / (1.0 + np.exp(-x.astype(np.float64)))).astype(x.dtype)
+
+    def _apply_jx(self, node, x):
+        import jax
+
+        return jax.nn.sigmoid(x)
+
+
+@register
+class SoftMax(_Unary):
+    type_name = "SoftMax"
+
+    def _apply_np(self, node, x):
+        axis = A.get_int(node.attrs, "axis", 1)
+        m = x.max(axis=axis, keepdims=True)
+        e = np.exp(x - m)
+        return (e / e.sum(axis=axis, keepdims=True)).astype(x.dtype)
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax
+
+        axis = A.get_int(node.attrs, "axis", 1)
+        x = inputs[0].nchw()  # axis is declared in logical coordinates
+        return {node.out_port: TValue(jax.nn.softmax(x, axis=axis), "L")}
+
+
+@register
+class LRN(Op):
+    type_name = "LRN"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def _params(self, node):
+        return (
+            A.get_float(node.attrs, "alpha"),
+            A.get_float(node.attrs, "beta"),
+            A.get_float(node.attrs, "bias"),
+            A.get_int(node.attrs, "size"),
+        )
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        x = inputs[0]
+        alpha, beta, bias, size = self._params(node)
+        c = x.shape[1]
+        sq = x.astype(np.float64) ** 2
+        denom = np.empty_like(sq)
+        for ch in range(c):
+            lo, hi = max(0, ch - size // 2), min(c, ch + size // 2 + 1)
+            denom[:, ch] = (bias + alpha * sq[:, lo:hi].sum(axis=1)) ** beta
+        return {node.out_port: (x / denom).astype(x.dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+        from jax import lax
+
+        alpha, beta, bias, size = self._params(node)
+        x = inputs[0].nhwc()  # channel dim last → windowed sum over lanes
+        half = size // 2
+        sq = x * x
+        window_sum = lax.reduce_window(
+            sq,
+            0.0,
+            lax.add,
+            window_dimensions=(1, 1, 1, 2 * half + 1),
+            window_strides=(1, 1, 1, 1),
+            padding=((0, 0), (0, 0), (0, 0), (half, half)),
+        )
+        out = x * lax.pow(bias + alpha * window_sum, -beta)
+        return {node.out_port: TValue(out.astype(x.dtype), "CL")}

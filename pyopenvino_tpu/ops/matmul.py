@@ -1,0 +1,56 @@
+"""MatMul with transpose_a/transpose_b attributes.
+
+Reference semantics: op_plugins/MatMul.py (2-D matmul, string transpose attrs
+parsed at :57-58).  On TPU this is a single MXU GEMM; INT8 weight-only consts
+are dequantized via ctx.weight_for (fused in the Pallas backend).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from pyopenvino_tpu.ir import attrs as A
+from pyopenvino_tpu.ops.spec import Op, ShapeResult, TValue, register
+
+
+def _flags(node):
+    return (
+        A.get_bool(node.attrs, "transpose_a", False),
+        A.get_bool(node.attrs, "transpose_b", False),
+    )
+
+
+@register
+class MatMul(Op):
+    type_name = "MatMul"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        ta, tb = _flags(node)
+        a, b = in_shapes[0], in_shapes[1]
+        m = a[-1] if ta else a[-2]
+        n = b[-2] if tb else b[-1]
+        return ShapeResult({node.out_port: (*a[:-2], m, n)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        ta, tb = _flags(node)
+        a, b = inputs[0], inputs[1]
+        if ta:
+            a = np.swapaxes(a, -1, -2)
+        if tb:
+            b = np.swapaxes(b, -1, -2)
+        return {node.out_port: np.matmul(a, b)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        ta, tb = _flags(node)
+        a = inputs[0].nchw()
+        b = ctx.weight_for(node, inputs[1])
+        if ta:
+            a = jnp.swapaxes(a, -1, -2)
+        if tb:
+            b = jnp.swapaxes(b, -1, -2)
+        out = jnp.matmul(a, b.astype(a.dtype), preferred_element_type=jnp.float32)
+        return {node.out_port: TValue(out.astype(a.dtype), "L")}

@@ -1,0 +1,344 @@
+"""SSD head ops: PriorBoxClustered and DetectionOutput.
+
+Reference semantics: op_plugins/PriorBoxClustered.py:10-40 (anchor grid,
+row 0 = normalized boxes, row 1 = tiled variances) and
+op_plugins/DetectionOutput.py:162-260 (argmax class per prior → confidence +
+background screening → CENTER_SIZE/CORNER decode with variances → optional
+clipping → class-agnostic pairwise-suppression NMS → confidence-sorted
+fixed-shape (1, 1, keep_top_k, 7) records with a -1 terminator row).
+
+TPU design (SURVEY.md §7 hard part 1): the reference's dynamic-length
+filtering (np.append loops, DetectionOutput.py:69-94) becomes fixed-shape
+masked computation — decode all priors, build a validity mask, run the O(P²)
+IoU suppression as one masked matrix expression, and materialize the record
+table with a vectorized rank comparison.  P=1917 → the IoU matrix is ~3.7M
+elements, trivial for the VPU.
+
+NMS parity note: the reference suppresses over *all* pairs regardless of
+earlier kills (DetectionOutput.py:41-49), i.e. box i survives iff no
+overlapping box j has strictly higher confidence (ties kill the later index).
+That is exactly `kill[i] = ∃j: iou>T ∧ (conf_j > conf_i ∨ (conf_j = conf_i ∧
+j < i))`, which both backends implement.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from pyopenvino_tpu.ir import attrs as A
+from pyopenvino_tpu.ops.spec import Op, ShapeResult, TValue, register
+
+
+# ---------------------------------------------------------------------------
+# PriorBoxClustered
+# ---------------------------------------------------------------------------
+
+
+def prior_boxes_clustered(
+    grid_hw, image_hw, widths, heights, step, step_h, step_w, offset,
+    variance, img_h, img_w,
+) -> np.ndarray:
+    gh, gw = int(grid_hw[0]), int(grid_hw[1])
+    ih, iw = int(image_hw[0]), int(image_hw[1])
+    img_h = float(ih) if img_h == 0 else img_h
+    img_w = float(iw) if img_w == 0 else img_w
+    sh = step if step_h == 0 else step_h
+    sw = step if step_w == 0 else step_w
+    sh = img_h / gh if sh == 0 else sh
+    sw = img_w / gw if sw == 0 else sw
+
+    widths = np.asarray(widths, dtype=np.float64)
+    heights = np.asarray(heights, dtype=np.float64)
+    npriors = len(widths)
+
+    cx = (np.arange(gw, dtype=np.float64) + offset) * sw  # (gw,)
+    cy = (np.arange(gh, dtype=np.float64) + offset) * sh  # (gh,)
+    # per (gy, gx, k): corners normalized by image size
+    cx = cx[None, :, None]
+    cy = cy[:, None, None]
+    xmin = (cx - widths / 2) / img_w
+    ymin = (cy - heights / 2) / img_h
+    xmax = (cx + widths / 2) / img_w
+    ymax = (cy + heights / 2) / img_h
+    boxes = np.stack(
+        [
+            np.broadcast_to(xmin, (gh, gw, npriors)),
+            np.broadcast_to(ymin, (gh, gw, npriors)),
+            np.broadcast_to(xmax, (gh, gw, npriors)),
+            np.broadcast_to(ymax, (gh, gw, npriors)),
+        ],
+        axis=-1,
+    ).reshape(-1)
+    variances = np.tile(np.asarray(variance, dtype=np.float64), gh * gw * npriors)
+    return np.stack([boxes, variances]).astype(np.float32)
+
+
+def _pbc_params(node):
+    return dict(
+        widths=A.get_float_tuple(node.attrs, "width", (1.0,)),
+        heights=A.get_float_tuple(node.attrs, "height", (1.0,)),
+        step=A.get_float(node.attrs, "step", 0.0),
+        step_h=A.get_float(node.attrs, "step_h", 0.0),
+        step_w=A.get_float(node.attrs, "step_w", 0.0),
+        offset=A.get_float(node.attrs, "offset"),
+        variance=A.get_float_tuple(node.attrs, "variance", ()),
+        img_h=A.get_float(node.attrs, "img_h", 0.0),
+        img_w=A.get_float(node.attrs, "img_w", 0.0),
+    )
+
+
+@register
+class PriorBoxClustered(Op):
+    type_name = "PriorBoxClustered"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        grid = in_values.get(0)
+        if grid is None:
+            raise ValueError(f"PriorBoxClustered {node.name}: grid is not static")
+        p = _pbc_params(node)
+        n = 4 * int(grid[0]) * int(grid[1]) * len(p["widths"])
+        res = ShapeResult({node.out_port: (2, n)})
+        if in_values.get(1) is not None:
+            res.values[node.out_port] = prior_boxes_clustered(
+                grid, in_values[1], **p
+            )
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        out = prior_boxes_clustered(inputs[0], inputs[1], **_pbc_params(node))
+        return {node.out_port: out}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        grid = ctx.static_value(node, 0, inputs)
+        image = ctx.static_value(node, 1, inputs)
+        out = prior_boxes_clustered(grid, image, **_pbc_params(node))
+        return {node.out_port: TValue(jnp.asarray(out), "L")}
+
+
+# ---------------------------------------------------------------------------
+# DetectionOutput
+# ---------------------------------------------------------------------------
+
+
+def _do_params(node):
+    a = node.attrs
+    return dict(
+        num_classes=A.get_int(a, "num_classes"),
+        background_label_id=A.get_int(a, "background_label_id", 0),
+        top_k=A.get_int(a, "top_k", -1),
+        variance_encoded_in_target=A.get_bool(a, "variance_encoded_in_target"),
+        keep_top_k=A.get_int_tuple(a, "keep_top_k"),
+        code_type=A.get_str(a, "code_type", "caffe.PriorBoxParameter.CORNER"),
+        share_location=A.get_bool(a, "share_location", True),
+        nms_threshold=A.get_float(a, "nms_threshold"),
+        confidence_threshold=A.get_float(a, "confidence_threshold", 0.0),
+        clip_after_nms=A.get_bool(a, "clip_after_nms"),
+        clip_before_nms=A.get_bool(a, "clip_before_nms"),
+        decrease_label_id=A.get_bool(a, "decrease_label_id"),
+        normalized=A.get_bool(a, "normalized"),
+        input_height=A.get_int(a, "input_height", 1),
+        input_width=A.get_int(a, "input_width", 1),
+    )
+
+
+def _output_shape(p, num_prior_boxes) -> tuple:
+    n = 1
+    shape = (1, 1, n * p["num_classes"] * num_prior_boxes, 7)
+    if p["keep_top_k"][0] > 0:
+        shape = (1, 1, n * p["keep_top_k"][0], 7)
+    elif p["keep_top_k"][0] == -1 and p["top_k"] > 0:
+        shape = (1, 1, n * p["top_k"] * p["num_classes"], 7)
+    return shape
+
+
+def _decode(xp, boxes, logits, variances, p):
+    """Vectorized bbox decode; xp is numpy or jax.numpy.  boxes/logits/
+    variances: (P, 4).  Returns (P, 4) [xmin, ymin, xmax, ymax]."""
+    bx0, by0, bx1, by1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    lx0, ly0, lx1, ly1 = logits[:, 0], logits[:, 1], logits[:, 2], logits[:, 3]
+    if not p["normalized"]:
+        bx0 = bx0 / p["input_width"]
+        by0 = by0 / p["input_height"]
+        bx1 = bx1 / p["input_width"]
+        by1 = by1 / p["input_height"]
+    vet = p["variance_encoded_in_target"]
+    if p["code_type"] == "caffe.PriorBoxParameter.CORNER":
+        if vet:
+            out = (bx0 + lx0, by0 + ly0, bx1 + lx1, by1 + ly1)
+        else:
+            out = (
+                bx0 + variances[:, 0] * lx0,
+                by0 + variances[:, 1] * ly0,
+                bx1 + variances[:, 2] * lx1,
+                by1 + variances[:, 3] * ly1,
+            )
+        return xp.stack(out, axis=1)
+    # CENTER_SIZE
+    pw, ph = bx1 - bx0, by1 - by0
+    pcx, pcy = (bx0 + bx1) / 2, (by0 + by1) / 2
+    if vet:
+        cx = lx0 * pw + pcx
+        cy = ly0 * ph + pcy
+        w = xp.exp(lx1) * pw
+        h = xp.exp(ly1) * ph
+    else:
+        cx = variances[:, 0] * lx0 * pw + pcx
+        cy = variances[:, 1] * ly0 * ph + pcy
+        w = xp.exp(variances[:, 2] * lx1) * pw
+        h = xp.exp(variances[:, 3] * ly1) * ph
+    return xp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
+
+
+def _iou_matrix(xp, b):
+    """Pairwise IoU of (P, 4) corner boxes → (P, P)."""
+    area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    x0 = xp.maximum(b[:, None, 0], b[None, :, 0])
+    y0 = xp.maximum(b[:, None, 1], b[None, :, 1])
+    x1 = xp.minimum(b[:, None, 2], b[None, :, 2])
+    y1 = xp.minimum(b[:, None, 3], b[None, :, 3])
+    w = x1 - x0
+    h = y1 - y0
+    # the reference returns 0 when w or h is negative (DetectionOutput.py:26)
+    inter = xp.where((w < 0) | (h < 0), 0.0, w * h)
+    union = area[:, None] + area[None, :] - inter
+    return inter / union
+
+
+def detection_output_ref(box_logits, class_pred, proposals, p) -> np.ndarray:
+    """Numpy fixed-shape masked implementation (also the fold/interp path)."""
+    assert proposals.shape[1] == 2, "variance_encoded_in_target=1 unsupported"
+    prior_box_size = 4 if p["normalized"] else 5
+    P = proposals.shape[2] // prior_box_size
+    nc = p["num_classes"]
+
+    logits = box_logits.reshape(P, 4).astype(np.float64)
+    scores = class_pred.reshape(P, nc)
+    boxes_p = proposals[0, 0].reshape(P, prior_box_size).astype(np.float64)
+    boxes_v = proposals[0, 1].reshape(P, prior_box_size).astype(np.float64)
+
+    cls = scores.argmax(axis=1)
+    conf = scores[np.arange(P), cls]
+    valid = (conf > p["confidence_threshold"]) & (cls != 0)
+
+    offset = 0 if p["normalized"] else 1
+    decoded = _decode(np, boxes_p[:, offset : offset + 4], logits, boxes_v, p)
+    if p["clip_before_nms"]:
+        decoded = np.clip(decoded, 0.0, 1.0)
+
+    iou = _iou_matrix(np, decoded)
+    j_less = np.arange(P)[None, :] < np.arange(P)[:, None]
+    beats = (conf[None, :] > conf[:, None]) | (
+        (conf[None, :] == conf[:, None]) & j_less
+    )
+    overlap = iou > p["nms_threshold"]
+    np.fill_diagonal(overlap, False)
+    kill = (overlap & beats & valid[None, :]).any(axis=1)
+    keep = valid & ~kill
+
+    if p["clip_after_nms"]:
+        decoded = np.clip(decoded, 0.0, 1.0)
+
+    out_shape = _output_shape(p, P)
+    max_record = out_shape[2]
+    res = np.zeros(out_shape, dtype=np.float32)
+    order = np.argsort(np.where(keep, -conf, np.inf), kind="stable")
+    num_keep = int(keep.sum())
+    for n in range(min(max_record, num_keep)):
+        i = order[n]
+        res[0, 0, n] = [n, cls[i], conf[i], *decoded[i]]
+    if num_keep < max_record:
+        res[0, 0, num_keep] = [-1, 0, 0, 0, 0, 0, 0]
+    return res
+
+
+def detection_output_jax(box_logits, class_pred, proposals, p):
+    """JAX fixed-shape masked implementation (jit-safe, static shapes)."""
+    import jax.numpy as jnp
+
+    prior_box_size = 4 if p["normalized"] else 5
+    P = proposals.shape[2] // prior_box_size
+    nc = p["num_classes"]
+
+    logits = box_logits.reshape(P, 4).astype(jnp.float32)
+    scores = class_pred.reshape(P, nc)
+    boxes_p = proposals[0, 0].reshape(P, prior_box_size).astype(jnp.float32)
+    boxes_v = proposals[0, 1].reshape(P, prior_box_size).astype(jnp.float32)
+
+    cls = jnp.argmax(scores, axis=1)
+    conf = jnp.take_along_axis(scores, cls[:, None], axis=1)[:, 0]
+    valid = (conf > p["confidence_threshold"]) & (cls != 0)
+
+    offset = 0 if p["normalized"] else 1
+    decoded = _decode(jnp, boxes_p[:, offset : offset + 4], logits, boxes_v, p)
+    if p["clip_before_nms"]:
+        decoded = jnp.clip(decoded, 0.0, 1.0)
+
+    iou = _iou_matrix(jnp, decoded)
+    idx = jnp.arange(P)
+    j_less = idx[None, :] < idx[:, None]
+    beats = (conf[None, :] > conf[:, None]) | (
+        (conf[None, :] == conf[:, None]) & j_less
+    )
+    overlap = (iou > p["nms_threshold"]) & (idx[None, :] != idx[:, None])
+    kill = (overlap & beats & valid[None, :]).any(axis=1)
+    keep = valid & ~kill
+
+    if p["clip_after_nms"]:
+        decoded = jnp.clip(decoded, 0.0, 1.0)
+
+    out_shape = _output_shape(p, P)
+    max_record = out_shape[2]
+    num_keep = keep.sum()
+
+    order = jnp.argsort(jnp.where(keep, -conf, jnp.inf), stable=True)
+    top = order[:max_record]
+    rank = jnp.arange(max_record)
+    is_det = rank < jnp.minimum(num_keep, max_record)
+    is_term = rank == num_keep
+
+    records = jnp.stack(
+        [
+            rank.astype(jnp.float32),
+            cls[top].astype(jnp.float32),
+            conf[top].astype(jnp.float32),
+            decoded[top, 0],
+            decoded[top, 1],
+            decoded[top, 2],
+            decoded[top, 3],
+        ],
+        axis=1,
+    )
+    term = jnp.concatenate(
+        [jnp.full((max_record, 1), -1.0), jnp.zeros((max_record, 6))], axis=1
+    )
+    out = jnp.where(
+        is_det[:, None], records, jnp.where(is_term[:, None], term, 0.0)
+    )
+    return out.reshape(out_shape).astype(jnp.float32)
+
+
+@register
+class DetectionOutput(Op):
+    type_name = "DetectionOutput"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        p = _do_params(node)
+        prior_box_size = 4 if p["normalized"] else 5
+        P = in_shapes[2][2] // prior_box_size
+        return ShapeResult({node.out_port: _output_shape(p, P)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        p = _do_params(node)
+        out = detection_output_ref(inputs[0], inputs[1], inputs[2], p)
+        return {node.out_port: out}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        p = _do_params(node)
+        out = detection_output_jax(
+            inputs[0].nchw(), inputs[1].nchw(), inputs[2].nchw(), p
+        )
+        return {node.out_port: TValue(out, "L")}

@@ -1,0 +1,67 @@
+"""INT8 weight-only quantization (per-output-channel, symmetric).
+
+The reference has no quantization (SURVEY.md §2: addition mandated by the
+BASELINE.json north star).  Scheme: for every Const feeding a
+Convolution/GroupConvolution/MatMul weight port, store round(w / s) as int8
+with s = max|w| / 127 per output channel.  The XLA backend dequantizes at
+trace time (runtime/compiler.py weight_for) — a bandwidth win since int8
+weights are what travels HBM→VMEM; the Pallas backend fuses the dequant into
+the GEMM epilogue (kernels/conv_gemm.py).
+
+Accuracy gate (BASELINE.md): top-1 within 0.5% of FP32 — validated on the
+shipped-weights MNIST models in tests/test_quant.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.ir import attrs as A
+from pyopenvino_tpu.ir.model import Model
+
+# weight ports eligible for quantization: (op_type, input_port)
+_WEIGHT_PORTS = {("Convolution", 1), ("GroupConvolution", 1), ("MatMul", 1)}
+
+
+def _quantize_array(
+    w: np.ndarray, channel_axes: Tuple[int, ...]
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-channel int8.  channel_axes: axes that index output
+    channels (kept in the scale's shape); all others are reduced."""
+    reduce_axes = tuple(a for a in range(w.ndim) if a not in channel_axes)
+    absmax = np.abs(w).max(axis=reduce_axes, keepdims=True)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return q, scale
+
+
+def quantize_weights(model: Model) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Return {const_node_id: (int8 weights, float32 per-channel scales)}."""
+    out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+    for node in model.find_by_type("Const"):
+        if node.const is None or not np.issubdtype(node.const.dtype, np.floating):
+            continue
+        consumers = [
+            (model.nodes[dst], dport)
+            for _, dst, dport in model.out_edges[node.id]
+        ]
+        if not consumers:
+            continue
+        # only quantize when every consumer reads it as a weight operand
+        if not all((c.op_type, p) in _WEIGHT_PORTS for c, p in consumers):
+            continue
+        consumer, _ = consumers[0]
+        w = np.asarray(node.const, dtype=np.float32)
+        if consumer.op_type == "Convolution":
+            q, s = _quantize_array(w, (0,))  # OIHW → per-O
+        elif consumer.op_type == "GroupConvolution":
+            q, s = _quantize_array(w, (0, 1))  # GOIHW → per-(G,O)
+        else:  # MatMul
+            tb = A.get_bool(consumer.attrs, "transpose_b", False)
+            # output channels are rows when transposed, cols otherwise
+            axis = w.ndim - 2 if tb else w.ndim - 1
+            q, s = _quantize_array(w, (axis,))
+        out[node.id] = (q, s)
+    return out

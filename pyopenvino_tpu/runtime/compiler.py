@@ -1,0 +1,312 @@
+"""Graph compiler: typed IR → one traced JAX function → XLA executable.
+
+This replaces the reference's "compilation" step — a topological sort feeding
+a per-layer Python dispatch loop (reference: inference_engine.py:218-292) —
+with real compilation: the whole graph is emitted (in exactly that
+topological order) into a single JAX function, jit-compiled by XLA onto the
+MXU/VPU.  Per-layer Python dispatch overhead, the reference's dominant cost
+profile (SURVEY.md §3.4), disappears entirely.
+
+Key compile-time behaviors:
+  * constant folding — every statically-known subgraph (ShapeOf →
+    StridedSlice → PriorBoxClustered → Concat chains in SSD, SURVEY.md §3.5)
+    is evaluated by the shape-analysis value propagation and never traced;
+  * weights are function *arguments* (a {const_id: array} pytree), not baked
+    literals, so they can be device-placed, sharded over a mesh, or swapped
+    (INT8 weight-only quantization stores int8 + per-channel scales);
+  * batch-N is `jax.vmap` over the batch=1 graph — the idiomatic JAX answer
+    to the reference's hardcoded batch=1 (Convolution.py:112-113);
+  * one jit cache entry per batch bucket avoids recompile thrash in serving.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.config import Config, QuantMode
+from pyopenvino_tpu.ir.model import Model
+from pyopenvino_tpu.ops import get_op
+from pyopenvino_tpu.ops.spec import TValue
+from pyopenvino_tpu.passes.shape_infer import ShapeAnalysis, infer_shapes
+
+# (op_type, input_port) pairs consumed at compile time — never traced.
+STATIC_PORTS = {
+    ("Reshape", 1),
+    ("Transpose", 1),
+    ("Unsqueeze", 1),
+    ("StridedSlice", 1),
+    ("StridedSlice", 2),
+    ("StridedSlice", 3),
+    ("PriorBoxClustered", 0),
+    ("PriorBoxClustered", 1),
+    ("LRN", 1),  # axes input, ignored (reference: LRN.py:67)
+}
+
+# Constants larger than this stay runtime weight params even when their value
+# is statically known; smaller folded values are inlined as literals.
+_INLINE_LIMIT = 1 << 16
+
+
+class EmitCtx:
+    """Trace-time services handed to every op's ``emit``."""
+
+    def __init__(self, model: Model, analysis: ShapeAnalysis, config: Config):
+        self.model = model
+        self.analysis = analysis
+        self.config = config
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+
+    def static_value(self, node, port: int, inputs) -> np.ndarray:
+        src, sport = self.model.in_edges[node.id][port]
+        val = self.analysis.value(src, sport)
+        if val is None:
+            raise ValueError(
+                f"{node.op_type} {node.name!r}: input port {port} must be "
+                f"compile-time constant"
+            )
+        return val
+
+    def weight_for(self, node, tv: TValue):
+        """Resolve a weight operand, dequantizing INT8 consts at trace time
+        (the Pallas backend instead reads tv.arr/tv.qscale directly and fuses
+        the dequant into the kernel epilogue)."""
+        if tv.qscale is None:
+            return tv.arr
+        return tv.arr.astype(self.compute_dtype) * tv.qscale
+
+
+class CompiledNetwork:
+    def __init__(
+        self,
+        model: Model,
+        config: Optional[Config] = None,
+        mesh=None,
+        quantized: Optional[Dict[int, Tuple[np.ndarray, np.ndarray]]] = None,
+    ):
+        import jax
+
+        self.model = model
+        self.config = config or Config()
+        self.mesh = mesh
+        self.analysis = infer_shapes(model)
+        self._quantized = quantized or {}
+
+        self._folded_nodes = self._find_folded_nodes()
+        self._runtime_consts = self._find_runtime_consts()
+        self.weights = self._build_weights()
+        self._fn = self._build_fn()
+        self._jitted = jax.jit(self._fn)
+        self._batched_cache: Dict[int, object] = {}
+        self.input_names = [n.name for n in model.parameters]
+        self.output_names = [n.name for n in model.results]
+
+    # -- graph partitioning -------------------------------------------------
+
+    def _find_folded_nodes(self):
+        """Runtime nodes whose every output is statically known → not traced."""
+        folded = set()
+        for node in self.model:
+            if node.op_type in ("Const", "Parameter", "Result"):
+                continue
+            if node.outputs and all(
+                (node.id, p) in self.analysis.values for p in node.outputs
+            ):
+                folded.add(node.id)
+        return folded
+
+    def _find_runtime_consts(self):
+        """Const nodes with at least one traced consumer."""
+        runtime = set()
+        for node in self.model.find_by_type("Const"):
+            for sport, dst, dport in self.model.out_edges[node.id]:
+                dst_node = self.model.nodes[dst]
+                if (dst_node.op_type, dport) in STATIC_PORTS:
+                    continue
+                if dst in self._folded_nodes:
+                    continue
+                runtime.add(node.id)
+                break
+        return runtime
+
+    def _build_weights(self):
+        """Device weight pytree.  Float weights are pre-cast to the compute
+        dtype at load (the reference re-decodes .bin consts every inference,
+        Const.py:11-14 — here they are decoded once and live on device)."""
+        import jax.numpy as jnp
+
+        compute_dtype = (
+            jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
+        )
+        weights = {}
+        for nid in sorted(self._runtime_consts):
+            node = self.model.nodes[nid]
+            if node.const is None:
+                raise RuntimeError(
+                    f"Const {node.name!r} has no weights; generate a .bin "
+                    f"(tools/gen_weights.py) or load one"
+                )
+            if nid in self._quantized:
+                qvals, scales = self._quantized[nid]
+                weights[str(nid)] = jnp.asarray(qvals)
+                weights[f"{nid}.scale"] = jnp.asarray(
+                    scales, dtype=compute_dtype
+                )
+            elif np.issubdtype(node.const.dtype, np.floating):
+                weights[str(nid)] = jnp.asarray(node.const, dtype=compute_dtype)
+            else:
+                weights[str(nid)] = jnp.asarray(node.const)
+        return weights
+
+    # -- emission ------------------------------------------------------------
+
+    def _build_fn(self):
+        model = self.model
+        analysis = self.analysis
+        config = self.config
+        ctx = EmitCtx(model, analysis, config)
+        folded = self._folded_nodes
+        runtime_consts = self._runtime_consts
+        quantized = self._quantized
+
+        def fn(weights, inputs):
+            import jax.numpy as jnp
+
+            values: Dict[Tuple[int, int], TValue] = {}
+
+            def tv_for(src: int, sport: int) -> TValue:
+                key = (src, sport)
+                if key in values:
+                    return values[key]
+                val = analysis.value(src, sport)
+                if val is None:
+                    raise RuntimeError(
+                        f"no traced or static value for node {src} port {sport}"
+                    )
+                values[key] = TValue(jnp.asarray(val), "L")
+                return values[key]
+
+            outputs: Dict[str, object] = {}
+            for node in model:
+                if node.op_type == "Parameter":
+                    info = node.outputs[node.out_port]
+                    x = inputs[node.name]
+                    x = x.reshape(info.shape)
+                    if np.issubdtype(info.dtype, np.floating):
+                        x = x.astype(ctx.compute_dtype)
+                    else:
+                        x = x.astype(info.dtype)
+                    values[(node.id, node.out_port)] = TValue(x, "L")
+                elif node.op_type == "Const":
+                    if node.id in runtime_consts:
+                        arr = weights[str(node.id)]
+                        qscale = (
+                            weights.get(f"{node.id}.scale")
+                            if node.id in quantized
+                            else None
+                        )
+                        values[(node.id, node.out_port)] = TValue(
+                            arr, "L", qscale=qscale
+                        )
+                elif node.op_type == "Result":
+                    src, sport = model.in_edges[node.id][0]
+                    out = tv_for(src, sport).nchw()
+                    out_dtype = node.inputs[0].dtype
+                    outputs[node.name] = out.astype(out_dtype)
+                elif node.id in folded:
+                    continue  # consumers pull the folded constant lazily
+                else:
+                    op = get_op(node.op_type)
+                    ins = {}
+                    for port, (src, sport) in sorted(
+                        model.in_edges[node.id].items()
+                    ):
+                        if (node.op_type, port) in STATIC_PORTS:
+                            continue
+                        ins[port] = tv_for(src, sport)
+                    outs = op.emit(ctx, node, ins)
+                    for port, tv in outs.items():
+                        values[(node.id, port)] = tv
+            return outputs
+
+        return fn
+
+    # -- execution -----------------------------------------------------------
+
+    def _prep_inputs(self, inputs: Dict[str, np.ndarray]):
+        prepped = {}
+        for node in self.model.parameters:
+            if node.name not in inputs:
+                raise KeyError(f"missing input for Parameter {node.name!r}")
+            info = node.outputs[node.out_port]
+            prepped[node.name] = np.asarray(inputs[node.name]).reshape(info.shape)
+        return prepped
+
+    def __call__(self, inputs: Dict[str, np.ndarray]):
+        """Run one inference at the declared (batch=1) shapes; returns numpy."""
+        out = self._jitted(self.weights, self._prep_inputs(inputs))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def infer(self, inputs, verbose: bool = False):
+        import time
+
+        t0 = time.perf_counter()
+        out = self(inputs)
+        if verbose:
+            print(f"@TOTAL_TIME, {time.perf_counter() - t0}")
+        return out
+
+    # -- batched execution (vmap over the batch=1 graph) ---------------------
+
+    def batched_fn(self, batch_size: int):
+        """jit-compiled function over a leading batch axis, cached per size."""
+        import jax
+
+        if batch_size in self._batched_cache:
+            return self._batched_cache[batch_size]
+
+        param_infos = {
+            n.name: n.outputs[n.out_port] for n in self.model.parameters
+        }
+        fn = self._fn
+
+        def single(weights, example):
+            ins = {
+                name: example[name].reshape(param_infos[name].shape)
+                for name in example
+            }
+            return fn(weights, ins)
+
+        def batched(weights, batch):
+            out = jax.vmap(single, in_axes=(None, 0))(weights, batch)
+            # each output is (B, 1, ...) — collapse the declared unit batch
+            return {k: v.reshape((v.shape[0],) + v.shape[2:]) for k, v in out.items()}
+
+        jitted = jax.jit(batched)
+        self._batched_cache[batch_size] = jitted
+        return jitted
+
+    def infer_batch(self, inputs: Dict[str, np.ndarray]):
+        """inputs: {name: (B, ...)} with the declared batch=1 dim dropped."""
+        b = next(iter(inputs.values())).shape[0]
+        out = self.batched_fn(b)(self.weights, inputs)
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+def compile_model(
+    model: Model, config: Optional[Config] = None, mesh=None
+) -> CompiledNetwork:
+    config = config or Config()
+    quantized = None
+    if config.quant == QuantMode.INT8_WEIGHT:
+        from pyopenvino_tpu.passes.quantize import quantize_weights
+
+        quantized = quantize_weights(model)
+    return CompiledNetwork(model, config, mesh=mesh, quantized=quantized)

@@ -1,0 +1,93 @@
+"""Numpy interpreter backend — the differential-testing twin of the compiled
+path.
+
+Mirrors the reference's layer-at-a-time executor (reference:
+inference_engine.py:245-321): walks the topological order, gathers each
+node's predecessor outputs per edge, dispatches to the op's numpy
+``ref_compute`` and stores results per (node, port).  Keeps the reference's
+debugging affordances:
+
+  * verbose per-node wall-clock timing (inference_engine.py:273-283)
+  * ``expected_result`` golden feature-map comparison per node name
+    (inference_engine.py:214,284-287)
+  * ``capture_node_args`` — the pickle_node_args single-op fixture hook
+    (inference_engine.py:216,275-278), returning (node, inputs) pairs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.ir.model import Model
+from pyopenvino_tpu.ops import get_op
+
+
+class Interpreter:
+    def __init__(self, model: Model):
+        self.model = model
+        # {node_name: ndarray} golden comparison, like the reference's
+        # expected_result {name: (prec, dims, ndarray)} hook
+        self.expected_result: Optional[Dict[str, np.ndarray]] = None
+        self.expected_rtol: float = 1.0
+        # node ids whose (node, inputs) should be captured for op-level tests
+        self.capture_node_args: List[int] = []
+        self.captured: List[Tuple[object, dict]] = []
+        self.last_timings: List[Tuple[int, str, str, float]] = []
+
+    def run(
+        self, inputs: Dict[str, np.ndarray], verbose: bool = False
+    ) -> Dict[str, np.ndarray]:
+        model = self.model
+        params = {}
+        for node in model.parameters:
+            if node.name not in inputs:
+                raise KeyError(f"missing input for Parameter {node.name!r}")
+            info = node.outputs[node.out_port]
+            params[node.id] = (
+                np.asarray(inputs[node.name]).reshape(info.shape).astype(info.dtype)
+            )
+
+        store: Dict[Tuple[int, int], np.ndarray] = {}
+        results: Dict[str, np.ndarray] = {}
+        self.last_timings = []
+        compare_failures = []
+
+        for node in model:
+            node_inputs = {
+                port: store[(src, sport)]
+                for port, (src, sport) in sorted(model.in_edges[node.id].items())
+            }
+            t0 = time.perf_counter()
+            if node.op_type == "Parameter":
+                outs = {node.out_port: params[node.id]}
+            elif node.op_type == "Const":
+                if node.const is None:
+                    raise RuntimeError(f"Const {node.name!r}: weights not loaded")
+                outs = {node.out_port: node.const}
+            elif node.op_type == "Result":
+                results[node.name] = node_inputs[0]
+                outs = {}
+            else:
+                if node.id in self.capture_node_args:
+                    self.captured.append((node, dict(node_inputs)))
+                outs = get_op(node.op_type).ref_compute(node, node_inputs)
+            dt = time.perf_counter() - t0
+            self.last_timings.append((node.id, node.op_type, node.name, dt))
+            if verbose:
+                print(f"{node.id} {node.op_type} {node.name} {dt:.6f}")
+
+            for port, arr in outs.items():
+                store[(node.id, port)] = arr
+                if self.expected_result and node.name in self.expected_result:
+                    want = self.expected_result[node.name]
+                    ok = np.allclose(arr, want, rtol=self.expected_rtol)
+                    if verbose:
+                        print(f"  compare {node.name}: {'MATCH' if ok else 'MISMATCH'}")
+                    if not ok:
+                        compare_failures.append(node.name)
+
+        self.last_compare_failures = compare_failures
+        return results
