@@ -1,0 +1,7 @@
+from pyopenvino_tpu.parallel.mesh import (
+    MeshConfig,
+    build_mesh,
+    shard_compiled,
+)
+
+__all__ = ["MeshConfig", "build_mesh", "shard_compiled"]
