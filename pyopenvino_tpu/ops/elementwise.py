@@ -175,14 +175,16 @@ class LRN(Op):
         alpha, beta, bias, size = self._params(node)
         x = inputs[0].nhwc()  # channel dim last → windowed sum over lanes
         half = size // 2
-        sq = x * x
+        # normalization in f32 regardless of compute dtype (pow in bf16 both
+        # loses precision and trips lax.pow's dtype matching)
+        xf = x.astype(jnp.float32)
         window_sum = lax.reduce_window(
-            sq,
+            xf * xf,
             0.0,
             lax.add,
             window_dimensions=(1, 1, 1, 2 * half + 1),
             window_strides=(1, 1, 1, 1),
             padding=((0, 0), (0, 0), (0, 0), (half, half)),
         )
-        out = x * lax.pow(bias + alpha * window_sum, -beta)
+        out = xf * lax.pow(bias + alpha * window_sum, -beta)
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}
