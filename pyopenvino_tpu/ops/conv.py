@@ -52,6 +52,18 @@ def _conv_attrs(node):
     )
 
 
+def _epilogue(out, bias, act):
+    """Inline NHWC bias/activation tail for the XLA path."""
+    import jax.numpy as jnp
+
+    if bias is not None:
+        out = out + bias.reshape(1, 1, 1, -1).astype(out.dtype)
+    if act is not None:
+        kind, lo, hi = act
+        out = jnp.maximum(out, 0) if kind == "relu" else jnp.clip(out, lo, hi)
+    return out
+
+
 @register
 class Convolution(Op):
     type_name = "Convolution"
@@ -72,14 +84,47 @@ class Convolution(Op):
         return {node.out_port: out.astype(x.dtype)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        return self.emit_fused(ctx, node, inputs)
+
+    def emit_fused(
+        self, ctx, node, inputs, bias=None, act=None
+    ) -> Dict[int, TValue]:
+        """Conv with optional fused bias/activation epilogue (passes/fuse.py).
+
+        PALLAS backend: patches + fused MXU GEMM, INT8 dequant in the
+        epilogue.  XLA backend: conv_general_dilated + inline bias/act
+        (XLA fuses the elementwise tail into the conv itself)."""
         import jax.numpy as jnp
         from jax import lax
 
         x = inputs[0].nhwc()
         (sh, sw), (dh, dw) = _conv_attrs(node)
-        w = ctx.weight_for(node, inputs[1])  # OIHW, possibly dequantized
-        co, ci, kh, kw = w.shape
+        tv_w = inputs[1]
+        co, ci, kh, kw = tv_w.shape
         pad = conv_padding(node.attrs, inputs[0].shape[2:], (kh, kw))
+
+        # Routing policy for the PALLAS backend: 1×1 convs ARE GEMMs — the
+        # patch step is a pure reshape, so the fused Pallas kernel wins on
+        # HBM traffic (int8 weights stay int8 until VMEM).  Spatial kernels
+        # would materialize a kh·kw× patch tensor in HBM (the im2col cost
+        # the reference pays per-layer, Convolution.py:57-87), where XLA's
+        # implicit-GEMM conv is strictly better — those stay on
+        # conv_general_dilated with the epilogue fused by XLA.
+        if ctx.use_pallas and kh == kw == 1:
+            from pyopenvino_tpu.kernels.conv import conv2d_fused
+
+            if tv_w.qscale is not None:
+                w, scale = tv_w.arr, tv_w.qscale.reshape(-1)
+            else:
+                w, scale = tv_w.arr.astype(x.dtype), None
+            out = conv2d_fused(
+                x, w, scale=scale, bias=bias, act=act,
+                strides=(sh, sw), dilations=(dh, dw), pads=pad.pads,
+                interpret=ctx.pallas_interpret,
+            )
+            return {node.out_port: TValue(out, "CL")}
+
+        w = ctx.weight_for(node, tv_w)  # OIHW, possibly dequantized
         w_hwio = jnp.transpose(w, (2, 3, 1, 0))
         out = lax.conv_general_dilated(
             x,
@@ -90,6 +135,7 @@ class Convolution(Op):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
         )
+        out = _epilogue(out, bias, act)
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}
 
 
@@ -116,6 +162,16 @@ class GroupConvolution(Op):
         return {node.out_port: out.astype(x.dtype)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        return self.emit_fused(ctx, node, inputs)
+
+    def emit_fused(
+        self, ctx, node, inputs, bias=None, act=None
+    ) -> Dict[int, TValue]:
+        """Grouped/depthwise conv + fused bias/act tail.  Depthwise is
+        VPU-bound (no MXU reuse across channels), so it stays on XLA's
+        conv_general_dilated with feature_group_count on every backend —
+        the Pallas win for these chains is the fused epilogue, which XLA
+        also applies here."""
         import jax.numpy as jnp
         from jax import lax
 
@@ -136,4 +192,5 @@ class GroupConvolution(Op):
             feature_group_count=g,
             preferred_element_type=jnp.float32,
         )
+        out = _epilogue(out, bias, act)
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}

@@ -43,14 +43,41 @@ class MatMul(Op):
         return {node.out_port: np.matmul(a, b)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        return self.emit_fused(ctx, node, inputs)
+
+    def emit_fused(
+        self, ctx, node, inputs, bias=None, act=None
+    ) -> Dict[int, TValue]:
         import jax.numpy as jnp
 
         ta, tb = _flags(node)
         a = inputs[0].nchw()
-        b = ctx.weight_for(node, inputs[1])
+        tv_b = inputs[1]
         if ta:
             a = jnp.swapaxes(a, -1, -2)
+
+        if ctx.use_pallas and a.ndim == 2:
+            from pyopenvino_tpu.kernels.gemm import fused_gemm
+
+            if tv_b.qscale is not None:
+                b, scale = tv_b.arr, tv_b.qscale.reshape(-1)
+            else:
+                b, scale = tv_b.arr.astype(a.dtype), None
+            if tb:
+                b = jnp.swapaxes(b, -1, -2)  # scale is per-output-col either way
+            out = fused_gemm(
+                a, b, scale=scale, bias=bias, act=act,
+                out_dtype=a.dtype, interpret=ctx.pallas_interpret,
+            )
+            return {node.out_port: TValue(out, "L")}
+
+        b = ctx.weight_for(node, tv_b)
         if tb:
             b = jnp.swapaxes(b, -1, -2)
         out = jnp.matmul(a, b.astype(a.dtype), preferred_element_type=jnp.float32)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        if act is not None:
+            kind, lo, hi = act
+            out = jnp.maximum(out, 0) if kind == "relu" else jnp.clip(out, lo, hi)
         return {node.out_port: TValue(out.astype(a.dtype), "L")}

@@ -64,6 +64,19 @@ class EmitCtx:
 
         return jnp.bfloat16 if self.config.compute_dtype == "bfloat16" else jnp.float32
 
+    @property
+    def use_pallas(self) -> bool:
+        from pyopenvino_tpu.config import Backend
+
+        return self.config.backend == Backend.PALLAS
+
+    @property
+    def pallas_interpret(self) -> bool:
+        """Pallas kernels run in interpreter mode off-TPU (tests/CI on CPU)."""
+        import jax
+
+        return jax.default_backend() != "tpu"
+
     def static_value(self, node, port: int, inputs) -> np.ndarray:
         src, sport = self.model.in_edges[node.id][port]
         val = self.analysis.value(src, sport)
@@ -101,6 +114,20 @@ class CompiledNetwork:
 
         self._folded_nodes = self._find_folded_nodes()
         self._runtime_consts = self._find_runtime_consts()
+
+        # Epilogue fusion (Conv/MatMul → Add bias → ReLU/Clamp) for the
+        # Pallas backend — the absorbed nodes are skipped during emission.
+        from pyopenvino_tpu.config import Backend
+
+        if self.config.backend == Backend.PALLAS:
+            from pyopenvino_tpu.passes.fuse import find_fusions
+
+            self._fusions = find_fusions(model, self.analysis)
+        else:
+            self._fusions = {}
+        self._fused_skip = {
+            nid for f in self._fusions.values() for nid in f.skip
+        }
         self.weights = self._build_weights()
         self._fn = self._build_fn()
         self._jitted = jax.jit(self._fn)
@@ -175,6 +202,8 @@ class CompiledNetwork:
         folded = self._folded_nodes
         runtime_consts = self._runtime_consts
         quantized = self._quantized
+        fusions = self._fusions
+        fused_skip = self._fused_skip
 
         def fn(weights, inputs):
             import jax.numpy as jnp
@@ -222,6 +251,8 @@ class CompiledNetwork:
                     outputs[node.name] = out.astype(out_dtype)
                 elif node.id in folded:
                     continue  # consumers pull the folded constant lazily
+                elif node.id in fused_skip:
+                    continue  # absorbed into a fused group's epilogue
                 else:
                     op = get_op(node.op_type)
                     ins = {}
@@ -231,9 +262,19 @@ class CompiledNetwork:
                         if (node.op_type, port) in STATIC_PORTS:
                             continue
                         ins[port] = tv_for(src, sport)
-                    outs = op.emit(ctx, node, ins)
-                    for port, tv in outs.items():
-                        values[(node.id, port)] = tv
+                    if node.id in fusions:
+                        f = fusions[node.id]
+                        bias = (
+                            tv_for(*f.bias_src).arr.reshape(-1)
+                            if f.bias_src is not None
+                            else None
+                        )
+                        outs = op.emit_fused(ctx, node, ins, bias=bias, act=f.act)
+                        values[f.out_key] = outs[node.out_port]
+                    else:
+                        outs = op.emit(ctx, node, ins)
+                        for port, tv in outs.items():
+                            values[(node.id, port)] = tv
             return outputs
 
         return fn

@@ -1,0 +1,211 @@
+"""Continuous-batching inference server.
+
+Design (TPU-first):
+  * requests land in a thread-safe queue as (inputs, Future) pairs;
+  * one scheduler thread drains the queue, coalesces up to the largest
+    configured bucket, pads the batch to the bucket size (padding examples
+    are masked out of the responses) and calls the compiled network's
+    per-bucket jitted function — so the jit cache holds exactly
+    len(buckets) entries per network and steady-state serving never
+    recompiles (SURVEY.md §7 hard part 5);
+  * a small admission delay lets concurrent callers coalesce into one
+    device launch instead of N singleton launches — the continuous-batching
+    analogue of the reference's one-blocking-infer-per-GUI-tick loop
+    (draw-and-infer.py:54-76);
+  * batches ride the leading axis, so a data-parallel mesh
+    (parallel/mesh.py shard_compiled) shards them over chips with zero code
+    changes here.
+
+Latency accounting distinguishes queue wait from device time; stats expose
+p50/p99 and throughput for the BASELINE.md report points.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ServerStats:
+    requests: int = 0
+    batches: int = 0
+    padded_slots: int = 0
+    latencies_ms: List[float] = dataclasses.field(default_factory=list)
+
+    def percentile(self, p: float) -> float:
+        if not self.latencies_ms:
+            return 0.0
+        return float(np.percentile(np.asarray(self.latencies_ms), p))
+
+    @property
+    def p50_ms(self) -> float:
+        return self.percentile(50)
+
+    @property
+    def p99_ms(self) -> float:
+        return self.percentile(99)
+
+    def summary(self) -> Dict[str, float]:
+        return {
+            "requests": self.requests,
+            "batches": self.batches,
+            "padded_slots": self.padded_slots,
+            "p50_ms": round(self.p50_ms, 3),
+            "p99_ms": round(self.p99_ms, 3),
+        }
+
+
+class InferenceServer:
+    """Continuous batching over a CompiledNetwork.
+
+    Parameters
+    ----------
+    compiled : CompiledNetwork  (runtime/compiler.py)
+    buckets  : ascending batch sizes; requests are padded up to the
+               smallest bucket that fits the pending count.
+    max_delay_ms : admission window — how long the scheduler waits for
+               more requests before launching a partial batch.
+    """
+
+    def __init__(
+        self,
+        compiled,
+        buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
+        max_delay_ms: float = 2.0,
+    ):
+        self.compiled = compiled
+        self.buckets = tuple(sorted(buckets))
+        self.max_delay_s = max_delay_ms / 1e3
+        self.stats = ServerStats()
+        self._queue: "queue.Queue[Optional[Tuple[dict, Future, float]]]" = (
+            queue.Queue()
+        )
+        self._thread: Optional[threading.Thread] = None
+        self._running = False
+        self._lock = threading.Lock()
+
+        self._param_names = [n.name for n in compiled.model.parameters]
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def start(self) -> "InferenceServer":
+        with self._lock:
+            if self._running:
+                return self
+            self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        with self._lock:
+            if not self._running:
+                return
+            self._running = False
+        self._queue.put(None)  # wake the scheduler
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    # -- client API ----------------------------------------------------------
+
+    def submit(self, inputs: Dict[str, np.ndarray]) -> Future:
+        """Enqueue one request (per-example shapes, no batch dim needed
+        beyond the declared batch=1). Returns a Future resolving to
+        {result_name: ndarray}."""
+        if not self._running:
+            raise RuntimeError("server not started")
+        fut: Future = Future()
+        self._queue.put((inputs, fut, time.perf_counter()))
+        return fut
+
+    def infer(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return self.submit(inputs).result()
+
+    # -- scheduler -----------------------------------------------------------
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.buckets[-1]
+
+    def _collect(self) -> List[Tuple[dict, Future, float]]:
+        """Block for the first request, then coalesce within the admission
+        window up to the largest bucket."""
+        first = self._queue.get()
+        if first is None:
+            return []
+        batch = [first]
+        deadline = time.perf_counter() + self.max_delay_s
+        max_b = self.buckets[-1]
+        while len(batch) < max_b:
+            remaining = deadline - time.perf_counter()
+            if remaining <= 0:
+                break
+            try:
+                item = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if item is None:
+                self._queue.put(None)  # keep the shutdown signal
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self):
+        while True:
+            items = self._collect()
+            if not items:
+                if not self._running:
+                    return
+                continue
+            try:
+                self._run_batch(items)
+            except Exception as e:  # noqa: BLE001 — propagate to callers
+                for _, fut, _ in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+            if not self._running and self._queue.empty():
+                return
+
+    def _run_batch(self, items: List[Tuple[dict, Future, float]]):
+        n = len(items)
+        bucket = self._bucket_for(n)
+
+        stacked: Dict[str, np.ndarray] = {}
+        for name in self._param_names:
+            arrs = [np.asarray(inputs[name]) for inputs, _, _ in items]
+            block = np.stack(arrs, axis=0)
+            if bucket > n:  # pad with copies of the last example (masked out)
+                pad = np.repeat(block[-1:], bucket - n, axis=0)
+                block = np.concatenate([block, pad], axis=0)
+            stacked[name] = block
+
+        out = self.compiled.infer_batch(stacked)
+
+        for i, (_, fut, t_enq) in enumerate(items):
+            # restore the declared batch=1 leading dim per example, so a
+            # server result looks exactly like a direct infer() result
+            result = {k: np.asarray(v[i])[None] for k, v in out.items()}
+            if not fut.done():
+                fut.set_result(result)
+            self.stats.latencies_ms.append(
+                (time.perf_counter() - t_enq) * 1e3
+            )
+        self.stats.requests += n
+        self.stats.batches += 1
+        self.stats.padded_slots += bucket - n

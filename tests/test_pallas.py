@@ -1,0 +1,155 @@
+"""Pallas kernel library tests (interpret mode on CPU).
+
+Covers the fused MXU GEMM (kernels/gemm.py) against numpy references across
+dtypes/epilogues, conv-as-patches (kernels/conv.py) against
+lax.conv_general_dilated, and the PALLAS backend end-to-end with epilogue
+fusion (passes/fuse.py) against the XLA backend and the reference's MNIST
+golden ranking (reference: integrity_test.py:57)."""
+
+import numpy as np
+import pytest
+
+from pyopenvino_tpu.config import Backend, Config, QuantMode
+from pyopenvino_tpu.ir import read_ir_model
+from pyopenvino_tpu.runtime.compiler import compile_model
+from tests.conftest import model_paths
+
+
+@pytest.fixture(scope="module")
+def jnp():
+    import jax.numpy as jnp
+
+    return jnp
+
+
+class TestFusedGemm:
+    def _check(self, m, k, n, dtype_name, int8=False, bias_on=False, act=None):
+        import jax.numpy as jnp
+
+        from pyopenvino_tpu.kernels.gemm import fused_gemm
+
+        dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+        rng = np.random.default_rng(42)
+        a = jnp.asarray(rng.standard_normal((m, k)), dtype=dtype)
+        if int8:
+            b = jnp.asarray(rng.integers(-127, 128, (k, n)), dtype=jnp.int8)
+            scale = jnp.asarray(rng.uniform(0.01, 0.02, (n,)), jnp.float32)
+            ref = np.asarray(a, np.float32) @ (
+                np.asarray(b, np.float32) * np.asarray(scale)
+            )
+        else:
+            b = jnp.asarray(rng.standard_normal((k, n)), dtype=dtype)
+            scale = None
+            ref = np.asarray(a, np.float32) @ np.asarray(b, np.float32)
+        bias = None
+        if bias_on:
+            bias = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+            ref = ref + np.asarray(bias)
+        if act is not None:
+            kind, lo, hi = act
+            ref = np.maximum(ref, 0) if kind == "relu" else np.clip(ref, lo, hi)
+        out = np.asarray(
+            fused_gemm(a, b, scale=scale, bias=bias, act=act, interpret=True),
+            np.float32,
+        )
+        tol = 2e-2 if dtype_name == "bf16" else 1e-4
+        err = np.abs(out - ref).max() / (np.abs(ref).max() + 1e-6)
+        assert err < tol, (err, tol)
+
+    def test_f32_square(self):
+        self._check(256, 256, 256, "f32")
+
+    def test_f32_odd_shapes_padded(self):
+        self._check(49, 147, 65, "f32", bias_on=True)
+
+    def test_bf16(self):
+        self._check(128, 256, 128, "bf16", act=("relu", 0, 0))
+
+    def test_int8_dequant_bias_relu(self):
+        self._check(200, 300, 100, "f32", int8=True, bias_on=True,
+                    act=("relu", 0, 0))
+
+    def test_int8_clamp(self):
+        self._check(64, 512, 96, "f32", int8=True, act=("clamp", 0.0, 6.0))
+
+
+class TestConvFused:
+    @pytest.mark.parametrize(
+        "kh,kw,stride,dil,pads",
+        [
+            (1, 1, 1, 1, ((0, 0), (0, 0))),
+            (3, 3, 1, 1, ((1, 1), (1, 1))),
+            (3, 3, 2, 1, ((0, 1), (0, 1))),
+            (5, 5, 1, 2, ((4, 4), (4, 4))),
+        ],
+    )
+    def test_vs_lax_conv(self, kh, kw, stride, dil, pads):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from pyopenvino_tpu.kernels.conv import conv2d_fused
+
+        rng = np.random.default_rng(0)
+        n, h, w, ci, co = 2, 14, 14, 8, 16
+        x = jnp.asarray(rng.standard_normal((n, h, w, ci)), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((co, ci, kh, kw)), jnp.float32)
+        got = conv2d_fused(
+            x, wgt, strides=(stride, stride), dilations=(dil, dil),
+            pads=pads, interpret=True,
+        )
+        want = lax.conv_general_dilated(
+            x, jnp.transpose(wgt, (2, 3, 1, 0)),
+            window_strides=(stride, stride), padding=pads,
+            rhs_dilation=(dil, dil),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestPallasBackend:
+    def test_mnist_golden_and_fusion(self, mnist_image):
+        xml, binp = model_paths("mnist")
+        m = read_ir_model(xml, binp)
+        c = compile_model(m, Config(backend=Backend.PALLAS))
+        assert len(c._fusions) >= 5, "expected Conv+Add(+ReLU) fusions"
+        out = c({"conv2d_input": mnist_image})
+        k = next(iter(out))
+        # reference golden: top-3 = [2, 0, 1] (integrity_test.py:57)
+        assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+
+    def test_mnist_int8_golden(self, mnist_image):
+        xml, binp = model_paths("mnist")
+        m = read_ir_model(xml, binp)
+        c = compile_model(
+            m, Config(backend=Backend.PALLAS, quant=QuantMode.INT8_WEIGHT)
+        )
+        out = c({"conv2d_input": mnist_image})
+        k = next(iter(out))
+        assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+
+    def test_ssd_matches_xla(self, loaded):
+        m = loaded("ssd_mobilenet_v1_coco")
+        rng = np.random.default_rng(0)
+        blob = rng.uniform(0, 255, (1, 3, 300, 300)).astype(np.float32)
+        ox = compile_model(m, Config(backend=Backend.XLA))(
+            {"image_tensor": blob}
+        )
+        op = compile_model(m, Config(backend=Backend.PALLAS))(
+            {"image_tensor": blob}
+        )
+        k = next(iter(ox))
+        np.testing.assert_allclose(ox[k], op[k], rtol=1e-3, atol=1e-4)
+
+    def test_batched_vmap_over_pallas(self, mnist_image):
+        xml, binp = model_paths("mnist")
+        m = read_ir_model(xml, binp)
+        c = compile_model(m, Config(backend=Backend.PALLAS))
+        batch = np.repeat(mnist_image.reshape(1, 1, 28, 28), 3, axis=0)
+        out = c.infer_batch({"conv2d_input": batch})
+        k = next(iter(out))
+        assert out[k].shape[0] == 3
+        for b in range(3):
+            assert list(np.argsort(out[k][b])[::-1][:3]) == [2, 0, 1]

@@ -1,0 +1,105 @@
+"""Continuous-batching server tests (CPU, MNIST real weights).
+
+Validates coalescing into buckets, pad-and-mask correctness, concurrent
+clients, error propagation and clean shutdown — the serving capabilities the
+reference's blocking per-tick loop lacks (reference: draw-and-infer.py:54-76).
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from pyopenvino_tpu.config import Backend, Config
+from pyopenvino_tpu.ir import read_ir_model
+from pyopenvino_tpu.runtime.compiler import compile_model
+from pyopenvino_tpu.serving import InferenceServer
+from tests.conftest import model_paths
+
+
+@pytest.fixture(scope="module")
+def mnist_compiled():
+    xml, binp = model_paths("mnist")
+    return compile_model(read_ir_model(xml, binp), Config(backend=Backend.XLA))
+
+
+def test_single_request(mnist_compiled, mnist_image):
+    with InferenceServer(mnist_compiled, buckets=(1, 2, 4)) as srv:
+        out = srv.infer({"conv2d_input": mnist_image})
+        k = next(iter(out))
+        assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+
+
+def test_concurrent_coalescing(mnist_compiled, mnist_image):
+    srv = InferenceServer(
+        mnist_compiled, buckets=(1, 2, 4, 8), max_delay_ms=50.0
+    ).start()
+    try:
+        futs = [
+            srv.submit({"conv2d_input": mnist_image}) for _ in range(8)
+        ]
+        results = [f.result(timeout=60) for f in futs]
+        for out in results:
+            k = next(iter(out))
+            assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+        # 8 requests submitted faster than the 50ms window → fewer batches
+        assert srv.stats.batches < 8
+        assert srv.stats.requests == 8
+    finally:
+        srv.stop()
+
+
+def test_partial_batch_padding(mnist_compiled, mnist_image):
+    srv = InferenceServer(
+        mnist_compiled, buckets=(4,), max_delay_ms=1.0
+    ).start()
+    try:
+        out = srv.infer({"conv2d_input": mnist_image})
+        k = next(iter(out))
+        # single request ran in a bucket of 4 → 3 padded slots, result exact
+        assert srv.stats.padded_slots >= 3
+        assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+    finally:
+        srv.stop()
+
+
+def test_error_propagation(mnist_compiled):
+    with InferenceServer(mnist_compiled, buckets=(1,)) as srv:
+        fut = srv.submit({"wrong_name": np.zeros((1, 1, 28, 28), np.float32)})
+        with pytest.raises(Exception):
+            fut.result(timeout=60)
+
+
+def test_many_clients_threads(mnist_compiled, mnist_image):
+    srv = InferenceServer(
+        mnist_compiled, buckets=(1, 2, 4, 8, 16), max_delay_ms=5.0
+    ).start()
+    errors = []
+
+    def client():
+        try:
+            out = srv.infer({"conv2d_input": mnist_image})
+            k = next(iter(out))
+            assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    try:
+        threads = [threading.Thread(target=client) for _ in range(20)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        assert srv.stats.requests == 20
+        s = srv.stats.summary()
+        assert s["p50_ms"] > 0
+    finally:
+        srv.stop()
+
+
+def test_submit_after_stop(mnist_compiled, mnist_image):
+    srv = InferenceServer(mnist_compiled).start()
+    srv.stop()
+    with pytest.raises(RuntimeError):
+        srv.submit({"conv2d_input": mnist_image})
