@@ -1,0 +1,120 @@
+"""Image classification demo — covers the reference's MNIST and GoogLeNet
+drivers (reference: test_pyopenvino.py, test_googlenet_v1.py) as one headless
+CLI.
+
+Usage:
+    python apps/classify.py --model mnist [--image resources/mnist2.png]
+    python apps/classify.py --model googlenet-v1 --image guinea-pig.jpg \
+        --backend pallas --quant int8w --batch 32
+
+Preprocessing matches the reference exactly: raw 0-255 BGR pixels, NCHW,
+no mean subtraction (the 1/255 scale is folded into the first conv by the
+model conversion — reference: convert-model.sh:8-13, test_googlenet_v1.py:20-27).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from __graft_entry__ import _model_paths
+
+DEFAULT_IMAGES = {
+    "mnist": "/root/reference/resources/mnist2.png",
+    "mnist_bn": "/root/reference/resources/mnist2.png",
+    "googlenet-v1": "/root/reference/resources/guinea-pig.jpg",
+}
+
+
+def load_blob(model_name: str, image_path: str, shape):
+    import cv2
+
+    img = cv2.imread(image_path)
+    if img is None:
+        raise FileNotFoundError(image_path)
+    n, c, h, w = shape
+    img = cv2.resize(img, (w, h))
+    if c == 1:
+        img = cv2.split(img)[0]
+        return img.reshape(1, 1, h, w).astype(np.float32)
+    # BGR, NCHW, raw 0-255 (reference: test_googlenet_v1.py:20-27)
+    return img.transpose(2, 0, 1).reshape(1, c, h, w).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--device", default="auto",
+                    choices=["auto", "cpu", "tpu"],
+                    help="cpu pins the process to the CPU backend")
+    ap.add_argument("--model", default="mnist",
+                    choices=["mnist", "mnist_bn", "googlenet-v1"])
+    ap.add_argument("--image", default=None)
+    ap.add_argument("--backend", default="xla",
+                    choices=["interpreter", "xla", "pallas"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8w"])
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--batch", type=int, default=1,
+                    help="repeat the image to time batched throughput")
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-layer timing (interpreter backend)")
+    args = ap.parse_args()
+
+    from pyopenvino_tpu.utils import select_device
+
+    select_device(args.device)
+
+    from pyopenvino_tpu import IECore
+    from pyopenvino_tpu.config import (
+        KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
+    )
+
+    cfg = Config(
+        backend=KERNEL_TYPE_TO_BACKEND[args.backend],
+        quant=QuantMode.INT8_WEIGHT if args.quant == "int8w" else QuantMode.NONE,
+        compute_dtype=args.dtype,
+    )
+
+    ie = IECore()
+    xml, binp = _model_paths(args.model)
+    net = ie.read_network(xml, binp)
+    exe = ie.load_network(net, "TPU", config=cfg)
+
+    in_name = net.inputs[0]["name"]
+    shape = net.inputs[0]["shape"]
+    image = args.image or DEFAULT_IMAGES[args.model]
+    blob = load_blob(args.model, image, shape)
+
+    if args.batch > 1:
+        batch = np.repeat(blob[None], args.batch, axis=0)
+        out = exe.infer_batch({in_name: batch})  # warm-up/compile
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = exe.infer_batch({in_name: batch})
+        k = next(iter(out))
+        _ = np.asarray(out[k][0, 0])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"batch={args.batch}: {dt*1e3:.2f} ms/batch "
+              f"= {args.batch/dt:.1f} img/s")
+        scores = out[k][0].reshape(-1)
+    else:
+        out = exe.infer({in_name: blob}, verbose=args.verbose)  # warm-up
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = exe.infer({in_name: blob})
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{dt*1e3:.2f} ms/inf = {1/dt:.1f} img/s "
+              f"({args.backend}/{args.quant})")
+        scores = next(iter(out.values())).reshape(-1)
+
+    top5 = np.argsort(scores)[::-1][:5]
+    print("top-5:", [(int(i), float(scores[i])) for i in top5])
+
+
+if __name__ == "__main__":
+    main()

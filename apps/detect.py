@@ -1,0 +1,99 @@
+"""SSD-MobileNet-v1 object detection demo — the headless equivalent of the
+reference's detection driver (reference: test_ssd_mobilenet_v1_coco.py).
+
+Decodes the (1, 1, 100, 7) DetectionOutput records
+[image_id, class_id, confidence, xmin, ymin, xmax, ymax] with the -1
+image_id terminator (reference: DetectionOutput.py:231-258), prints every
+detection above the confidence threshold and optionally writes an annotated
+copy of the image (no GUI — the reference calls cv2.imshow,
+test_ssd_mobilenet_v1_coco.py:52-55; headless per SURVEY.md §4 caveat).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from __graft_entry__ import _model_paths
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--device", default="auto",
+                    choices=["auto", "cpu", "tpu"],
+                    help="cpu pins the process to the CPU backend")
+    ap.add_argument("--image", default="/root/reference/resources/guinea-pig.jpg")
+    ap.add_argument("--backend", default="xla",
+                    choices=["interpreter", "xla", "pallas"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8w"])
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--output", default=None,
+                    help="write annotated image here")
+    args = ap.parse_args()
+
+    from pyopenvino_tpu.utils import select_device
+
+    select_device(args.device)
+
+    import cv2
+
+    from pyopenvino_tpu import IECore
+    from pyopenvino_tpu.config import (
+        KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
+    )
+
+    cfg = Config(
+        backend=KERNEL_TYPE_TO_BACKEND[args.backend],
+        quant=QuantMode.INT8_WEIGHT if args.quant == "int8w" else QuantMode.NONE,
+    )
+    ie = IECore()
+    xml, binp = _model_paths("ssd_mobilenet_v1_coco")
+    net = ie.read_network(xml, binp)
+    exe = ie.load_network(net, "TPU", config=cfg)
+
+    in_name = net.inputs[0]["name"]
+    _, c, h, w = net.inputs[0]["shape"]
+
+    img = cv2.imread(args.image)
+    if img is None:
+        raise FileNotFoundError(args.image)
+    blob = (
+        cv2.resize(img, (w, h)).transpose(2, 0, 1)
+        .reshape(1, c, h, w).astype(np.float32)
+    )
+
+    out = exe.infer({in_name: blob})  # warm-up/compile
+    t0 = time.perf_counter()
+    out = exe.infer({in_name: blob})
+    dt = time.perf_counter() - t0
+    print(f"{dt*1e3:.2f} ms/inf ({args.backend}/{args.quant})")
+
+    records = next(iter(out.values())).reshape(-1, 7)
+    ih, iw = img.shape[:2]
+    count = 0
+    for rec in records:
+        image_id, class_id, conf, x0, y0, x1, y1 = rec
+        if image_id == -1:  # terminator (reference: DetectionOutput.py:246)
+            break
+        if conf < args.threshold:
+            continue
+        count += 1
+        box = (int(x0 * iw), int(y0 * ih), int(x1 * iw), int(y1 * ih))
+        print(f"  class={int(class_id)} conf={conf:.4f} box={box}")
+        if args.output:
+            cv2.rectangle(img, box[:2], box[2:], (0, 255, 0), 2)
+            cv2.putText(img, f"{int(class_id)}:{conf:.2f}",
+                        (box[0], max(12, box[1] - 4)),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.5, (0, 255, 0), 1)
+    print(f"{count} detections >= {args.threshold}")
+    if args.output:
+        cv2.imwrite(args.output, img)
+        print("wrote", args.output)
+
+
+if __name__ == "__main__":
+    main()

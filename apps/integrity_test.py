@@ -1,0 +1,140 @@
+"""Regression matrix — the equivalent of the reference's integrity_test.py.
+
+Runs every model × every backend {interpreter, xla, pallas} × quant
+{fp32, int8w} and asserts:
+  * MNIST (the only model with shipped real weights,
+    models/.MISSING_LARGE_BLOBS): golden top-3 == [2, 0, 1]
+    (reference: integrity_test.py:57);
+  * all models: output shapes match the IR-declared Result shapes, values
+    finite, and every backend agrees with the interpreter (rtol 1e-3 fp32 —
+    the reference uses semantic assertions because its kernels differ too,
+    integrity_test.py:133-152);
+  * SSD: record layout invariants (terminator, fixed (1,1,100,7) shape).
+
+Headless by design (the reference's suite needs a display — SURVEY.md §4).
+Exit code 0 = all pass.  Prints a per-cell timing table like the reference's
+captured transcript (integrity_test_expected_result.txt).
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from __graft_entry__ import _model_paths
+
+MODELS = {
+    "mnist": ("conv2d_input", (1, 1, 28, 28)),
+    "mnist_bn": ("conv2d_input", (1, 1, 28, 28)),
+    "googlenet-v1": ("data", (1, 3, 224, 224)),
+    "ssd_mobilenet_v1_coco": ("image_tensor", (1, 3, 300, 300)),
+}
+BACKENDS = ["interpreter", "xla", "pallas"]
+
+
+def input_blob(name, shape):
+    if name.startswith("conv2d"):
+        import cv2
+
+        img = cv2.imread("/root/reference/resources/mnist2.png")
+        return cv2.split(img)[0].reshape(shape).astype(np.float32)
+    rng = np.random.default_rng(0)
+    return rng.uniform(0, 255, shape).astype(np.float32)
+
+
+def run_cell(model_name, backend, quant):
+    from pyopenvino_tpu import IECore
+    from pyopenvino_tpu.config import (
+        KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
+    )
+
+    cfg = Config(
+        backend=KERNEL_TYPE_TO_BACKEND[backend],
+        quant=QuantMode.INT8_WEIGHT if quant == "int8w" else QuantMode.NONE,
+    )
+    ie = IECore()
+    xml, binp = _model_paths(model_name)
+    net = ie.read_network(xml, binp)
+    exe = ie.load_network(net, "TPU", config=cfg)
+    in_name, shape = MODELS[model_name]
+    blob = input_blob(in_name, shape)
+    out = exe.infer({in_name: blob})  # compile
+    t0 = time.perf_counter()
+    out = exe.infer({in_name: blob})
+    dt = time.perf_counter() - t0
+    declared = {o["name"]: tuple(o["shape"]) for o in net.outputs}
+    return out, dt, declared
+
+
+def check(model_name, out, declared, reference_out):
+    failures = []
+    for name, arr in out.items():
+        if tuple(arr.shape) != declared[name]:
+            failures.append(f"shape {name}: {arr.shape} != {declared[name]}")
+        if not np.all(np.isfinite(arr)):
+            failures.append(f"non-finite values in {name}")
+    if model_name in ("mnist",):  # real weights → golden ranking
+        scores = next(iter(out.values())).reshape(-1)
+        top3 = list(np.argsort(scores)[::-1][:3])
+        if top3 != [2, 0, 1]:
+            failures.append(f"golden top-3 {top3} != [2, 0, 1]")
+    if model_name == "ssd_mobilenet_v1_coco":
+        rec = next(iter(out.values())).reshape(-1, 7)
+        ids = rec[:, 0]
+        if not ((ids == -1).any() or (ids >= 0).all()):
+            failures.append("bad record ids")
+    if reference_out is not None:
+        for name in out:
+            if not np.allclose(
+                out[name], reference_out[name], rtol=1e-3, atol=1e-4
+            ):
+                d = float(np.abs(out[name] - reference_out[name]).max())
+                failures.append(f"disagrees with interpreter on {name} "
+                                f"(maxdiff {d:.4g})")
+    return failures
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "auto", "tpu"],
+                    help="cpu (default) keeps the matrix deterministic and "
+                    "off the shared TPU tunnel")
+    args = ap.parse_args()
+
+    from pyopenvino_tpu.utils import select_device
+
+    select_device(args.device)
+
+    total_failures = []
+    print(f"{'model':<24} {'backend':<12} {'quant':<6} "
+          f"{'sec/inf':>10}  status")
+    for model_name in MODELS:
+        fp32_ref = None
+        for backend in BACKENDS:
+            for quant in ("fp32", "int8w"):
+                if backend == "interpreter" and quant == "int8w":
+                    continue  # interpreter is the fp32 numpy twin
+                out, dt, declared = run_cell(model_name, backend, quant)
+                ref = fp32_ref if quant == "fp32" else None
+                fails = check(model_name, out, declared, ref)
+                if backend == "interpreter":
+                    fp32_ref = out
+                status = "OK" if not fails else "FAIL: " + "; ".join(fails)
+                print(f"{model_name:<24} {backend:<12} {quant:<6} "
+                      f"{dt:>10.4f}  {status}")
+                total_failures.extend(
+                    (model_name, backend, quant, f) for f in fails
+                )
+    if total_failures:
+        print(f"\n{len(total_failures)} failure(s)")
+        sys.exit(1)
+    print("\nall cells passed")
+
+
+if __name__ == "__main__":
+    main()

@@ -80,27 +80,7 @@ def _pick_tiles(m: int, k: int, n: int, sublane: int):
     return tm, tk, tn
 
 
-@functools.partial(
-    jax.jit, static_argnames=("act", "out_dtype", "interpret", "tiles")
-)
-def fused_gemm(
-    a,
-    b,
-    scale=None,
-    bias=None,
-    act: Optional[tuple] = None,
-    out_dtype=None,
-    interpret: bool = False,
-    tiles: Optional[tuple] = None,
-):
-    """act((a @ dequant(b)) + bias).
-
-    a:     (M, K) float32/bfloat16
-    b:     (K, N) same dtype as `a`, or int8 (weight-only INT8)
-    scale: optional (N,) per-output-column dequant scales
-    bias:  optional (N,) bias
-    act:   None | ("relu", 0, 0) | ("clamp", lo, hi)
-    """
+def _fused_gemm_impl(a, b, scale, bias, *, act, out_dtype, interpret, tiles):
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
@@ -175,3 +155,87 @@ def fused_gemm(
     if (mp, np_) != (m, n):
         out = out[:m, :n]
     return out
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(act, out_dtype_name, interpret, tiles, has_scale, has_bias):
+    """custom_vmap-wrapped GEMM for one static configuration.
+
+    The batching rule is the whole point: under jax.vmap (the compiler's
+    batch-N path, runtime/compiler.py batched_fn), a naive lift would run
+    one tiny per-example grid per batch element.  Since the weight operands
+    (b/scale/bias) are never batched, a batch of GEMMs against one weight
+    IS one GEMM — the batch rides the M dimension, restoring full MXU tile
+    occupancy at any batch size."""
+    import jax.numpy as jnp
+
+    out_dtype = jnp.dtype(out_dtype_name) if out_dtype_name else None
+
+    @jax.custom_batching.custom_vmap
+    def core(*ops):
+        a, b = ops[0], ops[1]
+        pos = 2
+        scale = ops[pos] if has_scale else None
+        pos += 1 if has_scale else 0
+        bias = ops[pos] if has_bias else None
+        return _fused_gemm_impl(
+            a, b, scale, bias,
+            act=act, out_dtype=out_dtype, interpret=interpret, tiles=tiles,
+        )
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, *ops):
+        if any(in_batched[1:]):
+            raise NotImplementedError(
+                "fused_gemm vmap over weight operands is unsupported — "
+                "weights are per-network constants"
+            )
+        a = ops[0]
+        if not in_batched[0]:
+            return core(*ops), False
+        lead = a.shape[:-1]  # (B..., M)
+        flat = a.reshape(-1, a.shape[-1])
+        out = core(flat, *ops[1:])
+        return out.reshape(*lead, out.shape[-1]), True
+
+    return core
+
+
+@functools.partial(
+    jax.jit, static_argnames=("act", "out_dtype", "interpret", "tiles")
+)
+def fused_gemm(
+    a,
+    b,
+    scale=None,
+    bias=None,
+    act: Optional[tuple] = None,
+    out_dtype=None,
+    interpret: bool = False,
+    tiles: Optional[tuple] = None,
+):
+    """act((a @ dequant(b)) + bias).
+
+    a:     (M, K) float32/bfloat16
+    b:     (K, N) same dtype as `a`, or int8 (weight-only INT8)
+    scale: optional (N,) per-output-column dequant scales
+    bias:  optional (N,) bias
+    act:   None | ("relu", 0, 0) | ("clamp", lo, hi)
+
+    vmap-safe: batched activations collapse into the M dimension (one big
+    GEMM), see _make_core.
+    """
+    core = _make_core(
+        act,
+        jnp.dtype(out_dtype).name if out_dtype is not None else None,
+        interpret,
+        tiles,
+        scale is not None,
+        bias is not None,
+    )
+    operands = [a, b]
+    if scale is not None:
+        operands.append(scale)
+    if bias is not None:
+        operands.append(bias)
+    return core(*operands)

@@ -110,7 +110,10 @@ class Convolution(Op):
         # the reference pays per-layer, Convolution.py:57-87), where XLA's
         # implicit-GEMM conv is strictly better — those stay on
         # conv_general_dilated with the epilogue fused by XLA.
-        if ctx.use_pallas and kh == kw == 1:
+        # Additionally require MXU-friendly channel counts: with N padded to
+        # 128 lanes, a co=16 inception branch would waste 7/8 of every tile —
+        # XLA's conv handles the narrow layers better.
+        if ctx.use_pallas and kh == kw == 1 and co >= 128 and ci >= 64:
             from pyopenvino_tpu.kernels.conv import conv2d_fused
 
             if tv_w.qscale is not None:

@@ -340,6 +340,44 @@ class CompiledNetwork:
         out = self.batched_fn(b)(self.weights, inputs)
         return {k: np.asarray(v) for k, v in out.items()}
 
+    # -- weight checkpointing -------------------------------------------------
+    # The reference's model state is read-only .bin weights re-decoded every
+    # run (Const.py:11-14); here the processed (cast / INT8-quantized) weight
+    # pytree can be saved once and reloaded, skipping decode + quantization.
+
+    def save_weights(self, path: str):
+        np.savez_compressed(
+            path, **{k: np.asarray(v) for k, v in self.weights.items()}
+        )
+
+    def load_weights(self, path: str):
+        import jax.numpy as jnp
+
+        with np.load(path) as data:
+            loaded = {k: data[k] for k in data.files}
+        missing = set(self.weights) - set(loaded)
+        if missing:
+            raise KeyError(f"checkpoint missing weights: {sorted(missing)[:5]}")
+        for k, v in self.weights.items():
+            if loaded[k].shape != v.shape or loaded[k].dtype != v.dtype:
+                raise ValueError(
+                    f"weight {k!r}: checkpoint {loaded[k].dtype}{loaded[k].shape} "
+                    f"!= expected {v.dtype}{v.shape}"
+                )
+        self.weights = {k: jnp.asarray(v) for k, v in loaded.items()}
+
+    # -- profiling ------------------------------------------------------------
+
+    def cost_analysis(self) -> Dict[str, float]:
+        """XLA's cost model for the whole compiled program (flops, bytes
+        accessed...) — the compile-time analogue of the reference's per-node
+        wall-clock printout (inference_engine.py:273-283)."""
+        lowered = self._jitted.lower(self.weights, {
+            n.name: np.zeros(n.outputs[n.out_port].shape, np.float32)
+            for n in self.model.parameters
+        })
+        return dict(lowered.compile().cost_analysis())
+
 
 def compile_model(
     model: Model, config: Optional[Config] = None, mesh=None
