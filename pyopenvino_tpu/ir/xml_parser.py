@@ -67,6 +67,14 @@ def _decode_const(attrs: Dict[str, str], blob: Optional[bytes]) -> Optional[np.n
             f".bin has only {len(raw)} past that offset"
         )
     arr = np.frombuffer(raw, dtype=dtype)
+    if dtype == np.float16:
+        # fp16 weights decode once to fp32 through the native threaded
+        # decoder (bit-exact, tests/test_native.py covers all 65536
+        # patterns); the reference struct.unpacks per inference
+        # (inference_engine.py:188-199).
+        from pyopenvino_tpu import native
+
+        arr = native.fp16_to_fp32(arr)
     return arr.reshape(shape) if shape else arr.reshape(())
 
 

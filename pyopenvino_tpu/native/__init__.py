@@ -1,0 +1,167 @@
+"""ctypes bindings for the native host-runtime library (libtpuov_native).
+
+Builds on first use (g++ via the Makefile — pybind11 is not available in
+this environment, so the ABI is plain C over ctypes).  Every entry point has
+a pure-numpy fallback, so the framework works without a toolchain; the
+native path is the production data-loader tier (multi-threaded image →
+NCHW blob conversion, fp16 weight decode, batch stacking) feeding the
+serving layer.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libtpuov_native.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s", "libtpuov_native.so"],
+            cwd=_DIR, check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:  # noqa: BLE001 — any failure → numpy fallback
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.ov_native_abi_version.restype = ctypes.c_int
+            if lib.ov_native_abi_version() != 1:
+                return None
+            lib.ov_fp16_to_fp32.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
+            ]
+            lib.ov_preprocess_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.ov_stack_f32.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int,
+            ]
+            _lib = lib
+        except OSError:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _nthreads() -> int:
+    return max(1, min(16, os.cpu_count() or 1))
+
+
+def fp16_to_fp32(src: np.ndarray) -> np.ndarray:
+    """Decode an fp16 array to fp32 (native, threaded; numpy fallback)."""
+    src = np.ascontiguousarray(src, dtype=np.float16)
+    lib = _load()
+    if lib is None:
+        return src.astype(np.float32)
+    out = np.empty(src.shape, np.float32)
+    lib.ov_fp16_to_fp32(
+        src.ctypes.data, out.ctypes.data, src.size, _nthreads()
+    )
+    return out
+
+
+def preprocess_batch(
+    imgs: np.ndarray,
+    out_hw,
+    scale: Optional[np.ndarray] = None,
+    bias: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """(B, H, W, C) uint8 → (B, C, oh, ow) float32 bilinear-resized blobs,
+    out = px*scale + bias per channel (the serving input pipeline)."""
+    imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
+    b, ih, iw, c = imgs.shape
+    oh, ow = out_hw
+    lib = _load()
+    if lib is None:
+        return _preprocess_numpy(imgs, (oh, ow), scale, bias)
+    out = np.empty((b, c, oh, ow), np.float32)
+    sc = (
+        np.ascontiguousarray(scale, np.float32)
+        if scale is not None else None
+    )
+    bi = np.ascontiguousarray(bias, np.float32) if bias is not None else None
+    lib.ov_preprocess_batch(
+        imgs.ctypes.data, b, ih, iw, c, out.ctypes.data, oh, ow,
+        sc.ctypes.data if sc is not None else None,
+        bi.ctypes.data if bi is not None else None,
+        _nthreads(),
+    )
+    return out
+
+
+def _preprocess_numpy(imgs, out_hw, scale, bias):
+    """Fallback: vectorized bilinear with align-corners sampling (matches
+    the native kernel exactly in exact-arithmetic terms)."""
+    b, ih, iw, c = imgs.shape
+    oh, ow = out_hw
+    # float32 coordinate math to match the native kernel's neighbor picks
+    fy = (
+        np.arange(oh, dtype=np.float32)
+        * np.float32((ih - 1) / (oh - 1))
+        if oh > 1 else np.zeros(oh, np.float32)
+    )
+    fx = (
+        np.arange(ow, dtype=np.float32)
+        * np.float32((iw - 1) / (ow - 1))
+        if ow > 1 else np.zeros(ow, np.float32)
+    )
+    y0 = fy.astype(np.int64)
+    x0 = fx.astype(np.int64)
+    y1 = np.minimum(y0 + 1, ih - 1)
+    x1 = np.minimum(x0 + 1, iw - 1)
+    wy = (fy - y0).astype(np.float32)[:, None, None]
+    wx = (fx - x0).astype(np.float32)[None, :, None]
+    f = imgs.astype(np.float32)
+    top = (1 - wx) * f[:, y0][:, :, x0] + wx * f[:, y0][:, :, x1]
+    bot = (1 - wx) * f[:, y1][:, :, x0] + wx * f[:, y1][:, :, x1]
+    out = (1 - wy) * top + wy * bot  # (B, oh, ow, C)
+    if scale is not None:
+        out = out * np.asarray(scale, np.float32)
+    if bias is not None:
+        out = out + np.asarray(bias, np.float32)
+    return np.ascontiguousarray(out.transpose(0, 3, 1, 2))
+
+
+def stack_f32(blobs) -> np.ndarray:
+    """Stack per-example float32 blobs into one contiguous batch (the
+    server's coalescing step) via parallel native memcpy."""
+    blobs = [np.ascontiguousarray(x, np.float32) for x in blobs]
+    lib = _load()
+    if lib is None:
+        return np.stack(blobs, axis=0)
+    b = len(blobs)
+    elems = blobs[0].size
+    out = np.empty((b,) + blobs[0].shape, np.float32)
+    ptrs = (ctypes.c_void_p * b)(
+        *[x.ctypes.data for x in blobs]
+    )
+    lib.ov_stack_f32(ptrs, b, elems, out.ctypes.data, _nthreads())
+    return out
