@@ -1,0 +1,199 @@
+"""Programmatic graph builder — construct IR Models in Python.
+
+The reference can only consume Model-Optimizer output (reference:
+convert-model.sh); this builder creates the same typed Model the parser
+produces, so built graphs serialize via ir/writer.py, compile via
+runtime/compiler.py and run on every backend.  Declared port shapes are
+filled by the op shape inference itself, guaranteeing builder output passes
+the same shape cross-checks as parsed models (passes/shape_infer.py).
+
+    b = GraphBuilder("mynet")
+    x = b.parameter("input", (1, 1, 28, 28))
+    w = b.const(conv_weights)                      # (Co, Ci, Kh, Kw)
+    y = b.conv2d(x, w, strides=(1, 1), pads=((0,0),(0,0)))
+    y = b.relu(b.add(y, b.const(bias.reshape(1, -1, 1, 1))))
+    ...
+    b.result(y)
+    model = b.build()
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.ir.model import Edge, Model, Node, TensorInfo
+
+
+class Port:
+    """A producer handle: (node id, port id) plus inferred metadata."""
+
+    __slots__ = ("nid", "port", "shape", "dtype")
+
+    def __init__(self, nid: int, port: int, shape, dtype):
+        self.nid = nid
+        self.port = port
+        self.shape = tuple(int(d) for d in shape)
+        self.dtype = np.dtype(dtype)
+
+
+class GraphBuilder:
+    def __init__(self, name: str = "net"):
+        self.name = name
+        self._nodes: Dict[int, Node] = {}
+        self._edges = []
+        self._next_id = 0
+        self._next_name: Dict[str, int] = {}
+
+    # -- plumbing ----------------------------------------------------------
+
+    def _fresh(self, op_type: str, name: Optional[str]) -> Tuple[int, str]:
+        nid = self._next_id
+        self._next_id += 1
+        if name is None:
+            k = self._next_name.get(op_type, 0)
+            self._next_name[op_type] = k + 1
+            name = f"{op_type.lower()}_{k}"
+        return nid, name
+
+    def _add_node(
+        self, op_type: str, inputs: Sequence[Port], attrs: Dict[str, str],
+        name: Optional[str] = None, n_outputs: int = 1,
+    ) -> Port:
+        nid, name = self._fresh(op_type, name)
+        in_infos: Dict[int, TensorInfo] = {}
+        for i, p in enumerate(inputs):
+            in_infos[i] = TensorInfo(shape=p.shape, dtype=p.dtype)
+            self._edges.append(Edge(p.nid, p.port, nid, i))
+        out_port = len(inputs)
+        out_dtype0 = inputs[0].dtype if inputs else np.dtype(np.float32)
+        node = Node(
+            id=nid, name=name, op_type=op_type,
+            attrs={k: str(v) for k, v in attrs.items()},
+            inputs=in_infos,
+            # placeholder so op shape inference can read node.out_port
+            outputs={out_port: TensorInfo(shape=(), dtype=out_dtype0)},
+        )
+        self._nodes[nid] = node
+
+        # run the op's own shape inference to fill the declared output port
+        from pyopenvino_tpu.ops import get_op
+
+        in_shapes = {i: p.shape for i, p in enumerate(inputs)}
+        in_values = {
+            i: (self._nodes[p.nid].const
+                if self._nodes[p.nid].op_type == "Const" else None)
+            for i, p in enumerate(inputs)
+        }
+        res = get_op(op_type).infer_shapes(node, in_shapes, in_values)
+        out_dtype = inputs[0].dtype if inputs else np.float32
+        ports = {}
+        for k, shape in res.shapes.items():
+            ports[out_port] = TensorInfo(
+                shape=tuple(int(d) for d in shape), dtype=out_dtype
+            )
+            break  # single-output ops
+        node.outputs = ports
+        return Port(nid, out_port, ports[out_port].shape, out_dtype)
+
+    # -- graph sources/sinks ----------------------------------------------
+
+    def parameter(self, name: str, shape, dtype=np.float32) -> Port:
+        nid, _ = self._fresh("Parameter", name)
+        info = TensorInfo(shape=tuple(shape), dtype=np.dtype(dtype))
+        self._nodes[nid] = Node(
+            id=nid, name=name, op_type="Parameter",
+            attrs={"element_type": "f32",
+                   "shape": ",".join(str(int(d)) for d in shape)},
+            inputs={}, outputs={0: info},
+        )
+        return Port(nid, 0, shape, dtype)
+
+    def const(self, value: np.ndarray, name: Optional[str] = None) -> Port:
+        value = np.asarray(value)
+        nid, name = self._fresh("Const", name)
+        info = TensorInfo(shape=value.shape, dtype=value.dtype)
+        self._nodes[nid] = Node(
+            id=nid, name=name, op_type="Const", attrs={},
+            inputs={}, outputs={0: info}, const=value,
+        )
+        return Port(nid, 0, value.shape, value.dtype)
+
+    def result(self, src: Port, name: Optional[str] = None) -> None:
+        nid, name = self._fresh("Result", name)
+        self._nodes[nid] = Node(
+            id=nid, name=name, op_type="Result", attrs={},
+            inputs={0: TensorInfo(shape=src.shape, dtype=src.dtype)},
+            outputs={},
+        )
+        self._edges.append(Edge(src.nid, src.port, nid, 0))
+
+    # -- ops ----------------------------------------------------------------
+
+    def conv2d(self, x, w, strides=(1, 1), pads=((0, 0), (0, 0)),
+               dilations=(1, 1), name=None) -> Port:
+        (pt, pb), (pl, pr) = pads
+        return self._add_node("Convolution", [x, w], {
+            "strides": f"{strides[0]},{strides[1]}",
+            "dilations": f"{dilations[0]},{dilations[1]}",
+            "pads_begin": f"{pt},{pl}", "pads_end": f"{pb},{pr}",
+            "auto_pad": "explicit",
+        }, name)
+
+    def max_pool(self, x, kernel=(2, 2), strides=(2, 2),
+                 pads=((0, 0), (0, 0)), rounding="floor", name=None) -> Port:
+        (pt, pb), (pl, pr) = pads
+        return self._add_node("MaxPool", [x], {
+            "kernel": f"{kernel[0]},{kernel[1]}",
+            "strides": f"{strides[0]},{strides[1]}",
+            "pads_begin": f"{pt},{pl}", "pads_end": f"{pb},{pr}",
+            "rounding_type": rounding, "auto_pad": "explicit",
+        }, name)
+
+    def avg_pool(self, x, kernel=(2, 2), strides=(2, 2),
+                 pads=((0, 0), (0, 0)), name=None) -> Port:
+        (pt, pb), (pl, pr) = pads
+        return self._add_node("AvgPool", [x], {
+            "kernel": f"{kernel[0]},{kernel[1]}",
+            "strides": f"{strides[0]},{strides[1]}",
+            "pads_begin": f"{pt},{pl}", "pads_end": f"{pb},{pr}",
+            "rounding_type": "floor", "exclude-pad": "true",
+            "auto_pad": "explicit",
+        }, name)
+
+    def add(self, a, b, name=None) -> Port:
+        return self._add_node("Add", [a, b], {"auto_broadcast": "numpy"}, name)
+
+    def multiply(self, a, b, name=None) -> Port:
+        return self._add_node("Multiply", [a, b],
+                              {"auto_broadcast": "numpy"}, name)
+
+    def relu(self, x, name=None) -> Port:
+        return self._add_node("ReLU", [x], {}, name)
+
+    def clamp(self, x, lo, hi, name=None) -> Port:
+        return self._add_node("Clamp", [x], {"min": lo, "max": hi}, name)
+
+    def sigmoid(self, x, name=None) -> Port:
+        return self._add_node("Sigmoid", [x], {}, name)
+
+    def softmax(self, x, axis=1, name=None) -> Port:
+        return self._add_node("SoftMax", [x], {"axis": axis}, name)
+
+    def matmul(self, a, b, transpose_a=False, transpose_b=False,
+               name=None) -> Port:
+        return self._add_node("MatMul", [a, b], {
+            "transpose_a": str(transpose_a).lower(),
+            "transpose_b": str(transpose_b).lower(),
+        }, name)
+
+    def reshape(self, x, target, name=None) -> Port:
+        t = self.const(np.asarray(target, np.int64))
+        return self._add_node("Reshape", [x, t],
+                              {"special_zero": "true"}, name)
+
+    # -- finalize ------------------------------------------------------------
+
+    def build(self) -> Model:
+        return Model(self.name, self._nodes, self._edges)
