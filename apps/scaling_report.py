@@ -1,0 +1,130 @@
+"""Scaling report — measures data-parallel scaling efficiency over a device
+mesh and emits the BASELINE.md report points (1 chip / 1 host / N hosts).
+
+The reference is strictly single-device (SURVEY.md §2.4), so there is no
+reference analogue; targets come from BASELINE.json (≥90% of linear scaling
+to ≥2 hosts, batch-sharded DP).
+
+On real multi-chip hardware this measures true ICI-sharded throughput; with
+one chip (or on CPU) it uses N virtual host devices — the numbers then
+validate the *sharding machinery and its overhead*, not chip performance
+(virtual devices share the same silicon, so "efficiency" reflects
+partitioning overhead only).  Either way the identical code path —
+jax.sharding Mesh + NamedSharding(P('data')) via parallel/mesh.py — is what
+runs on a pod slice after jax.distributed.initialize().
+
+Usage:
+    python apps/scaling_report.py --devices 8 --model mnist --batch-per 16
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from __graft_entry__ import _model_paths
+
+
+def measure(compiled, in_name, shape, batch, iters=10):
+    import jax
+
+    rng = np.random.default_rng(0)
+    blob = rng.uniform(0, 255, (batch,) + shape).astype(np.float32)
+    fn = compiled.batched_fn(batch)
+    dev = jax.device_put({in_name: blob})
+    out = fn(compiled.weights, dev)
+    k = next(iter(out))
+    idx = (0,) * np.asarray(out[k]).ndim
+    _ = np.asarray(out[k][idx])  # warm-up barrier (host fetch)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(compiled.weights, dev)
+    _ = np.asarray(out[k][idx])
+    dt = (time.perf_counter() - t0) / iters
+    return batch / dt
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", type=int, default=8,
+                    help="mesh sizes 1..N (powers of two) are measured")
+    ap.add_argument("--model", default="mnist",
+                    choices=["mnist", "mnist_bn", "googlenet-v1",
+                             "ssd_mobilenet_v1_coco"])
+    ap.add_argument("--batch-per", type=int, default=16,
+                    help="per-device batch (weak scaling)")
+    ap.add_argument("--quant", default="none", choices=["none", "int8w"])
+    ap.add_argument("--tensor-parallel", action="store_true",
+                    help="add a model=2 TP axis where divisible")
+    ap.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"],
+                    help="auto: virtual CPU mesh when measuring >1 device "
+                    "(this rig has one chip); tpu: use real devices as-is "
+                    "(pod slices)")
+    args = ap.parse_args()
+
+    # Decide platform BEFORE the first jax backend use — device counts are
+    # frozen at initialization.
+    if args.device == "cpu" or (args.device == "auto" and args.devices > 1):
+        from pyopenvino_tpu.utils import force_cpu
+
+        force_cpu(args.devices)
+
+    import jax
+
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.parallel.mesh import (
+        MeshConfig, build_mesh, shard_compiled,
+    )
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    n_dev = len(jax.devices())
+    platform = jax.devices()[0].platform
+    print(f"platform={platform} devices={n_dev}")
+
+    xml, binp = _model_paths(args.model)
+    model = read_ir_model(xml, binp)
+    param = model.parameters[0]
+    in_name = param.name
+    shape = param.outputs[param.out_port].shape
+
+    cfg = Config(
+        quant=QuantMode.INT8_WEIGHT if args.quant == "int8w" else QuantMode.NONE
+    )
+
+    sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= min(args.devices, n_dev)]
+    rows = []
+    base = None
+    for d in sizes:
+        compiled = compile_model(model, cfg)
+        if d > 1:
+            model_ax = 2 if args.tensor_parallel and d % 2 == 0 else 1
+            mesh = build_mesh(MeshConfig(data=d // model_ax, model=model_ax))
+            shard_compiled(compiled, mesh,
+                           tensor_parallel=args.tensor_parallel)
+        img_s = measure(compiled, in_name, shape, args.batch_per * d)
+        if base is None:
+            base = img_s
+        eff = img_s / (base * d)
+        rows.append({"devices": d, "img_s": round(img_s, 1),
+                     "efficiency": round(eff, 3)})
+        print(f"devices={d:<3} batch={args.batch_per * d:<5} "
+              f"{img_s:>10.1f} img/s  efficiency={eff:.2%}")
+
+    print(json.dumps({
+        "model": args.model, "platform": platform, "quant": args.quant,
+        "weak_scaling": rows,
+        "note": ("virtual devices share one chip; efficiency measures "
+                 "sharding overhead, not hardware scaling"
+                 if platform == "cpu" or n_dev == 1 else
+                 "real multi-device scaling"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
