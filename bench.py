@@ -29,6 +29,16 @@ def main():
     import jax
     import numpy as np
 
+    # Persistent compilation cache: first run warms it, later runs (and
+    # later driver rounds) skip the multi-minute XLA/Mosaic compile.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent cache — harmless
+
     from __graft_entry__ import _model_paths
     from pyopenvino_tpu.config import Config, QuantMode
     from pyopenvino_tpu.ir import read_ir_model

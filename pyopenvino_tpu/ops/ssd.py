@@ -338,7 +338,38 @@ class DetectionOutput(Op):
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         p = _do_params(node)
-        out = detection_output_jax(
-            inputs[0].nchw(), inputs[1].nchw(), inputs[2].nchw(), p
-        )
+        fn = _batched_do(tuple(sorted(p.items())))
+        out = fn(inputs[0].nchw(), inputs[1].nchw(), inputs[2].nchw())
         return {node.out_port: TValue(out, "L")}
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _batched_do(p_items):
+    """custom_vmap wrapper: under the compiler's batch-N vmap, map examples
+    *sequentially* through the NMS instead of lifting it — a batched lift
+    materializes batch × P × P IoU/suppression matrices at once (1917² f32
+    per example ≈ 15 MB ×3 masks; hundreds of examples blow HBM and crush
+    compile time), while the per-example NMS itself is trivial VPU work."""
+    import jax
+
+    p = dict(p_items)
+
+    @jax.custom_batching.custom_vmap
+    def fn(box_logits, class_pred, proposals):
+        return detection_output_jax(box_logits, class_pred, proposals, p)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, *args):
+        batched = tuple(a for a, b in zip(args, in_batched) if b)
+
+        def one(batched_args):
+            it = iter(batched_args)
+            full = [next(it) if b else a for a, b in zip(args, in_batched)]
+            return fn(*full)
+
+        return jax.lax.map(one, batched), True
+
+    return fn
