@@ -109,6 +109,66 @@ class ExecutableNetwork:
     def infer_batch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         return self._get_compiled().infer_batch(inputs)
 
+    # -- async request API (OpenVINO ExecutableNetwork.requests parity) ------
+    # The reference accepts num_requests and ignores it
+    # (inference_engine.py:86); real OpenVINO exposes a pool of InferRequest
+    # objects with start_async/wait.  Here the pool is backed by the
+    # continuous-batching server, so concurrent async requests coalesce
+    # into shared device launches.
+
+    @property
+    def requests(self):
+        if not hasattr(self, "_requests") or self._requests is None:
+            n = max(1, getattr(self, "num_requests", 1))
+            self._ensure_server()
+            self._requests = [InferRequest(self) for _ in range(n)]
+        return self._requests
+
+    def _ensure_server(self):
+        if getattr(self, "_server", None) is None:
+            from pyopenvino_tpu.serving import InferenceServer
+
+            self._server = InferenceServer(
+                self._get_compiled(), buckets=self.config.batch_buckets
+            ).start()
+        return self._server
+
+    def close(self):
+        """Stop the async-request server, if one was started."""
+        srv = getattr(self, "_server", None)
+        if srv is not None:
+            srv.stop()
+            self._server = None
+            self._requests = None
+
+
+class InferRequest:
+    """One slot of the async request pool (OpenVINO InferRequest parity:
+    start_async → wait → output_blobs).  Requests submitted concurrently
+    from multiple slots coalesce in the serving layer's batch scheduler."""
+
+    def __init__(self, exe: "ExecutableNetwork"):
+        self._exe = exe
+        self._future = None
+        self.output_blobs: Dict[str, np.ndarray] = {}
+
+    def infer(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        self.start_async(inputs)
+        self.wait()
+        return self.output_blobs
+
+    def start_async(self, inputs: Dict[str, np.ndarray]):
+        if self._future is not None and not self._future.done():
+            raise RuntimeError("request is already running; wait() first")
+        self._future = self._exe._ensure_server().submit(inputs)
+        return self
+
+    def wait(self, timeout: Optional[float] = None) -> int:
+        if self._future is None:
+            return 0
+        self.output_blobs = self._future.result(timeout=timeout)
+        return 0  # OK status, like openvino's StatusCode.OK
+
 
 class IECore:
     def __init__(self):
@@ -141,4 +201,6 @@ class IECore:
         cfg = config or Config()
         if device_name.upper() in ("CPU", "INTERPRETER"):
             cfg = cfg.replace(backend=Backend.INTERPRETER)
-        return ExecutableNetwork(network, cfg)
+        exe = ExecutableNetwork(network, cfg)
+        exe.num_requests = num_requests  # sizes the async request pool
+        return exe

@@ -194,7 +194,12 @@ class CompiledNetwork:
 
     # -- emission ------------------------------------------------------------
 
-    def _build_fn(self):
+    def _build_fn(self, capture: Optional[frozenset] = None):
+        """Trace the whole graph.  With `capture`, the traced function also
+        returns {node_name: activation} for the named nodes — the compiled-
+        path analogue of the reference's expected_result per-layer hook
+        (inference_engine.py:214,284-287), used by verify_against_interpreter.
+        """
         model = self.model
         analysis = self.analysis
         config = self.config
@@ -209,6 +214,7 @@ class CompiledNetwork:
             import jax.numpy as jnp
 
             values: Dict[Tuple[int, int], TValue] = {}
+            captured: Dict[str, object] = {}
 
             def tv_for(src: int, sport: int) -> TValue:
                 key = (src, sport)
@@ -275,6 +281,12 @@ class CompiledNetwork:
                         outs = op.emit(ctx, node, ins)
                         for port, tv in outs.items():
                             values[(node.id, port)] = tv
+                if capture and node.name in capture:
+                    key = (node.id, node.out_port)
+                    if key in values:
+                        captured[node.name] = values[key].nchw()
+            if capture is not None:
+                return outputs, captured
             return outputs
 
         return fn
@@ -365,6 +377,89 @@ class CompiledNetwork:
                     f"!= expected {v.dtype}{v.shape}"
                 )
         self.weights = {k: jnp.asarray(v) for k, v in loaded.items()}
+
+    # -- per-layer debugging --------------------------------------------------
+
+    def capture_activations(self, inputs, names) -> Dict[str, np.ndarray]:
+        """Run one inference returning {node_name: activation} for the named
+        nodes (logical NCHW layout) — per-layer debugging on the compiled
+        path without falling back to the interpreter."""
+        import jax
+
+        key = frozenset(names)
+        if not hasattr(self, "_capture_cache"):
+            self._capture_cache = {}
+        if key not in self._capture_cache:
+            self._capture_cache[key] = jax.jit(self._build_fn(capture=key))
+        _, captured = self._capture_cache[key](
+            self.weights, self._prep_inputs(inputs)
+        )
+        return {k: np.asarray(v) for k, v in captured.items()}
+
+    def verify_against_interpreter(
+        self, inputs, names=None, rtol=1e-3, atol=1e-4
+    ):
+        """Differential per-layer check: compiled activations vs the numpy
+        interpreter — the reference's expected_result workflow
+        (inference_engine.py:214,284-287) with the interpreter as golden.
+        Returns {name: max_abs_diff}; raises on mismatch beyond tolerance."""
+        model = self.model
+        import numpy as _np
+
+        params = self._prep_inputs(inputs)
+        golden: Dict[str, np.ndarray] = {}
+        if names is None:
+            names = [
+                n.name for n in model
+                if n.op_type not in ("Const", "Parameter", "Result")
+            ]
+        name_set = set(names)
+
+        # single interpreter pass retaining requested activations
+        values = {}
+        for node in model:
+            ins = {
+                p: values[(s, sp)]
+                for p, (s, sp) in sorted(model.in_edges[node.id].items())
+            }
+            if node.op_type == "Parameter":
+                info = node.outputs[node.out_port]
+                outs = {
+                    node.out_port: _np.asarray(params[node.name])
+                    .reshape(info.shape).astype(info.dtype)
+                }
+            elif node.op_type == "Const":
+                outs = {node.out_port: node.const}
+            elif node.op_type == "Result":
+                outs = {}
+            else:
+                from pyopenvino_tpu.ops import get_op
+
+                outs = get_op(node.op_type).ref_compute(node, ins)
+            for p, arr in outs.items():
+                values[(node.id, p)] = arr
+            if node.name in name_set and node.outputs:
+                key = (node.id, node.out_port)
+                if key in values:
+                    golden[node.name] = values[key]
+
+        got = self.capture_activations(inputs, sorted(golden))
+        diffs = {}
+        failures = []
+        for name in sorted(golden):
+            if name not in got:
+                continue  # folded at compile time → no traced activation
+            d = float(_np.abs(got[name].astype(_np.float64)
+                              - golden[name].astype(_np.float64)).max())
+            diffs[name] = d
+            if not _np.allclose(got[name], golden[name], rtol=rtol, atol=atol):
+                failures.append((name, d))
+        if failures:
+            raise AssertionError(
+                f"{len(failures)} layer mismatches vs interpreter: "
+                f"{failures[:5]}"
+            )
+        return diffs
 
     # -- profiling ------------------------------------------------------------
 

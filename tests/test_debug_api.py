@@ -1,0 +1,88 @@
+"""Async InferRequest pool + compiled-path per-layer debugging tests."""
+
+import numpy as np
+import pytest
+
+from pyopenvino_tpu import Config, IECore
+from pyopenvino_tpu.config import Backend
+from pyopenvino_tpu.ir import read_ir_model
+from pyopenvino_tpu.runtime.compiler import compile_model
+from tests.conftest import model_paths
+
+
+@pytest.fixture(scope="module")
+def mnist_compiled():
+    xml, binp = model_paths("mnist")
+    return compile_model(read_ir_model(xml, binp), Config(backend=Backend.XLA))
+
+
+def test_capture_activations(mnist_compiled, mnist_image):
+    names = [
+        n.name for n in mnist_compiled.model
+        if n.op_type == "Convolution"
+    ]
+    acts = mnist_compiled.capture_activations(
+        {"conv2d_input": mnist_image}, names
+    )
+    assert set(acts) == set(names)
+    for name, arr in acts.items():
+        assert arr.ndim == 4 and np.all(np.isfinite(arr))
+
+
+def test_verify_against_interpreter_passes(mnist_compiled, mnist_image):
+    diffs = mnist_compiled.verify_against_interpreter(
+        {"conv2d_input": mnist_image}
+    )
+    assert diffs and max(diffs.values()) < 1e-3
+
+
+def test_verify_catches_divergence(mnist_image):
+    """Corrupt one weight after compile → the per-layer check must fail."""
+    xml, binp = model_paths("mnist")
+    c = compile_model(read_ir_model(xml, binp), Config(backend=Backend.XLA))
+    # perturb a conv weight in the device pytree only (interpreter still
+    # reads the pristine node.const)
+    key = next(
+        k for k, v in c.weights.items()
+        if np.asarray(v).ndim == 4
+    )
+    c.weights[key] = c.weights[key] + 1.0
+    with pytest.raises(AssertionError):
+        c.verify_against_interpreter({"conv2d_input": mnist_image})
+
+
+def test_async_request_pool(mnist_image):
+    ie = IECore()
+    xml, binp = model_paths("mnist")
+    net = ie.read_network(xml, binp)
+    exe = ie.load_network(net, "TPU", num_requests=3)
+    try:
+        reqs = exe.requests
+        assert len(reqs) == 3
+        for r in reqs:
+            r.start_async({"conv2d_input": mnist_image})
+        for r in reqs:
+            assert r.wait(timeout=120) == 0
+        for r in reqs:
+            k = next(iter(r.output_blobs))
+            assert list(np.argsort(r.output_blobs[k][0])[::-1][:3]) == [2, 0, 1]
+    finally:
+        exe.close()
+
+
+def test_double_start_async_raises(mnist_image):
+    ie = IECore()
+    xml, binp = model_paths("mnist")
+    net = ie.read_network(xml, binp)
+    exe = ie.load_network(net, "TPU", num_requests=1)
+    try:
+        r = exe.requests[0]
+        r.start_async({"conv2d_input": mnist_image})
+        # immediately starting again on the same slot must be rejected
+        # unless the first already completed
+        if not r._future.done():
+            with pytest.raises(RuntimeError):
+                r.start_async({"conv2d_input": mnist_image})
+        r.wait(timeout=120)
+    finally:
+        exe.close()
