@@ -169,3 +169,40 @@ class Model:
         """Return a fresh Model over the same node/edge objects (used by
         passes after they mutate node sets)."""
         return Model(self.name, self.nodes, self.edges)
+
+
+def extract_subgraph(model: Model, output_names: List[str]) -> Model:
+    """Cut a sub-model producing the named nodes' primary outputs.
+
+    Keeps every ancestor of the cut points (Node objects are shared, not
+    copied) and appends one Result per cut.  Used for per-stage debugging,
+    compile-time bisection and model partitioning — capabilities the
+    reference's flat task list cannot express."""
+    targets = []
+    for name in output_names:
+        node = model.find_by_name(name)
+        if node is None:
+            raise KeyError(f"no node named {name!r}")
+        targets.append(node)
+
+    keep = set()
+    stack = [t.id for t in targets]
+    while stack:
+        nid = stack.pop()
+        if nid in keep:
+            continue
+        keep.add(nid)
+        for src, _ in model.in_edges[nid].values():
+            stack.append(src)
+
+    nodes = {nid: model.nodes[nid] for nid in keep}
+    edges = [e for e in model.edges if e.src in keep and e.dst in keep]
+    next_id = max(model.nodes) + 1
+    for t in targets:
+        nodes[next_id] = Node(
+            id=next_id, name=f"{t.name}/cut", op_type="Result", attrs={},
+            inputs={0: t.outputs[t.out_port]}, outputs={},
+        )
+        edges.append(Edge(t.id, t.out_port, next_id, 0))
+        next_id += 1
+    return Model(f"{model.name}_sub", nodes, edges)

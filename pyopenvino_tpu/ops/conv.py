@@ -52,6 +52,35 @@ def _conv_attrs(node):
     )
 
 
+def _depthwise_shifted_mac(x, w, strides, dilations, pads):
+    """Depthwise conv as kh·kw shifted multiply-adds, channels-last.
+
+    x: (N, H, W, C); w: (C, 1, 1, kh, kw).  out[n,y,x,c] =
+    Σ_{i,j} xpad[n, y·sh+i·dh, x·sw+j·dw, c] · w[c,0,0,i,j] — each (i,j)
+    term is a strided slice times a (1,1,1,C) vector, all fused by XLA
+    into a single VPU pass with f32 accumulation."""
+    import jax.numpy as jnp
+
+    (sh, sw), (dh, dw) = strides, dilations
+    (pt, pb), (pl, pr) = pads
+    c, _, _, kh, kw = w.shape
+    if pt or pb or pl or pr:
+        x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    h, wd_ = x.shape[1:3]
+    oh = (h - (dh * (kh - 1) + 1)) // sh + 1
+    ow = (wd_ - (dw * (kw - 1) + 1)) // sw + 1
+    wvec = jnp.transpose(w.reshape(c, kh, kw), (1, 2, 0))  # (kh, kw, C)
+    acc = None
+    for i in range(kh):
+        for j in range(kw):
+            i0, j0 = i * dh, j * dw
+            sl = x[:, i0 : i0 + sh * (oh - 1) + 1 : sh,
+                   j0 : j0 + sw * (ow - 1) + 1 : sw, :]
+            term = sl.astype(jnp.float32) * wvec[i, j].astype(jnp.float32)
+            acc = term if acc is None else acc + term
+    return acc
+
+
 def _epilogue(out, bias, act):
     """Inline NHWC bias/activation tail for the XLA path."""
     import jax.numpy as jnp
@@ -170,11 +199,18 @@ class GroupConvolution(Op):
     def emit_fused(
         self, ctx, node, inputs, bias=None, act=None
     ) -> Dict[int, TValue]:
-        """Grouped/depthwise conv + fused bias/act tail.  Depthwise is
-        VPU-bound (no MXU reuse across channels), so it stays on XLA's
-        conv_general_dilated with feature_group_count on every backend —
-        the Pallas win for these chains is the fused epilogue, which XLA
-        also applies here."""
+        """Grouped/depthwise conv + fused bias/act tail.
+
+        Depthwise (Ci == Co == 1 per group) is emitted as kh·kw shifted
+        multiply-accumulates over the channels-last layout — pure VPU
+        elementwise work that XLA fuses into one pass.  This is both the
+        natural TPU mapping (no MXU reuse exists across channels) and a
+        hard requirement here: XLA:TPU's feature_group_count conv path
+        pathologically fails to compile at batch > 1 on this backend
+        (measured: a single depthwise conv at batch 32 exceeds a 9-minute
+        compile budget; the shifted-MAC form compiles in seconds).
+        General grouped conv (rare; none of the four models use it) stays
+        on conv_general_dilated."""
         import jax.numpy as jnp
         from jax import lax
 
@@ -183,17 +219,23 @@ class GroupConvolution(Op):
         w = ctx.weight_for(node, inputs[1])  # (G, Co, Ci, Kh, Kw)
         g, co, ci, kh, kw = w.shape
         pad = conv_padding(node.attrs, inputs[0].shape[2:], (kh, kw))
-        # feature_group_count expects OIHW with O = G*Co, I = Ci
-        w_hwio = jnp.transpose(w.reshape(g * co, ci, kh, kw), (2, 3, 1, 0))
-        out = lax.conv_general_dilated(
-            x,
-            w_hwio.astype(x.dtype),
-            window_strides=(sh, sw),
-            padding=pad.pads,
-            rhs_dilation=(dh, dw),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=g,
-            preferred_element_type=jnp.float32,
-        )
+
+        if co == 1 and ci == 1:  # pure depthwise
+            out = _depthwise_shifted_mac(
+                x, w.astype(x.dtype), (sh, sw), (dh, dw), pad.pads
+            )
+        else:
+            # feature_group_count expects OIHW with O = G*Co, I = Ci
+            w_hwio = jnp.transpose(w.reshape(g * co, ci, kh, kw), (2, 3, 1, 0))
+            out = lax.conv_general_dilated(
+                x,
+                w_hwio.astype(x.dtype),
+                window_strides=(sh, sw),
+                padding=pad.pads,
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g,
+                preferred_element_type=jnp.float32,
+            )
         out = _epilogue(out, bias, act)
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}
