@@ -91,12 +91,22 @@ class ExecutableNetwork:
         it.capture_node_args = self.capture_node_args
         return it
 
+    def set_calibration(self, samples):
+        """Representative {input_name: blob} dicts for INT8_FULL activation
+        calibration (passes/calibrate.py)."""
+        self._calibration = list(samples)
+        self._compiled.clear()  # scales change the compiled program
+
     def _get_compiled(self):
         key = (self.config.backend, self.config.quant, self.config.compute_dtype)
         if key not in self._compiled:
             from pyopenvino_tpu.runtime.compiler import compile_model
 
-            self._compiled[key] = compile_model(self.ienet.model, self.config)
+            self._compiled[key] = compile_model(
+                self.ienet.model,
+                self.config,
+                calibration_samples=getattr(self, "_calibration", None),
+            )
         return self._compiled[key]
 
     def infer(

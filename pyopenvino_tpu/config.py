@@ -32,6 +32,8 @@ class QuantMode(enum.Enum):
     NONE = "none"          # FP32 weights/activations
     BF16 = "bf16"          # bfloat16 weights + activations (MXU native)
     INT8_WEIGHT = "int8w"  # INT8 weight-only, per-output-channel scales
+    INT8_FULL = "int8"     # INT8 weights + activations (calibrated scales,
+                           # int8xint8 MXU, f32 dequant epilogue)
 
 
 # Map the reference's kernel_type strings onto backends so the facade stays

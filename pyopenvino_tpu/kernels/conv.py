@@ -54,9 +54,10 @@ def conv2d_fused(
     strides: Tuple[int, int] = (1, 1),
     dilations: Tuple[int, int] = (1, 1),
     pads=((0, 0), (0, 0)),
+    out_dtype=None,
     interpret: bool = False,
 ):
-    """Returns (N, OH, OW, O) in x.dtype."""
+    """Returns (N, OH, OW, O) in out_dtype (default x.dtype)."""
     n = x.shape[0]
     co, ci, kh, kw = w.shape
     (sh, sw), (dh, dw) = strides, dilations
@@ -66,6 +67,6 @@ def conv2d_fused(
     wmat = jnp.transpose(w, (2, 3, 1, 0)).reshape(k, co)
     out = fused_gemm(
         a, wmat, scale=scale, bias=bias, act=act,
-        out_dtype=x.dtype, interpret=interpret,
+        out_dtype=out_dtype or x.dtype, interpret=interpret,
     )
     return out.reshape(n, oh, ow, co)

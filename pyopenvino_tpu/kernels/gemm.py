@@ -43,17 +43,22 @@ def _kernel(a_ref, b_ref, scale_ref, bias_ref, out_ref, acc_ref, *, act, nk):
 
     a = a_ref[:]
     b = b_ref[:]
-    if b.dtype != a.dtype:
-        b = b.astype(a.dtype)  # int8 → compute dtype, on the VPU
-    # f32 operands need HIGHEST or the MXU silently multiplies in bf16
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if a.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    acc_ref[:] += jnp.dot(
-        a, b, preferred_element_type=jnp.float32, precision=precision
-    )
+    if a.dtype == jnp.int8 and b.dtype == jnp.int8:
+        # full-INT8: int8×int8 on the MXU's double-rate integer path,
+        # exact int32 accumulation in the scratch
+        acc_ref[:] += jnp.dot(a, b, preferred_element_type=jnp.int32)
+    else:
+        if b.dtype != a.dtype:
+            b = b.astype(a.dtype)  # int8 → compute dtype, on the VPU
+        # f32 operands need HIGHEST or the MXU silently multiplies in bf16
+        precision = (
+            jax.lax.Precision.HIGHEST
+            if a.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
+        acc_ref[:] += jnp.dot(
+            a, b, preferred_element_type=jnp.float32, precision=precision
+        )
 
     @pl.when(k == nk - 1)
     def _():
@@ -84,9 +89,14 @@ def _fused_gemm_impl(a, b, scale, bias, *, act, out_dtype, interpret, tiles):
     m, k = a.shape
     k2, n = b.shape
     assert k == k2, (a.shape, b.shape)
-    out_dtype = out_dtype or a.dtype
-
-    sublane = 16 if a.dtype == jnp.bfloat16 else 8
+    int_path = a.dtype == jnp.int8 and b.dtype == jnp.int8
+    out_dtype = out_dtype or (jnp.float32 if int_path else a.dtype)
+    if int_path:
+        sublane = 32  # int8 min tile is (32, 128)
+    elif a.dtype == jnp.bfloat16:
+        sublane = 16
+    else:
+        sublane = 8
     tm, tk, tn = tiles or _pick_tiles(m, k, n, sublane)
     mp, kp, np_ = _round_up(m, tm), _round_up(k, tk), _round_up(n, tn)
 
@@ -138,7 +148,9 @@ def _fused_gemm_impl(a, b, scale, bias, *, act, out_dtype, interpret, tiles):
             (tm, tn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
-        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tm, tn), jnp.int32 if int_path else jnp.float32)
+        ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

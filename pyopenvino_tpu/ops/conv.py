@@ -132,6 +132,50 @@ class Convolution(Op):
         co, ci, kh, kw = tv_w.shape
         pad = conv_padding(node.attrs, inputs[0].shape[2:], (kh, kw))
 
+        # Full-INT8: quantize the activation with its calibrated per-tensor
+        # scale and run int8×int8 → int32 on the MXU's double-rate integer
+        # path; dequant (s_x · s_w[c]) + bias + act run on the f32 epilogue.
+        s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        on_tpu = not ctx.pallas_interpret
+        # TPU routing for full-INT8: only GEMM-shaped convs (1×1, wide
+        # channels) run int8×int8 — via the Pallas GEMM, since XLA:TPU's
+        # integer conv path shares the grouped-conv compile pathology on
+        # this backend.  Spatial/narrow convs (incl. the C=3 stem, whose
+        # int8 patch slices pad 42× under the (32,128) tile) stay on the
+        # bf16 weight-only path below — mixed-precision INT8, standard
+        # practice for stems.  Off-TPU, every conv with a calibrated scale
+        # runs the lax int8 path (full test coverage of the semantics).
+        int8_ok = (not on_tpu) or (kh == kw == 1 and co >= 128 and ci >= 64)
+        if s_x is not None and tv_w.qscale is not None and int8_ok:
+            import jax.numpy as jnp
+            from jax import lax
+
+            compute_dtype = x.dtype
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
+            ).astype(jnp.int8)
+            w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
+            if on_tpu:
+                from pyopenvino_tpu.kernels.conv import conv2d_fused
+
+                out = conv2d_fused(
+                    xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
+                    strides=(sh, sw), dilations=(dh, dw), pads=pad.pads,
+                    out_dtype=compute_dtype, interpret=False,
+                )
+                return {node.out_port: TValue(out, "CL")}
+            w_hwio = jnp.transpose(tv_w.arr, (2, 3, 1, 0))  # int8 HWIO
+            acc = lax.conv_general_dilated(
+                xq, w_hwio,
+                window_strides=(sh, sw), padding=pad.pads,
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.int32,
+            )
+            out = acc.astype(jnp.float32) * w_scale.reshape(1, 1, 1, -1)
+            out = _epilogue(out, bias, act)
+            return {node.out_port: TValue(out.astype(compute_dtype), "CL")}
+
         # Routing policy for the PALLAS backend: 1×1 convs ARE GEMMs — the
         # patch step is a pure reshape, so the fused Pallas kernel wins on
         # HBM traffic (int8 weights stay int8 until VMEM).  Spatial kernels

@@ -56,6 +56,36 @@ class MatMul(Op):
         if ta:
             a = jnp.swapaxes(a, -1, -2)
 
+        # Full-INT8: calibrated activation scale → int8×int8 MXU GEMM with
+        # f32 dequant epilogue (same scheme as Convolution.emit_fused)
+        s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        if s_x is not None and tv_b.qscale is not None and a.ndim == 2:
+            compute_dtype = a.dtype
+            aq = jnp.clip(
+                jnp.round(a.astype(jnp.float32) * (1.0 / s_x)), -127, 127
+            ).astype(jnp.int8)
+            bq = tv_b.arr
+            if tb:
+                bq = jnp.swapaxes(bq, -1, -2)
+            w_scale = tv_b.qscale.reshape(-1).astype(jnp.float32) * s_x
+            if ctx.use_pallas:
+                from pyopenvino_tpu.kernels.gemm import fused_gemm
+
+                out = fused_gemm(
+                    aq, bq, scale=w_scale, bias=bias, act=act,
+                    out_dtype=compute_dtype, interpret=ctx.pallas_interpret,
+                )
+                return {node.out_port: TValue(out, "L")}
+            acc = jnp.matmul(aq, bq, preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * w_scale
+            if bias is not None:
+                out = out + bias.astype(out.dtype)
+            if act is not None:
+                kind, lo, hi = act
+                out = (jnp.maximum(out, 0) if kind == "relu"
+                       else jnp.clip(out, lo, hi))
+            return {node.out_port: TValue(out.astype(compute_dtype), "L")}
+
         if ctx.use_pallas and a.ndim == 2:
             from pyopenvino_tpu.kernels.gemm import fused_gemm
 

@@ -1,0 +1,70 @@
+"""Activation calibration for full-INT8 inference.
+
+Weight-only INT8 (passes/quantize.py) needs no data; quantizing
+*activations* too (QuantMode.INT8_FULL — int8×int8 on the MXU's double-rate
+int path, f32 dequant epilogue) needs per-tensor scales observed on
+representative inputs.  The reference has no quantization at all
+(SURVEY.md §2); this pass plays the role OpenVINO's POT/NNCF calibration
+plays for the real engine.
+
+Method: max-abs over N calibration samples, observed with the numpy
+interpreter (the differential twin — offline, no compilation needed), at
+every tensor feeding the data port (port 0) of a quantizable op
+(Convolution / MatMul).  Scale = absmax / 127, symmetric.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.ir.model import Model
+from pyopenvino_tpu.ops import get_op
+
+# ops whose port-0 input gets an activation scale (depthwise GroupConv stays
+# in the float path — it is bandwidth-bound VPU work with no MXU int8 win)
+QUANTIZABLE = ("Convolution", "MatMul")
+
+PortKey = Tuple[int, int]  # (consumer node id, consumer port) — always port 0
+
+
+def calibrate_activations(
+    model: Model, samples: Iterable[Dict[str, np.ndarray]]
+) -> Dict[int, float]:
+    """Return {consumer_node_id: scale} for every quantizable data input.
+
+    `samples` is an iterable of input dicts ({param_name: blob}).
+    """
+    absmax: Dict[int, float] = {}
+    n_samples = 0
+    for inputs in samples:
+        n_samples += 1
+        values: Dict[PortKey, np.ndarray] = {}
+        for node in model:
+            ins = {
+                p: values[(s, sp)]
+                for p, (s, sp) in sorted(model.in_edges[node.id].items())
+            }
+            if node.op_type == "Parameter":
+                info = node.outputs[node.out_port]
+                outs = {
+                    node.out_port: np.asarray(inputs[node.name])
+                    .reshape(info.shape).astype(info.dtype)
+                }
+            elif node.op_type == "Const":
+                outs = {node.out_port: node.const}
+            elif node.op_type == "Result":
+                outs = {}
+            else:
+                outs = get_op(node.op_type).ref_compute(node, ins)
+            for p, arr in outs.items():
+                values[(node.id, p)] = arr
+            if node.op_type in QUANTIZABLE and 0 in ins:
+                m = float(np.abs(ins[0]).max())
+                absmax[node.id] = max(absmax.get(node.id, 0.0), m)
+    if n_samples == 0:
+        raise ValueError("calibration needs at least one sample")
+    return {
+        nid: (m / 127.0 if m > 0 else 1.0) for nid, m in absmax.items()
+    }

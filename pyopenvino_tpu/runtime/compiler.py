@@ -53,10 +53,27 @@ _INLINE_LIMIT = 1 << 16
 class EmitCtx:
     """Trace-time services handed to every op's ``emit``."""
 
-    def __init__(self, model: Model, analysis: ShapeAnalysis, config: Config):
+    def __init__(
+        self,
+        model: Model,
+        analysis: ShapeAnalysis,
+        config: Config,
+        act_scales: Optional[Dict[int, float]] = None,
+    ):
         self.model = model
         self.analysis = analysis
         self.config = config
+        self.act_scales = act_scales or {}
+
+    @property
+    def full_int8(self) -> bool:
+        from pyopenvino_tpu.config import QuantMode
+
+        return self.config.quant == QuantMode.INT8_FULL
+
+    def act_scale(self, node) -> Optional[float]:
+        """Calibrated per-tensor scale for this node's data input, if any."""
+        return self.act_scales.get(node.id)
 
     @property
     def compute_dtype(self):
@@ -103,6 +120,7 @@ class CompiledNetwork:
         config: Optional[Config] = None,
         mesh=None,
         quantized: Optional[Dict[int, Tuple[np.ndarray, np.ndarray]]] = None,
+        act_scales: Optional[Dict[int, float]] = None,
     ):
         import jax
 
@@ -111,6 +129,8 @@ class CompiledNetwork:
         self.mesh = mesh
         self.analysis = infer_shapes(model)
         self._quantized = quantized or {}
+        # {consumer node id: activation scale} for INT8_FULL (calibrate.py)
+        self.act_scales = act_scales or {}
 
         self._folded_nodes = self._find_folded_nodes()
         self._runtime_consts = self._find_runtime_consts()
@@ -203,7 +223,7 @@ class CompiledNetwork:
         model = self.model
         analysis = self.analysis
         config = self.config
-        ctx = EmitCtx(model, analysis, config)
+        ctx = EmitCtx(model, analysis, config, self.act_scales)
         folded = self._folded_nodes
         runtime_consts = self._runtime_consts
         quantized = self._quantized
@@ -475,12 +495,29 @@ class CompiledNetwork:
 
 
 def compile_model(
-    model: Model, config: Optional[Config] = None, mesh=None
+    model: Model,
+    config: Optional[Config] = None,
+    mesh=None,
+    calibration_samples=None,
 ) -> CompiledNetwork:
+    """calibration_samples: iterable of {param_name: blob} input dicts,
+    required for QuantMode.INT8_FULL (activation scales — passes/calibrate)."""
     config = config or Config()
     quantized = None
-    if config.quant == QuantMode.INT8_WEIGHT:
+    act_scales = None
+    if config.quant in (QuantMode.INT8_WEIGHT, QuantMode.INT8_FULL):
         from pyopenvino_tpu.passes.quantize import quantize_weights
 
         quantized = quantize_weights(model)
-    return CompiledNetwork(model, config, mesh=mesh, quantized=quantized)
+    if config.quant == QuantMode.INT8_FULL:
+        if not calibration_samples:
+            raise ValueError(
+                "QuantMode.INT8_FULL needs calibration_samples "
+                "(representative {input_name: blob} dicts)"
+            )
+        from pyopenvino_tpu.passes.calibrate import calibrate_activations
+
+        act_scales = calibrate_activations(model, calibration_samples)
+    return CompiledNetwork(
+        model, config, mesh=mesh, quantized=quantized, act_scales=act_scales
+    )

@@ -62,3 +62,25 @@ def test_all_ops_supported(loaded):
     for name in MODEL_NAMES:
         types = {n.op_type for n in loaded(name).nodes.values()}
         assert types <= supported, types - supported
+
+
+def test_extract_subgraph(loaded, mnist_image):
+    """Cutting at an intermediate node yields a runnable sub-model whose
+    output equals the full model's activation at that node."""
+    import numpy as np
+
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir.model import extract_subgraph
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    model = loaded("mnist")
+    cut = next(n for n in model if n.op_type == "MaxPool").name
+    sub = extract_subgraph(model, [cut])
+    assert len(sub.nodes) < len(model.nodes)
+
+    full = compile_model(model, Config())
+    acts = full.capture_activations({"conv2d_input": mnist_image}, [cut])
+    out = compile_model(sub, Config())({"conv2d_input": mnist_image})
+    np.testing.assert_allclose(
+        out[f"{cut}/cut"], acts[cut], rtol=1e-5, atol=1e-6
+    )
