@@ -64,6 +64,10 @@ class ExecutableNetwork:
         self._compiled = {}
         self.expected_result = None
         self.capture_node_args = []
+        self.num_requests = 1
+        self._server = None
+        self._requests = None
+        self._calibration = None
 
     # reference-compatible knob (inference_engine.py:215)
     @property

@@ -11,7 +11,7 @@ indexing is only correct for pure depthwise, GroupConvolution.py:77-78).
 TPU path: ``lax.conv_general_dilated`` in NHWC/HWIO — XLA lowers this straight
 onto the MXU.  INT8 weight-only quantization dequantizes per-output-channel
 scales at trace time (see passes/quantize.py); the Pallas backend fuses the
-dequant into the GEMM epilogue instead (kernels/conv_gemm.py).
+dequant into the GEMM epilogue instead (kernels/gemm.py).
 """
 
 from __future__ import annotations

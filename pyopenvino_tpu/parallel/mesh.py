@@ -59,7 +59,6 @@ def _weight_pspec(model, key: str, arr):
     consumers = [
         (model.nodes[dst], dport) for _, dst, dport in model.out_edges[nid]
     ]
-    is_scale = key.endswith(".scale")
     for consumer, dport in consumers:
         if consumer.op_type == "Convolution" and dport == 1:
             if arr.ndim >= 1 and arr.shape[0] % _model_axis_size() == 0:

@@ -6,7 +6,7 @@ Convolution/GroupConvolution/MatMul weight port, store round(w / s) as int8
 with s = max|w| / 127 per output channel.  The XLA backend dequantizes at
 trace time (runtime/compiler.py weight_for) — a bandwidth win since int8
 weights are what travels HBM→VMEM; the Pallas backend fuses the dequant into
-the GEMM epilogue (kernels/conv_gemm.py).
+the GEMM epilogue (kernels/gemm.py).
 
 Accuracy gate (BASELINE.md): top-1 within 0.5% of FP32 — validated on the
 shipped-weights MNIST models in tests/test_quant.py.

@@ -26,6 +26,7 @@ import dataclasses
 import queue
 import threading
 import time
+from collections import deque
 from concurrent.futures import Future
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -37,7 +38,10 @@ class ServerStats:
     requests: int = 0
     batches: int = 0
     padded_slots: int = 0
-    latencies_ms: List[float] = dataclasses.field(default_factory=list)
+    # rolling window so a long-running server doesn't grow unboundedly
+    latencies_ms: "deque" = dataclasses.field(
+        default_factory=lambda: deque(maxlen=100_000)
+    )
 
     def percentile(self, p: float) -> float:
         if not self.latencies_ms:
