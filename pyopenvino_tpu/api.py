@@ -109,7 +109,7 @@ class ExecutableNetwork:
             self._compiled[key] = compile_model(
                 self.ienet.model,
                 self.config,
-                calibration_samples=getattr(self, "_calibration", None),
+                calibration_samples=self._calibration,
             )
         return self._compiled[key]
 
@@ -132,14 +132,14 @@ class ExecutableNetwork:
 
     @property
     def requests(self):
-        if not hasattr(self, "_requests") or self._requests is None:
-            n = max(1, getattr(self, "num_requests", 1))
+        if self._requests is None:
+            n = max(1, self.num_requests)
             self._ensure_server()
             self._requests = [InferRequest(self) for _ in range(n)]
         return self._requests
 
     def _ensure_server(self):
-        if getattr(self, "_server", None) is None:
+        if self._server is None:
             from pyopenvino_tpu.serving import InferenceServer
 
             self._server = InferenceServer(
@@ -149,7 +149,7 @@ class ExecutableNetwork:
 
     def close(self):
         """Stop the async-request server, if one was started."""
-        srv = getattr(self, "_server", None)
+        srv = self._server
         if srv is not None:
             srv.stop()
             self._server = None

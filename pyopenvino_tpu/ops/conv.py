@@ -210,6 +210,12 @@ class Convolution(Op):
             rhs_dilation=(dh, dw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
+            # f32 mode means full f32: without HIGHEST the TPU MXU
+            # multiplies in bf16 and fp32 no longer matches the
+            # interpreter (flips threshold-sensitive detections)
+            precision=(lax.Precision.HIGHEST
+                       if x.dtype == jnp.float32
+                       else lax.Precision.DEFAULT),
         )
         out = _epilogue(out, bias, act)
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}
@@ -280,6 +286,9 @@ class GroupConvolution(Op):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 feature_group_count=g,
                 preferred_element_type=jnp.float32,
+                precision=(lax.Precision.HIGHEST
+                           if x.dtype == jnp.float32
+                           else lax.Precision.DEFAULT),
             )
         out = _epilogue(out, bias, act)
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}

@@ -104,7 +104,13 @@ class MatMul(Op):
         b = ctx.weight_for(node, tv_b)
         if tb:
             b = jnp.swapaxes(b, -1, -2)
-        out = jnp.matmul(a, b.astype(a.dtype), preferred_element_type=jnp.float32)
+        from jax import lax
+
+        out = jnp.matmul(
+            a, b.astype(a.dtype), preferred_element_type=jnp.float32,
+            precision=(lax.Precision.HIGHEST if a.dtype == jnp.float32
+                       else lax.Precision.DEFAULT),
+        )
         if bias is not None:
             out = out + bias.astype(out.dtype)
         if act is not None:

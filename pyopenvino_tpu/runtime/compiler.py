@@ -503,6 +503,11 @@ def compile_model(
     """calibration_samples: iterable of {param_name: blob} input dicts,
     required for QuantMode.INT8_FULL (activation scales — passes/calibrate)."""
     config = config or Config()
+    # Graph rewrite: fold per-channel BN Multiply constants into conv
+    # weights (before quantization, so INT8 scales see effective weights).
+    from pyopenvino_tpu.passes.fold_scale import fold_scale_into_conv
+
+    model = fold_scale_into_conv(model)
     quantized = None
     act_scales = None
     if config.quant in (QuantMode.INT8_WEIGHT, QuantMode.INT8_FULL):
