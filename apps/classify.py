@@ -91,7 +91,20 @@ def main():
     blob = load_blob(args.model, image, shape)
 
     if args.batch > 1:
-        batch = np.repeat(blob[None], args.batch, axis=0)
+        # build the batch through the native data-loading pipeline
+        # (pyopenvino_tpu/native: threaded resize + NCHW conversion)
+        from pyopenvino_tpu import native
+
+        import cv2
+
+        raw = cv2.imread(image)
+        n, c, h, w = shape
+        if c == 1:
+            raw = cv2.split(raw)[0][..., None]
+        imgs = np.repeat(raw[None], args.batch, axis=0)
+        batch = native.preprocess_batch(imgs, (h, w)).reshape(
+            (args.batch,) + tuple(shape)
+        )
         out = exe.infer_batch({in_name: batch})  # warm-up/compile
         t0 = time.perf_counter()
         for _ in range(args.iters):
