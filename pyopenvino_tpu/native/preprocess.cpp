@@ -90,7 +90,8 @@ void preprocess_one(const uint8_t* img, int ih, int iw, int c, float* out,
       for (int ch = 0; ch < c; ++ch) {
         float v = (1 - wy) * ((1 - wx) * p00[ch] + wx * p01[ch]) +
                   wy * ((1 - wx) * p10[ch] + wx * p11[ch]);
-        if (scale) v = v * scale[ch] + (bias ? bias[ch] : 0.f);
+        if (scale) v = v * scale[ch];
+        if (bias) v = v + bias[ch];
         out[(int64_t)ch * oh * ow + (int64_t)y * ow + x] = v;
       }
     }

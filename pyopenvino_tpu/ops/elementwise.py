@@ -41,14 +41,30 @@ class _Binary(Op):
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
         return {node.out_port: self.np_fn(inputs[0], inputs[1])}
 
+    @staticmethod
+    def _nhwc_operand(tv):
+        """Physical NHWC view of an operand whose logical broadcast
+        semantics are NCHW numpy-style (right-aligned).  A rank<4 operand
+        is first right-aligned into NCHW, then permuted — using it raw
+        would pair the wrong axes against an NHWC tensor (e.g. a (C,1,1)
+        per-channel const)."""
+        if tv.layout == "CL":
+            return tv.arr
+        arr = tv.arr
+        if arr.ndim < 4:
+            arr = arr.reshape((1,) * (4 - arr.ndim) + tuple(arr.shape))
+        return arr.transpose(0, 2, 3, 1)
+
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         a, b = inputs[0], inputs[1]
         # Keep 4-D math channels-last if either side already is.
-        if a.layout == "CL" or b.layout == "CL":
-            pa = a.nhwc() if len(a.shape) == 4 else a.arr
-            pb = b.nhwc() if len(b.shape) == 4 else b.arr
+        if (a.layout == "CL" or b.layout == "CL") and max(
+            len(a.shape), len(b.shape)
+        ) == 4:
+            pa = self._nhwc_operand(a)
+            pb = self._nhwc_operand(b)
             return {node.out_port: TValue(self.np_fn(pa, pb), "CL")}
-        return {node.out_port: TValue(self.np_fn(a.arr, b.arr), "L")}
+        return {node.out_port: TValue(self.np_fn(a.nchw(), b.nchw()), "L")}
 
 
 @register

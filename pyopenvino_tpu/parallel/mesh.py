@@ -9,22 +9,20 @@ north star:
     XLA compiles the whole network per-shard with zero collectives (inference
     is embarrassingly parallel over batch), so scaling is linear up to ICI
     input-distribution costs.
-  * TP — conv/matmul weights sharded per-output-channel over the 'model'
-    axis (`P(..., 'model')` on the O dim of OIHW), activations replicated;
-    XLA inserts all-gathers over ICI where a channel-sharded output feeds a
-    spatially-mixing op.  For these CNNs TP is a capability demonstration
-    (SURVEY.md §2.4: "optional for these small CNNs, required as a
-    capability").
+  * TP — conv weights sharded per-output-channel on the O dim of OIHW and
+    MatMul weights on their output-channel dim (`P(..., 'model')`),
+    activations replicated; XLA inserts all-gathers over ICI where a
+    channel-sharded output feeds a spatially-mixing op.  INT8 per-channel
+    scale vectors shard along with their weights.
 
-Multi-host: call `jax.distributed.initialize()` before building the mesh —
-the mesh helper uses `jax.devices()`, which then spans all hosts, with the
-'data' axis laid out across hosts (DCN) and 'model' within a host (ICI).
+Multi-host: call `parallel.initialize_multihost()` before building the
+mesh — `jax.devices()` then spans all hosts, with the 'data' axis laid out
+across hosts (DCN) and 'model' within a host (ICI).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
 
 import numpy as np
 
@@ -49,110 +47,80 @@ def build_mesh(cfg: MeshConfig):
     return Mesh(dev_array, ("data", "model"))
 
 
-def _weight_pspec(model, key: str, arr):
-    """PartitionSpec for one weight-pytree entry: shard conv/matmul output
-    channels over 'model', replicate everything else."""
+def _weight_pspec(model, key: str, arr, model_axis_size: int):
+    """PartitionSpec for one weight-pytree entry: shard the output-channel
+    dim of conv/matmul weights (and their per-channel scale vectors) over
+    'model', replicate everything else."""
     from jax.sharding import PartitionSpec as P
 
+    from pyopenvino_tpu.ir import attrs as A
+
+    def shard_axis(axis: int):
+        if arr.shape[axis] % model_axis_size == 0 and arr.shape[axis] > 1:
+            spec = [None] * arr.ndim
+            spec[axis] = "model"
+            return P(*spec)
+        return P()
+
     nid = int(key.split(".")[0])
-    node = model.nodes[nid]
-    consumers = [
-        (model.nodes[dst], dport) for _, dst, dport in model.out_edges[nid]
-    ]
-    for consumer, dport in consumers:
-        if consumer.op_type == "Convolution" and dport == 1:
-            if arr.ndim >= 1 and arr.shape[0] % _model_axis_size() == 0:
-                return P("model", *([None] * (arr.ndim - 1)))
-        if consumer.op_type == "GroupConvolution" and dport == 1:
-            # groups axis shards cleanly for depthwise
-            if arr.shape[0] % _model_axis_size() == 0:
-                return P("model", *([None] * (arr.ndim - 1)))
+    for _, dst, dport in model.out_edges[nid]:
+        consumer = model.nodes[dst]
+        if dport != 1:
+            continue
+        if consumer.op_type in ("Convolution", "GroupConvolution"):
+            # weights OIHW / G-Co-...: output channels on axis 0; the
+            # (O,1,1,1)-shaped scale vectors share that layout
+            return shard_axis(0)
+        if consumer.op_type == "MatMul":
+            tb = A.get_bool(consumer.attrs, "transpose_b", False)
+            if key.endswith(".scale"):
+                # scale shape mirrors the weight's keepdims reduction:
+                # (N,1) when transposed, (..,N) otherwise
+                return shard_axis(0 if tb else arr.ndim - 1)
+            return shard_axis(arr.ndim - 2 if tb else arr.ndim - 1)
     return P()
 
 
-_CURRENT_MESH = None
-
-
-def _model_axis_size() -> int:
-    return _CURRENT_MESH.shape["model"] if _CURRENT_MESH is not None else 1
-
-
 def shard_compiled(compiled, mesh, tensor_parallel: bool = False):
-    """Place a CompiledNetwork's weights on `mesh` and rebuild its jitted
-    callables with explicit shardings.
+    """Place a CompiledNetwork's weights on `mesh` and attach shardings so
+    its own jit paths (single and batched) compile against them.
 
-    DP: inputs sharded P('data') on the batch axis of infer_batch.
-    TP: weights channel-sharded as described above.
+    DP: infer_batch's leading axis is sharded P('data').
+    TP: weights channel-sharded as described in _weight_pspec.
     Returns the same CompiledNetwork, mutated in place.
     """
-    global _CURRENT_MESH
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    _CURRENT_MESH = mesh
-    try:
-        if tensor_parallel:
-            w_shardings = {
-                k: NamedSharding(mesh, _weight_pspec(compiled.model, k, v))
-                for k, v in compiled.weights.items()
-            }
-        else:
-            w_shardings = {
-                k: NamedSharding(mesh, P()) for k in compiled.weights
-            }
-        compiled.weights = {
-            k: jax.device_put(v, w_shardings[k])
+    model_axis = mesh.shape["model"]
+    if tensor_parallel:
+        w_shardings = {
+            k: NamedSharding(
+                mesh, _weight_pspec(compiled.model, k, v, model_axis)
+            )
             for k, v in compiled.weights.items()
         }
+    else:
+        w_shardings = {k: NamedSharding(mesh, P()) for k in compiled.weights}
 
-        # single-sample path: everything replicated except weights
-        compiled._jitted = jax.jit(
-            compiled._fn,
-            in_shardings=(
-                w_shardings,
-                {n: NamedSharding(mesh, P()) for n in compiled.input_names},
-            ),
-        )
+    compiled.weights = {
+        k: jax.device_put(v, w_shardings[k])
+        for k, v in compiled.weights.items()
+    }
 
-        # batched path: batch axis sharded over 'data'
-        compiled._batched_cache.clear()
+    # single-sample path: everything replicated except weights
+    compiled._jitted = jax.jit(
+        compiled._fn,
+        in_shardings=(
+            w_shardings,
+            {n: NamedSharding(mesh, P()) for n in compiled.input_names},
+        ),
+    )
 
-        def batched_fn(batch_size):
-            if batch_size in compiled._batched_cache:
-                return compiled._batched_cache[batch_size]
-            param_infos = {
-                n.name: n.outputs[n.out_port]
-                for n in compiled.model.parameters
-            }
-            fn = compiled._fn
-
-            def single(weights, example):
-                ins = {
-                    name: example[name].reshape(param_infos[name].shape)
-                    for name in example
-                }
-                return fn(weights, ins)
-
-            def batched(weights, batch):
-                out = jax.vmap(single, in_axes=(None, 0))(weights, batch)
-                return {
-                    k: v.reshape((v.shape[0],) + v.shape[2:])
-                    for k, v in out.items()
-                }
-
-            # P('data') shards the leading batch axis; trailing dims are
-            # implicitly unsharded regardless of per-example rank
-            data_sharding = {
-                name: NamedSharding(mesh, P("data")) for name in param_infos
-            }
-            jitted = jax.jit(
-                batched, in_shardings=(w_shardings, data_sharding)
-            )
-            compiled._batched_cache[batch_size] = jitted
-            return jitted
-
-        compiled.batched_fn = batched_fn
-        compiled.mesh = mesh
-        return compiled
-    finally:
-        _CURRENT_MESH = None
+    # batched path: compiler.batched_fn consults these (the batching logic
+    # has a single implementation in runtime/compiler.py)
+    compiled.mesh = mesh
+    compiled._w_shardings = w_shardings
+    compiled._batch_pspec = P("data")
+    compiled._batched_cache.clear()
+    return compiled

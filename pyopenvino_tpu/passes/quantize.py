@@ -52,16 +52,23 @@ def quantize_weights(model: Model) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
         # only quantize when every consumer reads it as a weight operand
         if not all((c.op_type, p) in _WEIGHT_PORTS for c, p in consumers):
             continue
-        consumer, _ = consumers[0]
         w = np.asarray(node.const, dtype=np.float32)
-        if consumer.op_type == "Convolution":
-            q, s = _quantize_array(w, (0,))  # OIHW → per-O
-        elif consumer.op_type == "GroupConvolution":
-            q, s = _quantize_array(w, (0, 1))  # GOIHW → per-(G,O)
-        else:  # MatMul
+
+        def channel_axes(consumer):
+            if consumer.op_type == "Convolution":
+                return (0,)  # OIHW → per-O
+            if consumer.op_type == "GroupConvolution":
+                return (0, 1)  # GOIHW → per-(G,O)
             tb = A.get_bool(consumer.attrs, "transpose_b", False)
-            # output channels are rows when transposed, cols otherwise
-            axis = w.ndim - 2 if tb else w.ndim - 1
-            q, s = _quantize_array(w, (axis,))
+            # MatMul: output channels are rows when transposed, cols not
+            return (w.ndim - 2 if tb else w.ndim - 1,)
+
+        # a const shared by consumers with different channel conventions
+        # (e.g. two MatMuls with opposite transpose_b) has no single valid
+        # per-channel axis — leave it float
+        axes = {channel_axes(c) for c, _ in consumers}
+        if len(axes) != 1:
+            continue
+        q, s = _quantize_array(w, axes.pop())
         out[node.id] = (q, s)
     return out

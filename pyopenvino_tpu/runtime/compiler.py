@@ -210,6 +210,23 @@ class CompiledNetwork:
                 weights[str(nid)] = jnp.asarray(node.const, dtype=compute_dtype)
             else:
                 weights[str(nid)] = jnp.asarray(node.const)
+
+        # Large folded (statically-computed) values consumed by traced nodes
+        # become weight params instead of baked literals — keeps the
+        # executable small and the values device-placeable/shardable.
+        for (src, sport), val in self.analysis.values.items():
+            if val.size <= _INLINE_LIMIT:
+                continue
+            if self.model.nodes[src].op_type == "Const":
+                continue  # runtime consts are handled above
+            consumed_by_trace = any(
+                dst not in self._folded_nodes
+                and (self.model.nodes[dst].op_type, dport) not in STATIC_PORTS
+                for p, dst, dport in self.model.out_edges[src]
+                if p == sport
+            )
+            if consumed_by_trace:
+                weights[f"folded.{src}.{sport}"] = jnp.asarray(val)
         return weights
 
     # -- emission ------------------------------------------------------------
@@ -239,6 +256,12 @@ class CompiledNetwork:
             def tv_for(src: int, sport: int) -> TValue:
                 key = (src, sport)
                 if key in values:
+                    return values[key]
+                # large folded values live in the weight pytree, small ones
+                # inline as literals (_INLINE_LIMIT policy)
+                wkey = f"folded.{src}.{sport}"
+                if wkey in weights:
+                    values[key] = TValue(weights[wkey], "L")
                     return values[key]
                 val = analysis.value(src, sport)
                 if val is None:
@@ -337,6 +360,13 @@ class CompiledNetwork:
         return out
 
     # -- batched execution (vmap over the batch=1 graph) ---------------------
+    # When a mesh is attached (parallel/mesh.py shard_compiled sets
+    # _w_shardings/_batch_pspec), the same jitted functions are built with
+    # explicit shardings — there is exactly one implementation of the
+    # batching logic.
+
+    _w_shardings = None   # {weight_key: NamedSharding} or None
+    _batch_pspec = None   # PartitionSpec for the leading batch axis
 
     def batched_fn(self, batch_size: int):
         """jit-compiled function over a leading batch axis, cached per size."""
@@ -362,7 +392,18 @@ class CompiledNetwork:
             # each output is (B, 1, ...) — collapse the declared unit batch
             return {k: v.reshape((v.shape[0],) + v.shape[2:]) for k, v in out.items()}
 
-        jitted = jax.jit(batched)
+        if self._w_shardings is not None:
+            from jax.sharding import NamedSharding
+
+            data_sharding = {
+                name: NamedSharding(self.mesh, self._batch_pspec)
+                for name in param_infos
+            }
+            jitted = jax.jit(
+                batched, in_shardings=(self._w_shardings, data_sharding)
+            )
+        else:
+            jitted = jax.jit(batched)
         self._batched_cache[batch_size] = jitted
         return jitted
 
@@ -377,16 +418,35 @@ class CompiledNetwork:
     # run (Const.py:11-14); here the processed (cast / INT8-quantized) weight
     # pytree can be saved once and reloaded, skipping decode + quantization.
 
+    # npz can't represent ml_dtypes.bfloat16 (round-trips as raw '|V2'),
+    # so bf16 arrays are stored as uint16 bit patterns under a tagged key.
+    _BF16_TAG = "::bf16"
+
     def save_weights(self, path: str):
-        np.savez_compressed(
-            path, **{k: np.asarray(v) for k, v in self.weights.items()}
-        )
+        import ml_dtypes
+
+        out = {}
+        for k, v in self.weights.items():
+            arr = np.asarray(v)
+            if arr.dtype == ml_dtypes.bfloat16:
+                out[k + self._BF16_TAG] = arr.view(np.uint16)
+            else:
+                out[k] = arr
+        np.savez_compressed(path, **out)
 
     def load_weights(self, path: str):
         import jax.numpy as jnp
+        import ml_dtypes
 
         with np.load(path) as data:
-            loaded = {k: data[k] for k in data.files}
+            loaded = {}
+            for k in data.files:
+                if k.endswith(self._BF16_TAG):
+                    loaded[k[: -len(self._BF16_TAG)]] = data[k].view(
+                        ml_dtypes.bfloat16
+                    )
+                else:
+                    loaded[k] = data[k]
         missing = set(self.weights) - set(loaded)
         if missing:
             raise KeyError(f"checkpoint missing weights: {sorted(missing)[:5]}")
@@ -523,6 +583,16 @@ def compile_model(
         from pyopenvino_tpu.passes.calibrate import calibrate_activations
 
         act_scales = calibrate_activations(model, calibration_samples)
-    return CompiledNetwork(
+    net = CompiledNetwork(
         model, config, mesh=mesh, quantized=quantized, act_scales=act_scales
     )
+    # Config-declared mesh: build it and attach shardings (DP over 'data',
+    # TP over 'model' when mesh_model > 1).
+    if mesh is None and config.mesh_data * config.mesh_model > 1:
+        from pyopenvino_tpu.parallel.mesh import (
+            MeshConfig, build_mesh, shard_compiled,
+        )
+
+        built = build_mesh(MeshConfig(config.mesh_data, config.mesh_model))
+        shard_compiled(net, built, tensor_parallel=config.mesh_model > 1)
+    return net
