@@ -155,6 +155,15 @@ class SoftMax(_Unary):
 
         axis = A.get_int(node.attrs, "axis", 1)
         x = inputs[0].nchw()  # axis is declared in logical coordinates
+        if (
+            getattr(ctx, "use_pallas", False)
+            and x.ndim == 2
+            and axis in (1, -1)
+        ):
+            from pyopenvino_tpu.kernels.softmax import softmax_rows
+
+            out = softmax_rows(x, interpret=ctx.pallas_interpret)
+            return {node.out_port: TValue(out, "L")}
         return {node.out_port: TValue(jax.nn.softmax(x, axis=axis), "L")}
 
 

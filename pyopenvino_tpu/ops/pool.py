@@ -55,6 +55,22 @@ def _pool_emit(ctx, node, tv: TValue, mode: str, exclude_pad: bool) -> TValue:
     kh, kw = A.get_int_tuple(node.attrs, "kernel")
     sh, sw = A.get_int_tuple(node.attrs, "strides", (1, 1))
     pad = pool_padding(node.attrs, tv.shape[2:])
+
+    if getattr(ctx, "use_pallas", False):
+        # whole-feature-map VMEM blocks; route only when they fit
+        n, h, w, c = x.shape
+        hp = h + pad.pad_top + pad.pad_bottom
+        wp = w + pad.pad_left + pad.pad_right
+        vmem = (hp * wp + pad.out_h * pad.out_w) * c * x.dtype.itemsize
+        if vmem < (1 << 23):  # 8 MB
+            from pyopenvino_tpu.kernels.pool import pool2d
+
+            out = pool2d(
+                x, mode, (kh, kw), (sh, sw), pad.pads,
+                exclude_pad=exclude_pad, interpret=ctx.pallas_interpret,
+            )
+            return TValue(out, "CL")
+
     window = (1, kh, kw, 1)
     strides = (1, sh, sw, 1)
     padding = ((0, 0), *pad.pads, (0, 0))

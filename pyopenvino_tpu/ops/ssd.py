@@ -255,8 +255,14 @@ def detection_output_ref(box_logits, class_pred, proposals, p) -> np.ndarray:
     return res
 
 
-def detection_output_jax(box_logits, class_pred, proposals, p):
-    """JAX fixed-shape masked implementation (jit-safe, static shapes)."""
+def detection_output_jax(
+    box_logits, class_pred, proposals, p,
+    pallas_nms: bool = False, interpret: bool = False,
+):
+    """JAX fixed-shape masked implementation (jit-safe, static shapes).
+
+    With ``pallas_nms`` the O(P²) suppression runs as the tiled Pallas
+    kernel (kernels/nms.py) instead of a materialized P×P IoU matrix."""
     import jax.numpy as jnp
 
     prior_box_size = 4 if p["normalized"] else 5
@@ -277,15 +283,23 @@ def detection_output_jax(box_logits, class_pred, proposals, p):
     if p["clip_before_nms"]:
         decoded = jnp.clip(decoded, 0.0, 1.0)
 
-    iou = _iou_matrix(jnp, decoded)
-    idx = jnp.arange(P)
-    j_less = idx[None, :] < idx[:, None]
-    beats = (conf[None, :] > conf[:, None]) | (
-        (conf[None, :] == conf[:, None]) & j_less
-    )
-    overlap = (iou > p["nms_threshold"]) & (idx[None, :] != idx[:, None])
-    kill = (overlap & beats & valid[None, :]).any(axis=1)
-    keep = valid & ~kill
+    if pallas_nms:
+        from pyopenvino_tpu.kernels.nms import nms_keep_mask
+
+        keep = nms_keep_mask(
+            decoded, conf, valid, float(p["nms_threshold"]),
+            interpret=interpret,
+        )
+    else:
+        iou = _iou_matrix(jnp, decoded)
+        idx = jnp.arange(P)
+        j_less = idx[None, :] < idx[:, None]
+        beats = (conf[None, :] > conf[:, None]) | (
+            (conf[None, :] == conf[:, None]) & j_less
+        )
+        overlap = (iou > p["nms_threshold"]) & (idx[None, :] != idx[:, None])
+        kill = (overlap & beats & valid[None, :]).any(axis=1)
+        keep = valid & ~kill
 
     if p["clip_after_nms"]:
         decoded = jnp.clip(decoded, 0.0, 1.0)
@@ -338,7 +352,11 @@ class DetectionOutput(Op):
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         p = _do_params(node)
-        fn = _batched_do(tuple(sorted(p.items())))
+        fn = _batched_do(
+            tuple(sorted(p.items())),
+            pallas_nms=getattr(ctx, "use_pallas", False),
+            interpret=getattr(ctx, "pallas_interpret", True),
+        )
         out = fn(inputs[0].nchw(), inputs[1].nchw(), inputs[2].nchw())
         return {node.out_port: TValue(out, "L")}
 
@@ -347,7 +365,7 @@ import functools  # noqa: E402
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_do(p_items):
+def _batched_do(p_items, pallas_nms: bool = False, interpret: bool = False):
     """custom_vmap wrapper: under the compiler's batch-N vmap, map examples
     *sequentially* through the NMS instead of lifting it — a batched lift
     materializes batch × P × P IoU/suppression matrices at once (1917² f32
@@ -359,7 +377,10 @@ def _batched_do(p_items):
 
     @jax.custom_batching.custom_vmap
     def fn(box_logits, class_pred, proposals):
-        return detection_output_jax(box_logits, class_pred, proposals, p)
+        return detection_output_jax(
+            box_logits, class_pred, proposals, p,
+            pallas_nms=pallas_nms, interpret=interpret,
+        )
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
