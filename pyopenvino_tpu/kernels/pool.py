@@ -28,12 +28,17 @@ def _pool_kernel(refs, *, kind, kh, kw, sh, sw, oh, ow):
     x_ref = refs[0]
     counts_ref = refs[1] if kind == "avg" else None
     out_ref = refs[-1]
-    x = x_ref[:]  # (1, Hp, Wp, C) — one example's padded feature map
+    c = x_ref.shape[-1]
+    x = x_ref[0]  # (Hp, Wp, C) — one example's padded feature map
     acc = None
     for i in range(kh):
         for j in range(kw):
-            sl = x[:, i : i + sh * (oh - 1) + 1 : sh,
-                   j : j + sw * (ow - 1) + 1 : sw, :]
+            # Mosaic cannot lower strided value-slices (>2D gather), so
+            # downsample via contiguous slice + reshape + index-0 picks —
+            # the wrapper over-pads so i + oh*sh / j + ow*sw stay in range
+            sl = x[i : i + oh * sh, j : j + ow * sw, :]
+            sl = sl.reshape(oh, sh, ow * sw * c)[:, 0, :]
+            sl = sl.reshape(oh, ow, sw, c)[:, :, 0, :]
             if kind == "max":
                 acc = sl if acc is None else jnp.maximum(acc, sl)
             else:
@@ -41,8 +46,8 @@ def _pool_kernel(refs, *, kind, kh, kw, sh, sw, oh, ow):
                 acc = s if acc is None else acc + s
     if kind == "avg":
         # counts = reciprocal valid-window sizes (exclude-pad)
-        acc = acc * counts_ref[:]
-    out_ref[:] = acc.astype(out_ref.dtype)
+        acc = acc * counts_ref[0]
+    out_ref[:] = acc.reshape(1, oh, ow, c).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -62,9 +67,17 @@ def pool2d(x, kind, kernel, strides, pads, exclude_pad: bool = True,
     ow = (wp - kw) // sw + 1
 
     pad_val = -jnp.inf if kind == "max" else 0.0
+    # over-pad so the kernel's contiguous-slice downsampling (i + oh*sh
+    # rows, j + ow*sw cols) never reads out of range; the extra positions
+    # are only ever in discarded stride slots
+    hp2 = (kh - 1) + oh * sh
+    wp2 = (kw - 1) + ow * sw
     xp = jnp.pad(
-        x, ((0, 0), (pt, pb), (pl_, pr), (0, 0)), constant_values=pad_val
+        x,
+        ((0, 0), (pt, pb + (hp2 - hp)), (pl_, pr + (wp2 - wp)), (0, 0)),
+        constant_values=pad_val,
     )
+    hp, wp = hp2, wp2
 
     counts = None
     if kind == "avg" and not exclude_pad:

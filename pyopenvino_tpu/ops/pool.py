@@ -56,7 +56,14 @@ def _pool_emit(ctx, node, tv: TValue, mode: str, exclude_pad: bool) -> TValue:
     sh, sw = A.get_int_tuple(node.attrs, "strides", (1, 1))
     pad = pool_padding(node.attrs, tv.shape[2:])
 
-    if getattr(ctx, "use_pallas", False):
+    # Pallas pool routes only in interpret mode (CI): Mosaic's layout
+    # rules reject the kernel's lane-merging downsample reshape on real
+    # TPU, and pooling is VPU-streaming work where XLA's reduce_window
+    # lowering is already optimal — the kernel stays as the CI-validated
+    # library implementation (kernels/pool.py).
+    if getattr(ctx, "use_pallas", False) and getattr(
+        ctx, "pallas_interpret", False
+    ):
         # whole-feature-map VMEM blocks; route only when they fit
         n, h, w, c = x.shape
         hp = h + pad.pad_top + pad.pad_bottom
