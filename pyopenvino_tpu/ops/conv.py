@@ -137,15 +137,32 @@ class Convolution(Op):
         # path; dequant (s_x · s_w[c]) + bias + act run on the f32 epilogue.
         s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
         on_tpu = not ctx.pallas_interpret
-        # TPU routing for full-INT8: only GEMM-shaped convs (1×1, wide
-        # channels) run int8×int8 — via the Pallas GEMM, since XLA:TPU's
-        # integer conv path shares the grouped-conv compile pathology on
-        # this backend.  Spatial/narrow convs (incl. the C=3 stem, whose
-        # int8 patch slices pad 42× under the (32,128) tile) stay on the
-        # bf16 weight-only path below — mixed-precision INT8, standard
-        # practice for stems.  Off-TPU, every conv with a calibrated scale
-        # runs the lax int8 path (full test coverage of the semantics).
-        int8_ok = (not on_tpu) or (kh == kw == 1 and co >= 128 and ci >= 64)
+        # TPU routing for full-INT8 (XLA:TPU's integer conv shares the
+        # grouped-conv compile pathology, so everything goes via Pallas):
+        #   * GEMM-shaped 1×1 convs → fused GEMM (kernels/gemm.py);
+        #   * stride-1 spatial convs whose feature map fits VMEM →
+        #     implicit-GEMM direct conv (kernels/conv_direct.py — no patch
+        #     materialization, int8×int8 MXU);
+        #   * the rest (strided stems, narrow channels) stay on the bf16
+        #     weight-only path — mixed-precision INT8, standard for stems.
+        # Off-TPU, every conv with a calibrated scale runs the lax int8
+        # path (full test coverage of the semantics).
+        use_direct = False
+        if on_tpu and not (kh == kw == 1 and co >= 128 and ci >= 64):
+            from pyopenvino_tpu.kernels.conv_direct import fits_vmem
+
+            h_in, w_in = inputs[0].shape[2:]
+            use_direct = (
+                (sh, sw) == (1, 1)
+                and (dh, dw) == (1, 1)
+                and ci >= 64
+                and fits_vmem(h_in, w_in, ci, co, kh, kw, pad.pads, 1)
+            )
+        int8_ok = (
+            (not on_tpu)
+            or (kh == kw == 1 and co >= 128 and ci >= 64)
+            or use_direct
+        )
         if s_x is not None and tv_w.qscale is not None and int8_ok:
             import jax.numpy as jnp
             from jax import lax
@@ -156,13 +173,24 @@ class Convolution(Op):
             ).astype(jnp.int8)
             w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
             if on_tpu:
-                from pyopenvino_tpu.kernels.conv import conv2d_fused
+                if use_direct:
+                    from pyopenvino_tpu.kernels.conv_direct import (
+                        conv2d_direct,
+                    )
 
-                out = conv2d_fused(
-                    xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
-                    strides=(sh, sw), dilations=(dh, dw), pads=pad.pads,
-                    out_dtype=compute_dtype, interpret=False,
-                )
+                    out = conv2d_direct(
+                        xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
+                        pads=pad.pads, out_dtype=compute_dtype,
+                        interpret=False,
+                    )
+                else:
+                    from pyopenvino_tpu.kernels.conv import conv2d_fused
+
+                    out = conv2d_fused(
+                        xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
+                        strides=(sh, sw), dilations=(dh, dw), pads=pad.pads,
+                        out_dtype=compute_dtype, interpret=False,
+                    )
                 return {node.out_port: TValue(out, "CL")}
             w_hwio = jnp.transpose(tv_w.arr, (2, 3, 1, 0))  # int8 HWIO
             acc = lax.conv_general_dilated(

@@ -352,10 +352,14 @@ class DetectionOutput(Op):
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         p = _do_params(node)
+        interpret = getattr(ctx, "pallas_interpret", True)
+        # The Pallas suppression kernel routes only in interpret mode:
+        # this TPU backend's Mosaic compile hangs on it (same pathology
+        # as grouped/int convs); on-chip the dense masked XLA NMS is used.
         fn = _batched_do(
             tuple(sorted(p.items())),
-            pallas_nms=getattr(ctx, "use_pallas", False),
-            interpret=getattr(ctx, "pallas_interpret", True),
+            pallas_nms=getattr(ctx, "use_pallas", False) and interpret,
+            interpret=interpret,
         )
         out = fn(inputs[0].nchw(), inputs[1].nchw(), inputs[2].nchw())
         return {node.out_port: TValue(out, "L")}

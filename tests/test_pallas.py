@@ -253,3 +253,58 @@ class TestPoolSoftmaxNmsKernels:
             {"image_tensor": blob})
         k = next(iter(ox))
         np.testing.assert_allclose(ox[k], op[k], rtol=1e-3, atol=1e-4)
+
+
+class TestDirectConv:
+    """kernels/conv_direct.py — implicit-GEMM stride-1 conv."""
+
+    @pytest.mark.parametrize(
+        "n,h,w,ci,co,kh,kw,pads",
+        [
+            (2, 14, 14, 8, 16, 3, 3, ((1, 1), (1, 1))),
+            (1, 9, 9, 3, 5, 3, 3, ((0, 0), (0, 0))),
+            (2, 8, 8, 16, 32, 5, 5, ((2, 2), (2, 2))),
+        ],
+    )
+    def test_vs_lax(self, n, h, w, ci, co, kh, kw, pads):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from pyopenvino_tpu.kernels.conv_direct import conv2d_direct
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((n, h, w, ci)), jnp.float32)
+        wt = jnp.asarray(rng.standard_normal((co, ci, kh, kw)), jnp.float32)
+        bias = jnp.asarray(rng.standard_normal((co,)), jnp.float32)
+        got = conv2d_direct(x, wt, bias=bias, act=("relu", 0, 0),
+                            pads=pads, interpret=True)
+        want = lax.conv_general_dilated(
+            x, jnp.transpose(wt, (2, 3, 1, 0)), (1, 1), pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
+        want = jnp.maximum(want + bias.reshape(1, 1, 1, -1), 0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+        )
+
+    def test_int8_exact(self):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from pyopenvino_tpu.kernels.conv_direct import conv2d_direct
+
+        rng = np.random.default_rng(1)
+        x8 = jnp.asarray(rng.integers(-127, 128, (1, 10, 10, 8)), jnp.int8)
+        w8 = jnp.asarray(rng.integers(-127, 128, (16, 8, 3, 3)), jnp.int8)
+        s = jnp.asarray(rng.uniform(0.01, 0.02, (16,)), jnp.float32)
+        got = conv2d_direct(x8, w8, scale=s, pads=((1, 1), (1, 1)),
+                            interpret=True)
+        want = lax.conv_general_dilated(
+            x8.astype(jnp.float32),
+            jnp.transpose(w8, (2, 3, 1, 0)).astype(jnp.float32),
+            (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) * s
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
