@@ -147,22 +147,14 @@ class Convolution(Op):
         #     weight-only path — mixed-precision INT8, standard for stems.
         # Off-TPU, every conv with a calibrated scale runs the lax int8
         # path (full test coverage of the semantics).
+        # NOTE: routing stride-1 spatial convs through the implicit-GEMM
+        # direct kernel (kernels/conv_direct.py) was measured SLOWER than
+        # the mixed-precision fallback at batch (3.9k vs 7.1k img/s on
+        # GoogLeNet INT8_FULL — the per-co-tile feature-map revisit loses
+        # to XLA's pipelined conv), so spatial convs stay bf16 here; the
+        # kernel remains available and chip-validated for direct use.
         use_direct = False
-        if on_tpu and not (kh == kw == 1 and co >= 128 and ci >= 64):
-            from pyopenvino_tpu.kernels.conv_direct import fits_vmem
-
-            h_in, w_in = inputs[0].shape[2:]
-            use_direct = (
-                (sh, sw) == (1, 1)
-                and (dh, dw) == (1, 1)
-                and ci >= 64
-                and fits_vmem(h_in, w_in, ci, co, kh, kw, pad.pads, 1)
-            )
-        int8_ok = (
-            (not on_tpu)
-            or (kh == kw == 1 and co >= 128 and ci >= 64)
-            or use_direct
-        )
+        int8_ok = (not on_tpu) or (kh == kw == 1 and co >= 128 and ci >= 64)
         if s_x is not None and tv_w.qscale is not None and int8_ok:
             import jax.numpy as jnp
             from jax import lax
