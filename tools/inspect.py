@@ -1,0 +1,105 @@
+"""Model inspector — summarize an IR model and its compiled form.
+
+Prints the op histogram, parameter/const footprint, per-op-type FLOPs
+(from shape inference), constant-folded/fused node counts and the XLA cost
+analysis — the offline counterpart of the reference's dump_graph debug
+helper (reference: common_def.py:116-122), at framework scale.
+
+Usage:
+    python tools/inspect.py --model googlenet-v1 [--backend pallas]
+"""
+
+import argparse
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from __graft_entry__ import _model_paths
+
+
+def conv_flops(model, analysis):
+    """MACs×2 per conv/matmul node from inferred shapes."""
+    flops = Counter()
+    for node in model:
+        try:
+            out_shape = analysis.shape(node.id, node.out_port)
+        except Exception:  # noqa: BLE001 — Result nodes etc.
+            continue
+        if node.op_type in ("Convolution", "GroupConvolution"):
+            w_shape = analysis.shape(*model.in_edges[node.id][1])
+            k = int(np.prod(w_shape[1:])) if node.op_type == "Convolution" \
+                else int(np.prod(w_shape[2:]))
+            flops[node.op_type] += 2 * int(np.prod(out_shape)) * k
+        elif node.op_type == "MatMul":
+            a_shape = analysis.shape(*model.in_edges[node.id][0])
+            flops[node.op_type] += 2 * int(np.prod(out_shape)) * a_shape[-1]
+    return flops
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="googlenet-v1",
+                    choices=["mnist", "mnist_bn", "googlenet-v1",
+                             "ssd_mobilenet_v1_coco"])
+    ap.add_argument("--backend", default="xla",
+                    choices=["interpreter", "xla", "pallas"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8w"])
+    ap.add_argument("--device", default="cpu", choices=["cpu", "auto"])
+    args = ap.parse_args()
+
+    from pyopenvino_tpu.utils import select_device
+
+    select_device(args.device)
+
+    from pyopenvino_tpu.config import (
+        KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
+    )
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = _model_paths(args.model)
+    model = read_ir_model(xml, binp)
+
+    print(f"== {model.name} ==")
+    hist = Counter(n.op_type for n in model)
+    print(f"{len(model.nodes)} nodes, {len(model.edges)} edges")
+    for op, cnt in hist.most_common():
+        print(f"  {op:<22} {cnt}")
+
+    n_params = sum(
+        n.const.size for n in model.find_by_type("Const") if n.const is not None
+    )
+    print(f"const elements: {n_params:,}")
+
+    cfg = Config(
+        backend=KERNEL_TYPE_TO_BACKEND[args.backend],
+        quant=QuantMode.INT8_WEIGHT if args.quant == "int8w" else QuantMode.NONE,
+    )
+    c = compile_model(model, cfg)
+    print(f"\ncompiled ({args.backend}/{args.quant}):")
+    print(f"  graph rewrites: {len(model.nodes) - len(c.model.nodes)} nodes "
+          f"removed by scale folding")
+    print(f"  constant-folded runtime nodes: {len(c._folded_nodes)}")
+    print(f"  fused epilogue groups: {len(c._fusions)} "
+          f"(absorbing {len(c._fused_skip)} nodes)")
+    print(f"  weight pytree entries: {len(c.weights)}")
+
+    fl = conv_flops(c.model, c.analysis)
+    total = sum(fl.values())
+    print(f"  FLOPs/inference: {total/1e9:.3f} G "
+          f"({ {k: round(v/1e9, 3) for k, v in fl.items()} })")
+
+    try:
+        ca = c.cost_analysis()
+        print(f"  XLA cost model: flops={ca.get('flops', 0):,.0f} "
+              f"bytes={ca.get('bytes accessed', 0):,.0f}")
+    except Exception as e:  # noqa: BLE001
+        print(f"  cost analysis unavailable: {e}")
+
+
+if __name__ == "__main__":
+    main()
