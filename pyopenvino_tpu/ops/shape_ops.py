@@ -139,31 +139,45 @@ class Unsqueeze(Op):
         return {node.out_port: TValue(x.reshape(self._out_shape(x.shape, axes)), "L")}
 
 
-def _strided_slice_spec(node, in_rank, begin, end, strides) -> List[slice]:
-    """Build per-axis slices honouring opset1 masks (bit=1 → bound ignored)."""
+def _strided_slice_spec(node, in_rank, begin, end, strides):
+    """Build a numpy-style index tuple honouring the opset1 masks —
+    begin/end (bit=1 → bound ignored), new_axis (insert a unit dim,
+    consumes no input axis), shrink_axis (integer-index the axis away).
+    The reference parses these masks and ignores them while eval()ing a
+    slice string (reference: StridedSlice.py:14-23,38-44); only
+    ellipsis_mask stays unimplemented (fail-fast, nothing ships with it).
+    """
     begin_mask = A.get_int_tuple(node.attrs, "begin_mask", ())
     end_mask = A.get_int_tuple(node.attrs, "end_mask", ())
     new_axis = A.get_int_tuple(node.attrs, "new_axis_mask", ())
     shrink = A.get_int_tuple(node.attrs, "shrink_axis_mask", ())
     ellipsis = A.get_int_tuple(node.attrs, "ellipsis_mask", ())
-    if any(new_axis) or any(shrink) or any(ellipsis):
-        raise NotImplementedError(
-            "StridedSlice new_axis/shrink_axis/ellipsis masks"
-        )
+    if any(ellipsis):
+        raise NotImplementedError("StridedSlice ellipsis_mask")
 
     def bit(mask, i):
         return mask[i] if i < len(mask) else 0
 
-    slices = []
-    for i in range(in_rank):
-        if i < len(begin):
+    spec = []
+    in_axis = 0
+    for i in range(len(begin)):
+        if bit(new_axis, i):
+            spec.append(None)  # np.newaxis — consumes no input axis
+            continue
+        if in_axis >= in_rank:
+            break
+        if bit(shrink, i):
+            spec.append(int(begin[i]))  # drops the axis
+        else:
             b = None if bit(begin_mask, i) else int(begin[i])
             e = None if bit(end_mask, i) else int(end[i])
             s = int(strides[i]) if strides is not None and i < len(strides) else 1
-            slices.append(slice(b, e, s))
-        else:
-            slices.append(slice(None))
-    return slices
+            spec.append(slice(b, e, s))
+        in_axis += 1
+    while in_axis < in_rank:
+        spec.append(slice(None))
+        in_axis += 1
+    return spec
 
 
 @register

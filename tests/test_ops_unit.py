@@ -229,3 +229,70 @@ class TestShapeOps:
         out = op.ref_compute(node, {0: x})
         ref = out[next(iter(out))]
         assert np.all(np.isfinite(ref))
+
+
+class TestStridedSliceMasks:
+    """StridedSlice opset1 masks — the reference parses and ignores them
+    (StridedSlice.py:38-44); here they are honoured."""
+
+    def _run(self, attrs, x, begin, end, strides=None):
+        op = get_op("StridedSlice")
+        node = _node("StridedSlice", attrs)
+        ins = {0: x, 1: np.asarray(begin, np.int64),
+               2: np.asarray(end, np.int64)}
+        if strides is not None:
+            ins[3] = np.asarray(strides, np.int64)
+        out = op.ref_compute(node, ins)
+        return out[next(iter(out))]
+
+    def test_begin_end_masks(self):
+        x = np.arange(24).reshape(2, 3, 4)
+        got = self._run(
+            {"begin_mask": "1,0,0", "end_mask": "0,1,0",
+             "new_axis_mask": "0,0,0", "shrink_axis_mask": "0,0,0",
+             "ellipsis_mask": "0,0,0"},
+            x, [1, 1, 1], [2, 2, 3],
+        )
+        np.testing.assert_array_equal(got, x[:, 1:, 1:3])
+
+    def test_shrink_axis(self):
+        x = np.arange(24).reshape(2, 3, 4)
+        got = self._run(
+            {"begin_mask": "0,0,0", "end_mask": "0,0,0",
+             "new_axis_mask": "0,0,0", "shrink_axis_mask": "0,1,0",
+             "ellipsis_mask": "0,0,0"},
+            x, [0, 2, 0], [2, 0, 4],
+        )
+        np.testing.assert_array_equal(got, x[:, 2, :])
+
+    def test_new_axis(self):
+        x = np.arange(12).reshape(3, 4)
+        got = self._run(
+            {"begin_mask": "0,1,1", "end_mask": "0,1,1",
+             "new_axis_mask": "1,0,0", "shrink_axis_mask": "0,0,0",
+             "ellipsis_mask": "0,0,0"},
+            x, [0, 0, 0], [0, 3, 4],
+        )
+        np.testing.assert_array_equal(got, x[None, :, :])
+
+    def test_negative_strides(self):
+        x = np.arange(10)
+        got = self._run(
+            {"begin_mask": "1", "end_mask": "1",
+             "new_axis_mask": "0", "shrink_axis_mask": "0",
+             "ellipsis_mask": "0"},
+            x, [0], [0], [-2],
+        )
+        np.testing.assert_array_equal(got, x[::-2])
+
+    def test_ellipsis_fails_fast(self):
+        import pytest as _pytest
+
+        x = np.arange(8).reshape(2, 4)
+        with _pytest.raises(NotImplementedError):
+            self._run(
+                {"begin_mask": "0,0", "end_mask": "0,0",
+                 "new_axis_mask": "0,0", "shrink_axis_mask": "0,0",
+                 "ellipsis_mask": "1,0"},
+                x, [0, 0], [2, 4],
+            )
