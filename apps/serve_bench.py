@@ -78,8 +78,10 @@ def main():
               "platform": jax.devices()[0].platform}
 
     # -- closed-loop single stream -------------------------------------------
-    with InferenceServer(compiled, buckets=buckets) as srv:
-        srv.infer({param.name: blob})  # warm-up / compile
+    srv0 = InferenceServer(compiled, buckets=buckets)
+    srv0.start(warmup=True)  # compile every bucket before measuring
+    with srv0 as srv:
+        srv.infer({param.name: blob})
         lat = []
         t_end = time.perf_counter() + min(args.seconds, 5.0)
         while time.perf_counter() < t_end:
@@ -97,7 +99,7 @@ def main():
     # -- open-loop concurrent clients ----------------------------------------
     srv = InferenceServer(compiled, buckets=buckets, max_delay_ms=2.0).start()
     try:
-        srv.infer({param.name: blob})  # warm path
+        srv.infer({param.name: blob})  # buckets already compiled above
         stop = threading.Event()
         counts = [0] * args.clients
 

@@ -99,7 +99,13 @@ class InferenceServer:
 
     # -- lifecycle -----------------------------------------------------------
 
-    def start(self) -> "InferenceServer":
+    def start(self, warmup: bool = False) -> "InferenceServer":
+        """With ``warmup``, compile every batch bucket before accepting
+        traffic — otherwise the first request landing in a cold bucket
+        pays the full jit compile inside its latency (observed: a 30 s
+        compile inside a 10 s load test wrecks every percentile)."""
+        if warmup:
+            self.warmup_buckets()
         with self._lock:
             if self._running:
                 return self
@@ -107,6 +113,25 @@ class InferenceServer:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
         return self
+
+    def warmup_buckets(self):
+        """Run one dummy batch through every bucket size (compiles + caches
+        each jit entry)."""
+        dummy = {
+            n.name: np.zeros(
+                (1,) + tuple(n.outputs[n.out_port].shape), np.float32
+            )
+            for n in self.compiled.model.parameters
+        }
+        for b in self.buckets:
+            batch = {
+                k: np.repeat(v, b, axis=0) for k, v in dummy.items()
+            }
+            out = self.compiled.infer_batch(batch)
+            # host-fetch barrier (block_until_ready is unreliable through
+            # the remote-TPU tunnel)
+            k = next(iter(out))
+            np.asarray(out[k]).ravel()[:1]
 
     def stop(self):
         with self._lock:
