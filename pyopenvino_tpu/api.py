@@ -118,7 +118,25 @@ class ExecutableNetwork:
     ) -> Dict[str, np.ndarray]:
         if self.config.backend == Backend.INTERPRETER:
             return self._get_interpreter().run(inputs, verbose=verbose)
-        return self._get_compiled().infer(inputs, verbose=verbose)
+        compiled = self._get_compiled()
+        if self.expected_result:
+            # golden feature-map comparison on the compiled path too
+            # (reference hook: inference_engine.py:214,284-287) — compare
+            # captured activations by node name, colored like the reference
+            acts = compiled.capture_activations(
+                inputs, list(self.expected_result)
+            )
+            self.last_compare_failures = []
+            for name, want in self.expected_result.items():
+                if name not in acts:
+                    continue  # constant-folded / fused away
+                ok = np.allclose(acts[name], np.asarray(want), rtol=1.0)
+                if verbose:
+                    print(f"  compare {name}: "
+                          f"{'MATCH' if ok else 'MISMATCH'}")
+                if not ok:
+                    self.last_compare_failures.append(name)
+        return compiled.infer(inputs, verbose=verbose)
 
     def infer_batch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         return self._get_compiled().infer_batch(inputs)

@@ -86,3 +86,28 @@ def test_double_start_async_raises(mnist_image):
         r.wait(timeout=120)
     finally:
         exe.close()
+
+
+def test_expected_result_on_compiled_backend(mnist_image):
+    """The reference's golden-comparison hook works on compiled backends
+    too (not just the interpreter)."""
+    ie = IECore()
+    xml, binp = model_paths("mnist")
+    net = ie.read_network(xml, binp)
+    exe = ie.load_network(net, "TPU")
+    name = next(
+        n.name for n in net.model if n.op_type == "Convolution"
+    )
+    # golden = the interpreter's own activation
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    c = compile_model(net.model, Config())
+    golden = c.capture_activations({"conv2d_input": mnist_image}, [name])
+
+    exe.expected_result = {name: golden[name]}
+    exe.infer({"conv2d_input": mnist_image})
+    assert exe.last_compare_failures == []
+
+    exe.expected_result = {name: golden[name] + 1e3}
+    exe.infer({"conv2d_input": mnist_image})
+    assert exe.last_compare_failures == [name]
