@@ -94,3 +94,19 @@ def test_batched_inference(mnist_net, mnist_image):
         np.testing.assert_allclose(
             out[name][b], single[name][0], rtol=1e-4, atol=1e-6
         )
+
+
+def test_uint8_input_blobs(mnist_image):
+    """Raw uint8 pixel blobs are accepted (the Parameter node casts
+    on-device) — 4x less host->device transfer than float32 in serving."""
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from tests.conftest import model_paths
+
+    c = compile_model(read_ir_model(*model_paths("mnist")), Config())
+    u8 = mnist_image.astype(np.uint8)
+    o8 = c({"conv2d_input": u8})
+    o32 = c({"conv2d_input": mnist_image})
+    k = next(iter(o8))
+    np.testing.assert_array_equal(o8[k], o32[k])
