@@ -65,6 +65,7 @@ class ExecutableNetwork:
         self.expected_result = None
         self.capture_node_args = []
         self.num_requests = 1
+        self.last_compare_failures = []
         self._server = None
         self._requests = None
         self._calibration = None
@@ -117,13 +118,19 @@ class ExecutableNetwork:
         self, inputs: Dict[str, np.ndarray], verbose: bool = False
     ) -> Dict[str, np.ndarray]:
         if self.config.backend == Backend.INTERPRETER:
-            return self._get_interpreter().run(inputs, verbose=verbose)
+            it = self._get_interpreter()
+            out = it.run(inputs, verbose=verbose)
+            self.last_compare_failures = list(
+                getattr(it, "last_compare_failures", [])
+            )
+            return out
         compiled = self._get_compiled()
         if self.expected_result:
             # golden feature-map comparison on the compiled path too
-            # (reference hook: inference_engine.py:214,284-287) — compare
-            # captured activations by node name, colored like the reference
-            acts = compiled.capture_activations(
+            # (reference hook: inference_engine.py:214,284-287).  One
+            # device execution: the capture variant returns the final
+            # results alongside the named activations.
+            out, acts = compiled.infer_with_capture(
                 inputs, list(self.expected_result)
             )
             self.last_compare_failures = []
@@ -136,6 +143,7 @@ class ExecutableNetwork:
                           f"{'MATCH' if ok else 'MISMATCH'}")
                 if not ok:
                     self.last_compare_failures.append(name)
+            return out
         return compiled.infer(inputs, verbose=verbose)
 
     def infer_batch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:

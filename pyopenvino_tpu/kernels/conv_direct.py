@@ -27,9 +27,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from pyopenvino_tpu.kernels.util import round_up
 
 
 def _kernel(*refs, kh, kw, ci, oh, ow, act, has_scale, has_bias, int_path):
@@ -102,8 +100,8 @@ def conv2d_direct(
     hp, wp = xp.shape[1:3]
 
     # lane-pad channels; sublane alignment comes from oh*ow merging
-    cip = _round_up(ci, 128)
-    cop = _round_up(co, 128)
+    cip = round_up(ci, 128)
+    cop = round_up(co, 128)
     tco = min(256, cop)
     if cip != ci:
         xp = jnp.pad(xp, ((0, 0), (0, 0), (0, 0), (0, cip - ci)))
@@ -158,16 +156,3 @@ def conv2d_direct(
     if cop != co:
         out = out[..., :co]
     return out
-
-
-def fits_vmem(h, w, ci, co, kh, kw, pads, itemsize, budget=10 << 20) -> bool:
-    """Conservative VMEM estimate for the routing policy."""
-    (pt, pb), (pl_, pr) = pads
-    hp, wp = h + pt + pb, w + pl_ + pr
-    cip = _round_up(ci, 128)
-    tco = min(256, _round_up(co, 128))
-    oh, ow = hp - kh + 1, wp - kw + 1
-    x_bytes = hp * wp * cip * itemsize
-    w_bytes = kh * kw * cip * tco * itemsize
-    acc_bytes = oh * ow * tco * 4
-    return x_bytes + w_bytes + 2 * acc_bytes < budget

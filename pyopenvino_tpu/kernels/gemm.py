@@ -29,9 +29,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from pyopenvino_tpu.kernels.util import round_up
 
 
 def _kernel(a_ref, b_ref, scale_ref, bias_ref, out_ref, acc_ref, *, act, nk):
@@ -79,9 +77,9 @@ def _kernel(a_ref, b_ref, scale_ref, bias_ref, out_ref, acc_ref, *, act, nk):
 
 
 def _pick_tiles(m: int, k: int, n: int, sublane: int):
-    tm = min(256, _round_up(m, sublane))
-    tn = min(256, _round_up(n, 128))
-    tk = min(512, _round_up(k, 128))
+    tm = min(256, round_up(m, sublane))
+    tn = min(256, round_up(n, 128))
+    tk = min(512, round_up(k, 128))
     return tm, tk, tn
 
 
@@ -98,7 +96,7 @@ def _fused_gemm_impl(a, b, scale, bias, *, act, out_dtype, interpret, tiles):
     else:
         sublane = 8
     tm, tk, tn = tiles or _pick_tiles(m, k, n, sublane)
-    mp, kp, np_ = _round_up(m, tm), _round_up(k, tk), _round_up(n, tn)
+    mp, kp, np_ = round_up(m, tm), round_up(k, tk), round_up(n, tn)
 
     if (mp, kp) != (m, k):
         a = jnp.pad(a, ((0, mp - m), (0, kp - k)))

@@ -22,9 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from pyopenvino_tpu.kernels.util import round_up
 
 
 def _kernel(boxes_ref, conf_ref, valid_ref, keep_ref, *, threshold, tile):
@@ -74,8 +72,8 @@ def nms_keep_mask(boxes, conf, valid, threshold: float,
     """boxes (P,4) f32, conf (P,) f32, valid (P,) bool →
     keep (P,) bool: valid boxes not suppressed by a better valid box."""
     p = boxes.shape[0]
-    tile = min(512, _round_up(p, 128))
-    pp = _round_up(p, tile)  # tile must divide the padded row count
+    tile = min(512, round_up(p, 128))
+    pp = round_up(p, tile)  # tile must divide the padded row count
     boxes = jnp.pad(boxes.astype(jnp.float32), ((0, pp - p), (0, 0)))
     conf2 = jnp.pad(
         conf.astype(jnp.float32).reshape(-1, 1), ((0, pp - p), (0, 0)),

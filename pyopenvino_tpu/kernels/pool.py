@@ -19,9 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from pyopenvino_tpu.kernels.util import round_up
 
 
 def _pool_kernel(refs, *, kind, kh, kw, sh, sw, oh, ow):
@@ -66,7 +64,13 @@ def pool2d(x, kind, kernel, strides, pads, exclude_pad: bool = True,
     oh = (hp - kh) // sh + 1
     ow = (wp - kw) // sw + 1
 
-    pad_val = -jnp.inf if kind == "max" else 0.0
+    if kind == "max":
+        pad_val = (
+            -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+            else jnp.iinfo(x.dtype).min
+        )
+    else:
+        pad_val = 0.0
     # over-pad so the kernel's contiguous-slice downsampling (i + oh*sh
     # rows, j + ow*sw cols) never reads out of range; the extra positions
     # are only ever in discarded stride slots

@@ -16,9 +16,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from pyopenvino_tpu.kernels.util import round_up
 
 
 def _kernel(x_ref, out_ref, *, valid_cols: int):
@@ -38,9 +36,9 @@ def softmax_rows(x, interpret: bool = False):
     """Softmax over the last axis of a 2-D array."""
     m, n = x.shape
     sublane = 16 if x.dtype == jnp.bfloat16 else 8
-    tm = min(512, _round_up(m, sublane))
-    np_ = _round_up(n, 128)
-    mp = _round_up(m, tm)
+    tm = min(512, round_up(m, sublane))
+    np_ = round_up(n, 128)
+    mp = round_up(m, tm)
     if (mp, np_) != (m, n):
         x = jnp.pad(x, ((0, mp - m), (0, np_ - n)))
     out = pl.pallas_call(

@@ -1,0 +1,6 @@
+"""Shared kernel utilities."""
+
+
+def round_up(x: int, m: int) -> int:
+    """Smallest multiple of m that is >= x."""
+    return -(-x // m) * m

@@ -137,23 +137,17 @@ class Convolution(Op):
         # path; dequant (s_x · s_w[c]) + bias + act run on the f32 epilogue.
         s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
         on_tpu = not ctx.pallas_interpret
-        # TPU routing for full-INT8 (XLA:TPU's integer conv shares the
-        # grouped-conv compile pathology, so everything goes via Pallas):
-        #   * GEMM-shaped 1×1 convs → fused GEMM (kernels/gemm.py);
-        #   * stride-1 spatial convs whose feature map fits VMEM →
-        #     implicit-GEMM direct conv (kernels/conv_direct.py — no patch
-        #     materialization, int8×int8 MXU);
-        #   * the rest (strided stems, narrow channels) stay on the bf16
-        #     weight-only path — mixed-precision INT8, standard for stems.
-        # Off-TPU, every conv with a calibrated scale runs the lax int8
-        # path (full test coverage of the semantics).
-        # NOTE: routing stride-1 spatial convs through the implicit-GEMM
-        # direct kernel (kernels/conv_direct.py) was measured SLOWER than
-        # the mixed-precision fallback at batch (3.9k vs 7.1k img/s on
-        # GoogLeNet INT8_FULL — the per-co-tile feature-map revisit loses
-        # to XLA's pipelined conv), so spatial convs stay bf16 here; the
-        # kernel remains available and chip-validated for direct use.
-        use_direct = False
+        # TPU routing for full-INT8: only GEMM-shaped 1×1 convs run
+        # int8×int8, via the Pallas fused GEMM (XLA:TPU's integer conv
+        # shares the grouped-conv compile pathology); strided stems and
+        # spatial/narrow convs stay on the bf16 weight-only path —
+        # mixed-precision INT8, standard practice for stems.  Routing
+        # stride-1 spatial convs through the implicit-GEMM direct kernel
+        # (kernels/conv_direct.py) was measured SLOWER at batch (3.9k vs
+        # 7.1k img/s GoogLeNet INT8_FULL — the per-co-tile feature-map
+        # revisit loses to XLA's pipelined conv), so that chip-validated
+        # kernel stays library-only.  Off-TPU, every conv with a
+        # calibrated scale runs the lax int8 path (full test coverage).
         int8_ok = (not on_tpu) or (kh == kw == 1 and co >= 128 and ci >= 64)
         if s_x is not None and tv_w.qscale is not None and int8_ok:
             import jax.numpy as jnp
@@ -165,24 +159,13 @@ class Convolution(Op):
             ).astype(jnp.int8)
             w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
             if on_tpu:
-                if use_direct:
-                    from pyopenvino_tpu.kernels.conv_direct import (
-                        conv2d_direct,
-                    )
+                from pyopenvino_tpu.kernels.conv import conv2d_fused
 
-                    out = conv2d_direct(
-                        xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
-                        pads=pad.pads, out_dtype=compute_dtype,
-                        interpret=False,
-                    )
-                else:
-                    from pyopenvino_tpu.kernels.conv import conv2d_fused
-
-                    out = conv2d_fused(
-                        xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
-                        strides=(sh, sw), dilations=(dh, dw), pads=pad.pads,
-                        out_dtype=compute_dtype, interpret=False,
-                    )
+                out = conv2d_fused(
+                    xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
+                    strides=(sh, sw), dilations=(dh, dw), pads=pad.pads,
+                    out_dtype=compute_dtype, interpret=False,
+                )
                 return {node.out_port: TValue(out, "CL")}
             w_hwio = jnp.transpose(tv_w.arr, (2, 3, 1, 0))  # int8 HWIO
             acc = lax.conv_general_dilated(

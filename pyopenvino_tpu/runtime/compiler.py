@@ -460,10 +460,10 @@ class CompiledNetwork:
 
     # -- per-layer debugging --------------------------------------------------
 
-    def capture_activations(self, inputs, names) -> Dict[str, np.ndarray]:
-        """Run one inference returning {node_name: activation} for the named
-        nodes (logical NCHW layout) — per-layer debugging on the compiled
-        path without falling back to the interpreter."""
+    def infer_with_capture(self, inputs, names):
+        """One device execution returning (results, {node_name: activation})
+        for the named nodes (logical NCHW layout) — per-layer debugging on
+        the compiled path without falling back to the interpreter."""
         import jax
 
         key = frozenset(names)
@@ -471,10 +471,18 @@ class CompiledNetwork:
             self._capture_cache = {}
         if key not in self._capture_cache:
             self._capture_cache[key] = jax.jit(self._build_fn(capture=key))
-        _, captured = self._capture_cache[key](
+        outputs, captured = self._capture_cache[key](
             self.weights, self._prep_inputs(inputs)
         )
-        return {k: np.asarray(v) for k, v in captured.items()}
+        return (
+            {k: np.asarray(v) for k, v in outputs.items()},
+            {k: np.asarray(v) for k, v in captured.items()},
+        )
+
+    def capture_activations(self, inputs, names) -> Dict[str, np.ndarray]:
+        """{node_name: activation} for the named nodes (see
+        infer_with_capture, which also returns the results)."""
+        return self.infer_with_capture(inputs, names)[1]
 
     def verify_against_interpreter(
         self, inputs, names=None, rtol=1e-3, atol=1e-4
