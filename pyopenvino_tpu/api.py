@@ -133,15 +133,14 @@ class ExecutableNetwork:
             out, acts = compiled.infer_with_capture(
                 inputs, list(self.expected_result)
             )
+            from pyopenvino_tpu.utils.compare import compare_golden
+
             self.last_compare_failures = []
             for name, want in self.expected_result.items():
                 if name not in acts:
                     continue  # constant-folded / fused away
-                ok = np.allclose(acts[name], np.asarray(want), rtol=1.0)
-                if verbose:
-                    print(f"  compare {name}: "
-                          f"{'MATCH' if ok else 'MISMATCH'}")
-                if not ok:
+                if not compare_golden(name, acts[name], want, rtol=1.0,
+                                      verbose=verbose):
                     self.last_compare_failures.append(name)
             return out
         return compiled.infer(inputs, verbose=verbose)
@@ -168,9 +167,12 @@ class ExecutableNetwork:
         if self._server is None:
             from pyopenvino_tpu.serving import InferenceServer
 
+            # warmup=True: pre-compile every batch bucket so the first
+            # async request in a cold bucket doesn't pay the jit compile
+            # inside its latency (serving/server.py start docstring).
             self._server = InferenceServer(
                 self._get_compiled(), buckets=self.config.batch_buckets
-            ).start()
+            ).start(warmup=True)
         return self._server
 
     def close(self):

@@ -8,9 +8,10 @@ instead of building and ``eval``-ing a Python expression string
 (StridedSlice.py:14-23), and supports shrink/new-axis masks.
 
 In the compiled path these ops run on *logical* NCHW values; in the shipped
-models they all sit on tiny shape tensors that the constant-folding pass
-(passes/const_fold.py) removes from the runtime graph entirely, exactly the
-opportunity noted in SURVEY.md §3.5.
+models they all sit on tiny shape tensors that constant folding (value
+propagation in passes/shape_infer.py + runtime/compiler.py _find_folded_nodes)
+removes from the runtime graph entirely, exactly the opportunity noted in
+SURVEY.md §3.5.
 """
 
 from __future__ import annotations

@@ -62,7 +62,12 @@ def _weight_pspec(model, key: str, arr, model_axis_size: int):
             return P(*spec)
         return P()
 
-    nid = int(key.split(".")[0])
+    head = key.split(".")[0]
+    if not head.isdigit():
+        # 'folded.<src>.<port>' entries are statically-computed activations
+        # (runtime/compiler.py _build_weights), not op weights — replicate.
+        return P()
+    nid = int(head)
     for _, dst, dport in model.out_edges[nid]:
         consumer = model.nodes[dst]
         if dport != 1:

@@ -82,10 +82,12 @@ class Interpreter:
             for port, arr in outs.items():
                 store[(node.id, port)] = arr
                 if self.expected_result and node.name in self.expected_result:
-                    want = self.expected_result[node.name]
-                    ok = np.allclose(arr, want, rtol=self.expected_rtol)
-                    if verbose:
-                        print(f"  compare {node.name}: {'MATCH' if ok else 'MISMATCH'}")
+                    from pyopenvino_tpu.utils.compare import compare_golden
+
+                    ok = compare_golden(
+                        node.name, arr, self.expected_result[node.name],
+                        rtol=self.expected_rtol, verbose=verbose,
+                    )
                     if not ok:
                         compare_failures.append(node.name)
 

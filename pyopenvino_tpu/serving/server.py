@@ -44,9 +44,19 @@ class ServerStats:
     )
 
     def percentile(self, p: float) -> float:
-        if not self.latencies_ms:
+        # the scheduler thread appends concurrently; list() on a mutating
+        # deque can raise, so snapshot with a bounded retry
+        for _ in range(8):
+            try:
+                snap = list(self.latencies_ms)
+                break
+            except RuntimeError:
+                continue
+        else:
+            snap = []
+        if not snap:
             return 0.0
-        return float(np.percentile(np.asarray(self.latencies_ms), p))
+        return float(np.percentile(np.asarray(snap), p))
 
     @property
     def p50_ms(self) -> float:

@@ -68,6 +68,9 @@ def replay(args):
     class _Ctx:
         config = Config()
         use_pallas = False
+        full_int8 = False
+        # fixtures replay on CPU; Pallas routes (if any) use interpret mode
+        pallas_interpret = True
 
         @property
         def compute_dtype(self):
@@ -75,6 +78,9 @@ def replay(args):
 
         def weight_for(self, node, tv):
             return tv.arr
+
+        def act_scale(self, node):
+            return None
 
     failures = 0
     for fx in fixtures:
