@@ -97,6 +97,31 @@ def check(model_name, out, declared, reference_out):
     return failures
 
 
+def accuracy_section(images_n: int = 4):
+    """INT8w / INT8-FULL accuracy deltas vs FP32 per model (the BASELINE.md
+    gate table — tools/accuracy.py is the full standalone harness)."""
+    from tools.accuracy import (
+        MODELS as ACC_MODELS, eval_images, run_model, score_cls, score_det,
+    )
+
+    print(f"\n{'model':<24} {'mode':<9} {'metric':<10} {'value':>8} "
+          f"{'Δ vs fp32':>10}")
+    for model_name, (in_name, _shape, kind) in sorted(ACC_MODELS.items()):
+        images = eval_images(model_name, images_n)
+        calibration = [{in_name: b} for b in list(images.values())[:4]]
+        ref = run_model(model_name, "fp32", images, calibration)
+        for mode in ("int8w", "int8full"):
+            out = run_model(model_name, mode, images, calibration)
+            if kind == "cls":
+                val, delta = score_cls(ref, out)
+                metric = "top-1 %"
+            else:
+                val, delta = score_det(ref, out)
+                metric = "mAP"
+            print(f"{model_name:<24} {mode:<9} {metric:<10} {val:>8.2f} "
+                  f"{delta:>10.2f}")
+
+
 def main():
     import argparse
 
@@ -104,6 +129,9 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "auto", "tpu"],
                     help="cpu (default) keeps the matrix deterministic and "
                     "off the shared TPU tunnel")
+    ap.add_argument("--accuracy", action="store_true",
+                    help="append the INT8 accuracy-delta table "
+                    "(tools/accuracy.py harness)")
     args = ap.parse_args()
 
     from pyopenvino_tpu.utils import select_device
@@ -130,6 +158,8 @@ def main():
                 total_failures.extend(
                     (model_name, backend, quant, f) for f in fails
                 )
+    if args.accuracy:
+        accuracy_section()
     if total_failures:
         print(f"\n{len(total_failures)} failure(s)")
         sys.exit(1)

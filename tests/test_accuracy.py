@@ -1,0 +1,115 @@
+"""Accuracy-metric unit tests (pyopenvino_tpu/metrics.py) and a small
+end-to-end gate run — the harness behind the BASELINE.md accuracy gates
+(reference semantic pins: integrity_test.py:108, :133-152)."""
+
+import numpy as np
+import pytest
+
+from pyopenvino_tpu.metrics import (
+    average_precision,
+    coco_map,
+    detections_as_gt,
+    parse_detection_records,
+    top1_accuracy,
+    top1_agreement,
+    topk_labels,
+)
+
+
+def test_topk_and_accuracy():
+    logits = np.array([[0.1, 0.9, 0.0], [0.5, 0.2, 0.3]])
+    assert topk_labels(logits, 2).tolist() == [[1, 0], [0, 2]]
+    assert top1_accuracy(logits, [1, 0]) == 1.0
+    assert top1_accuracy(logits, [1, 2]) == 0.5
+    assert top1_agreement(logits, logits) == 1.0
+
+
+def test_parse_detection_records_terminator():
+    rec = np.zeros((1, 1, 5, 7), np.float32)
+    rec[0, 0, 0] = [0, 3, 0.9, 0.1, 0.1, 0.5, 0.5]
+    rec[0, 0, 1] = [1, 7, 0.6, 0.2, 0.2, 0.4, 0.4]
+    rec[0, 0, 2] = [-1, 0, 0, 0, 0, 0, 0]
+    rec[0, 0, 3] = [3, 9, 0.5, 0, 0, 1, 1]  # after terminator: ignored
+    dets = parse_detection_records(rec)
+    assert len(dets) == 2
+    assert dets[0][0] == 3 and abs(dets[0][1] - 0.9) < 1e-6
+
+
+def test_perfect_detections_map_100():
+    gt = {"a": [(1, (0.0, 0.0, 0.5, 0.5)), (2, (0.5, 0.5, 1.0, 1.0))]}
+    det = {
+        "a": [(1, 0.9, (0.0, 0.0, 0.5, 0.5)), (2, 0.8, (0.5, 0.5, 1.0, 1.0))]
+    }
+    assert coco_map(gt, det) == pytest.approx(100.0)
+
+
+def test_missed_detection_lowers_map():
+    gt = {"a": [(1, (0.0, 0.0, 0.5, 0.5)), (1, (0.6, 0.6, 1.0, 1.0))]}
+    det = {"a": [(1, 0.9, (0.0, 0.0, 0.5, 0.5))]}  # second GT missed
+    m = coco_map(gt, det)
+    assert 40.0 < m < 60.0  # recall capped at 0.5
+
+
+def test_false_positive_above_tp_lowers_ap():
+    gt = {"a": [(1, (0.0, 0.0, 0.5, 0.5))]}
+    det_clean = {"a": [(1, 0.9, (0.0, 0.0, 0.5, 0.5))]}
+    det_fp = {
+        "a": [
+            (1, 0.95, (0.7, 0.7, 0.9, 0.9)),  # confident FP outranks the TP
+            (1, 0.9, (0.0, 0.0, 0.5, 0.5)),
+        ]
+    }
+    assert coco_map(gt, det_fp) < coco_map(gt, det_clean)
+
+
+def test_localization_precision_drops_high_iou_ap():
+    gt = {"a": [(1, (0.0, 0.0, 0.50, 0.50))]}
+    det = {"a": [(1, 0.9, (0.02, 0.02, 0.52, 0.52))]}  # IoU ≈ 0.85
+    assert average_precision(gt, det, 1, 0.5) == pytest.approx(1.0)
+    assert average_precision(gt, det, 1, 0.95) == pytest.approx(0.0)
+
+
+def test_each_gt_matched_once():
+    """Two detections on one GT: second is a false positive."""
+    gt = {"a": [(1, (0.0, 0.0, 0.5, 0.5))]}
+    det = {
+        "a": [
+            (1, 0.9, (0.0, 0.0, 0.5, 0.5)),
+            (1, 0.8, (0.01, 0.0, 0.51, 0.5)),
+        ]
+    }
+    ap = average_precision(gt, det, 1, 0.5)
+    assert 0.9 < ap <= 1.0  # precision dips but the GT is found at rank 1
+
+
+def test_detections_as_gt_drops_conf():
+    det = {"a": [(5, 0.7, (0.0, 0.0, 1.0, 1.0))]}
+    assert detections_as_gt(det) == {"a": [(5, (0.0, 0.0, 1.0, 1.0))]}
+
+
+def test_end_to_end_mnist_int8_agreement():
+    """INT8 weight-only MNIST agrees with FP32 on top-1 for the eval set
+    (the classification half of the gate table, real shipped weights)."""
+    from tools.accuracy import MODELS, eval_images, run_model, score_cls
+
+    images = eval_images("mnist", 4)
+    in_name = MODELS["mnist"][0]
+    ref = run_model("mnist", "fp32", images, None)
+    out = run_model("mnist", "int8w", images, None)
+    val, delta = score_cls(ref, out)
+    assert delta <= 0.5, (val, delta)
+
+
+def test_ssd_synthetic_weights_sparse_detections():
+    """gen_weights' class-head synthesis produces a realistic sparse,
+    confidence-ranked record table (not a saturated top-100 of conf≈0.98)."""
+    from tools.accuracy import MODELS, eval_images, run_model
+
+    images = eval_images("ssd_mobilenet_v1_coco", 2)
+    out = run_model("ssd_mobilenet_v1_coco", "fp32", images, None)
+    for o in out.values():
+        dets = parse_detection_records(next(iter(o.values())))
+        assert 3 <= len(dets) < 100, len(dets)
+        confs = [c for _, c, _ in dets]
+        assert confs == sorted(confs, reverse=True)
+        assert max(confs) < 0.99 and min(confs) >= 0.3

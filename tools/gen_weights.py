@@ -101,8 +101,58 @@ def _int_const_value(model: Model, nodes, shape) -> np.ndarray:
     return np.ones(n_elem, dtype=np.int64)
 
 
-def _float_const_value(model: Model, node: Node, shape, rng) -> np.ndarray:
+def _class_head_roles(model: Model) -> dict:
+    """{const node id: 'cls_w' | 'cls_b'} for the consts feeding an SSD
+    class-prediction head (everything upstream of DetectionOutput's class
+    input, port 1, up to the producing Convolutions).
+
+    Plain He-init weights saturate the sigmoid'ed class scores (~half the
+    1917×91 logits land above 0, so max-over-91-classes ≈ 1.0 for every
+    prior and the record table degenerates to a full top-100 of conf≈0.98 —
+    useless for NMS realism or accuracy evaluation).  Real detector heads
+    see a background sea: the head biases get a strongly negative mean with
+    per-channel spread so detections are sparse and confidence-ranked."""
+    roles: dict = {}
+    for do in model.find_by_type("DetectionOutput"):
+        if 1 not in model.in_edges[do.id]:
+            continue
+        stack = [model.in_edges[do.id][1][0]]
+        seen = set()
+        while stack:
+            src = stack.pop()
+            if src in seen:
+                continue
+            seen.add(src)
+            node = model.nodes[src]
+            if node.op_type in ("Convolution", "GroupConvolution", "MatMul"):
+                w_src = model.in_edges[src].get(1)
+                if w_src and model.nodes[w_src[0]].op_type == "Const":
+                    roles[w_src[0]] = "cls_w"
+                continue  # stop — don't descend into the shared backbone
+            if node.op_type == "Const":
+                continue
+            for port, (s, _sp) in model.in_edges[src].items():
+                if node.op_type == "Add" and model.nodes[s].op_type == "Const":
+                    roles[s] = "cls_b"
+                else:
+                    stack.append(s)
+    return roles
+
+
+def _float_const_value(model: Model, node: Node, shape, rng,
+                       roles: Optional[dict] = None) -> np.ndarray:
     """Scaled random floats keyed to the consumer's role."""
+    role = (roles or {}).get(node.id)
+    if role == "cls_b":
+        # background-sea bias: most class logits deeply negative, a thin
+        # per-channel tail crossing the confidence threshold
+        # background sea with a thin hot-channel tail: tuned so, over
+        # 1917 priors × 90 foreground classes, a few dozen logits cross the
+        # 0.3 confidence threshold and a handful reach high confidence —
+        # the regime a trained detector actually produces
+        bias = rng.normal(-10.5, 1.2, size=shape)
+        hot = rng.random(size=shape) < 0.008
+        return bias + hot * rng.normal(6.0, 2.0, size=shape)
     for _, dst, dport in model.out_edges[node.id]:
         consumer = model.nodes[dst]
         if consumer.op_type in ("Convolution", "GroupConvolution") and dport == 1:
@@ -130,6 +180,7 @@ def generate_weights(model: Model, seed: int = 0) -> bytes:
         groups.setdefault((offset, size), []).append(node)
         total = max(total, offset + size)
 
+    roles = _class_head_roles(model)
     blob = bytearray(total)
     for (offset, size), nodes in groups.items():
         node = nodes[0]
@@ -139,7 +190,7 @@ def generate_weights(model: Model, seed: int = 0) -> bytes:
         )
         rng = np.random.default_rng(seed * 1_000_003 + offset)
         if np.issubdtype(dtype, np.floating):
-            arr = _float_const_value(model, node, shape, rng).astype(dtype)
+            arr = _float_const_value(model, node, shape, rng, roles).astype(dtype)
         else:
             arr = _int_const_value(model, nodes, shape).astype(dtype)
             arr = arr.reshape(shape) if shape else arr.reshape(())
