@@ -71,5 +71,13 @@ class Config:
     # Compute dtype for the XLA/Pallas path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
 
+    # Depthwise convolution emission.  "native" = XLA feature_group_count
+    # conv (fastest: ~5x the shifted-MAC on TPU v5e, re-measured after the
+    # 2026-08 stack update fixed the grouped-conv compile hang).
+    # "shifted_mac" = kh*kw shifted multiply-accumulates, the round-1
+    # workaround for backends where grouped-conv compilation pathologically
+    # hangs (kept as an escape hatch).
+    depthwise_mode: str = "native"
+
     def replace(self, **kw) -> "Config":
         return dataclasses.replace(self, **kw)

@@ -135,21 +135,14 @@ class Convolution(Op):
         # Full-INT8: quantize the activation with its calibrated per-tensor
         # scale and run int8×int8 → int32 on the MXU's double-rate integer
         # path; dequant (s_x · s_w[c]) + bias + act run on the f32 epilogue.
+        # Native lax int8 convs are used for EVERY conv shape — the XLA:TPU
+        # integer-conv compile hang that forced round 1 onto a Pallas-GEMM-
+        # only 1×1 route is fixed in the current stack (re-measured; the
+        # shifted-MAC/conv_direct detours are retired; conv_direct.py stays
+        # as library code).  int8 activations halve the HBM bytes of every
+        # bandwidth-bound layer, which is where SSD/MobileNet lives.
         s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
-        on_tpu = not ctx.pallas_interpret
-        # TPU routing for full-INT8: only GEMM-shaped 1×1 convs run
-        # int8×int8, via the Pallas fused GEMM (XLA:TPU's integer conv
-        # shares the grouped-conv compile pathology); strided stems and
-        # spatial/narrow convs stay on the bf16 weight-only path —
-        # mixed-precision INT8, standard practice for stems.  Routing
-        # stride-1 spatial convs through the implicit-GEMM direct kernel
-        # (kernels/conv_direct.py) was measured SLOWER at batch (3.9k vs
-        # 7.1k img/s GoogLeNet INT8_FULL — the per-co-tile feature-map
-        # revisit loses to XLA's pipelined conv), so that chip-validated
-        # kernel stays library-only.  Off-TPU, every conv with a
-        # calibrated scale runs the lax int8 path (full test coverage).
-        int8_ok = (not on_tpu) or (kh == kw == 1 and co >= 128 and ci >= 64)
-        if s_x is not None and tv_w.qscale is not None and int8_ok:
+        if s_x is not None and tv_w.qscale is not None:
             import jax.numpy as jnp
             from jax import lax
 
@@ -158,15 +151,6 @@ class Convolution(Op):
                 jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
             ).astype(jnp.int8)
             w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
-            if on_tpu:
-                from pyopenvino_tpu.kernels.conv import conv2d_fused
-
-                out = conv2d_fused(
-                    xq, tv_w.arr, scale=w_scale, bias=bias, act=act,
-                    strides=(sh, sw), dilations=(dh, dw), pads=pad.pads,
-                    out_dtype=compute_dtype, interpret=False,
-                )
-                return {node.out_port: TValue(out, "CL")}
             w_hwio = jnp.transpose(tv_w.arr, (2, 3, 1, 0))  # int8 HWIO
             acc = lax.conv_general_dilated(
                 xq, w_hwio,
@@ -254,44 +238,63 @@ class GroupConvolution(Op):
     ) -> Dict[int, TValue]:
         """Grouped/depthwise conv + fused bias/act tail.
 
-        Depthwise (Ci == Co == 1 per group) is emitted as kh·kw shifted
-        multiply-accumulates over the channels-last layout — pure VPU
-        elementwise work that XLA fuses into one pass.  This is both the
-        natural TPU mapping (no MXU reuse exists across channels) and a
-        hard requirement here: XLA:TPU's feature_group_count conv path
-        pathologically fails to compile at batch > 1 on this backend
-        (measured: a single depthwise conv at batch 32 exceeds a 9-minute
-        compile budget; the shifted-MAC form compiles in seconds).
-        General grouped conv (rare; none of the four models use it) stays
-        on conv_general_dilated."""
+        Default: native ``feature_group_count`` conv — measured ~5x faster
+        than the shifted-MAC form on TPU v5e (1.13 ms vs 5.8 ms for the
+        SSD 64ch-150x150-s2 layer at batch 32) now that the grouped-conv
+        compile hang of the earlier stack is fixed.  Config.depthwise_mode
+        = "shifted_mac" restores the round-1 workaround (kh·kw shifted
+        multiply-accumulates on the VPU) for backends where the hang
+        recurs.  Full-INT8: int8×int8 grouped conv with the calibrated
+        activation scale — depthwise is HBM-bound, so int8 activations
+        halve its cost ceiling."""
         import jax.numpy as jnp
         from jax import lax
 
         x = inputs[0].nhwc()
         (sh, sw), (dh, dw) = _conv_attrs(node)
-        w = ctx.weight_for(node, inputs[1])  # (G, Co, Ci, Kh, Kw)
-        g, co, ci, kh, kw = w.shape
+        tv_w = inputs[1]
+        g, co, ci, kh, kw = tv_w.shape
         pad = conv_padding(node.attrs, inputs[0].shape[2:], (kh, kw))
 
-        if co == 1 and ci == 1:  # pure depthwise
+        def grouped_conv(xin, w_hwio, preferred):
+            return lax.conv_general_dilated(
+                xin, w_hwio,
+                window_strides=(sh, sw), padding=pad.pads,
+                rhs_dilation=(dh, dw),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=g,
+                preferred_element_type=preferred,
+                precision=(lax.Precision.HIGHEST
+                           if xin.dtype == jnp.float32
+                           else lax.Precision.DEFAULT),
+            )
+
+        s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        if s_x is not None and tv_w.qscale is not None:
+            compute_dtype = x.dtype
+            xq = jnp.clip(
+                jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
+            ).astype(jnp.int8)
+            # (G, Co, Ci, Kh, Kw) int8 → HWIO with O = G*Co
+            w_hwio = jnp.transpose(
+                tv_w.arr.reshape(g * co, ci, kh, kw), (2, 3, 1, 0)
+            )
+            acc = grouped_conv(xq, w_hwio, jnp.int32)
+            w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
+            out = acc.astype(jnp.float32) * w_scale.reshape(1, 1, 1, -1)
+            out = _epilogue(out, bias, act)
+            return {node.out_port: TValue(out.astype(compute_dtype), "CL")}
+
+        w = ctx.weight_for(node, tv_w)  # (G, Co, Ci, Kh, Kw)
+        mode = getattr(
+            getattr(ctx, "config", None), "depthwise_mode", "native"
+        )
+        if co == 1 and ci == 1 and mode == "shifted_mac":
             out = _depthwise_shifted_mac(
                 x, w.astype(x.dtype), (sh, sw), (dh, dw), pad.pads
             )
         else:
-            # feature_group_count expects OIHW with O = G*Co, I = Ci
             w_hwio = jnp.transpose(w.reshape(g * co, ci, kh, kw), (2, 3, 1, 0))
-            out = lax.conv_general_dilated(
-                x,
-                w_hwio.astype(x.dtype),
-                window_strides=(sh, sw),
-                padding=pad.pads,
-                rhs_dilation=(dh, dw),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                feature_group_count=g,
-                preferred_element_type=jnp.float32,
-                precision=(lax.Precision.HIGHEST
-                           if x.dtype == jnp.float32
-                           else lax.Precision.DEFAULT),
-            )
+            out = grouped_conv(x, w_hwio.astype(x.dtype), jnp.float32)
         out = _epilogue(out, bias, act)
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}

@@ -335,6 +335,120 @@ def detection_output_jax(
     return out.reshape(out_shape).astype(jnp.float32)
 
 
+def detection_output_jax_batched(box_logits, class_pred, proposals, p,
+                                 row_tile: int = 64):
+    """Batched fixed-shape DetectionOutput: all leading-axis examples in one
+    device pass.  The O(P²) suppression runs as a lax.scan over row tiles so
+    peak memory is B·tile·P (≈ 63 MB at B=128, tile=64, P=1917) instead of
+    the B·P²·3 (~45 GB) a naive vmap lift would materialize — that blowup is
+    why round 1 fell back to mapping examples sequentially (2.1 ms of the
+    SSD batch-32 step, measured via runtime/profiling.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    B = box_logits.shape[0]
+    prior_box_size = 4 if p["normalized"] else 5
+    P = proposals.shape[-1] // prior_box_size
+    nc = p["num_classes"]
+
+    logits = box_logits.reshape(B, P, 4).astype(jnp.float32)
+    scores = class_pred.reshape(B, P, nc)
+    # per-example anchors (in the engine they are a broadcast compile-time
+    # constant, but the function honors per-example proposals)
+    props = proposals.reshape(B, 2, P, prior_box_size).astype(jnp.float32)
+    boxes_p = props[:, 0]                                  # (B, P, pbs)
+    boxes_v = props[:, 1]
+
+    cls = jnp.argmax(scores, axis=2)                       # (B, P)
+    conf = jnp.take_along_axis(scores, cls[..., None], axis=2)[..., 0]
+    valid = (conf > p["confidence_threshold"]) & (cls != 0)
+
+    offset = 0 if p["normalized"] else 1
+
+    def decode_one(pb, lg, vr):
+        return _decode(jnp, pb[:, offset:offset + 4], lg, vr, p)
+
+    decoded = jax.vmap(decode_one)(boxes_p, logits, boxes_v)  # (B, P, 4)
+    if p["clip_before_nms"]:
+        decoded = jnp.clip(decoded, 0.0, 1.0)
+
+    # --- tiled batched suppression ---
+    PP = ((P + row_tile - 1) // row_tile) * row_tile
+    dec_pad = jnp.pad(decoded, ((0, 0), (0, PP - P), (0, 0)))
+    conf_pad = jnp.pad(conf, ((0, 0), (0, PP - P)),
+                       constant_values=-jnp.inf)
+    idx = jnp.arange(P)
+
+    area_all = (decoded[..., 2] - decoded[..., 0]) * (
+        decoded[..., 3] - decoded[..., 1])                 # (B, P)
+
+    def tile_step(_, r0):
+        rows = jax.lax.dynamic_slice(
+            dec_pad, (0, r0, 0), (B, row_tile, 4))         # (B, T, 4)
+        conf_rows = jax.lax.dynamic_slice(
+            conf_pad, (0, r0), (B, row_tile))              # (B, T)
+        x0 = jnp.maximum(rows[..., 0:1], decoded[..., None, :, 0])
+        y0 = jnp.maximum(rows[..., 1:2], decoded[..., None, :, 1])
+        x1 = jnp.minimum(rows[..., 2:3], decoded[..., None, :, 2])
+        y1 = jnp.minimum(rows[..., 3:4], decoded[..., None, :, 3])
+        w = x1 - x0
+        h = y1 - y0
+        inter = jnp.where((w < 0) | (h < 0), 0.0, w * h)   # (B, T, P)
+        area_r = (rows[..., 2] - rows[..., 0]) * (rows[..., 3] - rows[..., 1])
+        union = area_r[..., None] + area_all[:, None, :] - inter
+        iou = inter / union
+        row_ids = r0 + jnp.arange(row_tile)
+        j_less = idx[None, :] < row_ids[:, None]           # (T, P)
+        beats = (conf[:, None, :] > conf_rows[..., None]) | (
+            (conf[:, None, :] == conf_rows[..., None]) & j_less[None]
+        )
+        overlap = (iou > p["nms_threshold"]) & (
+            idx[None, None, :] != row_ids[None, :, None])
+        kill = jnp.any(overlap & beats & valid[:, None, :], axis=2)
+        return None, kill                                  # (B, T)
+
+    _, kills = jax.lax.scan(
+        tile_step, None, jnp.arange(0, PP, row_tile))      # (nt, B, T)
+    kill = jnp.transpose(kills, (1, 0, 2)).reshape(B, PP)[:, :P]
+    keep = valid & ~kill
+
+    if p["clip_after_nms"]:
+        decoded = jnp.clip(decoded, 0.0, 1.0)
+
+    out_shape = _output_shape(p, P)
+    max_record = out_shape[2]
+    num_keep = keep.sum(axis=1)                            # (B,)
+
+    order = jnp.argsort(jnp.where(keep, -conf, jnp.inf), axis=1,
+                        stable=True)                       # (B, P)
+    top = order[:, :max_record]                            # (B, K)
+    rank = jnp.arange(max_record)
+    is_det = rank[None, :] < jnp.minimum(num_keep, max_record)[:, None]
+    is_term = rank[None, :] == num_keep[:, None]
+
+    take = lambda a: jnp.take_along_axis(a, top, axis=1)
+    dec_top = jnp.take_along_axis(decoded, top[..., None], axis=1)
+    records = jnp.stack(
+        [
+            jnp.broadcast_to(rank[None, :], (B, max_record)).astype(
+                jnp.float32),
+            take(cls).astype(jnp.float32),
+            take(conf).astype(jnp.float32),
+            dec_top[..., 0], dec_top[..., 1],
+            dec_top[..., 2], dec_top[..., 3],
+        ],
+        axis=2,
+    )                                                      # (B, K, 7)
+    term = jnp.concatenate(
+        [jnp.full((max_record, 1), -1.0), jnp.zeros((max_record, 6))], axis=1
+    )
+    out = jnp.where(
+        is_det[..., None], records,
+        jnp.where(is_term[..., None], term[None], 0.0),
+    )
+    return out.reshape((B,) + out_shape).astype(jnp.float32)
+
+
 @register
 class DetectionOutput(Op):
     type_name = "DetectionOutput"
@@ -370,12 +484,15 @@ import functools  # noqa: E402
 
 @functools.lru_cache(maxsize=None)
 def _batched_do(p_items, pallas_nms: bool = False, interpret: bool = False):
-    """custom_vmap wrapper: under the compiler's batch-N vmap, map examples
-    *sequentially* through the NMS instead of lifting it — a batched lift
-    materializes batch × P × P IoU/suppression matrices at once (1917² f32
-    per example ≈ 15 MB ×3 masks; hundreds of examples blow HBM and crush
-    compile time), while the per-example NMS itself is trivial VPU work."""
+    """custom_vmap wrapper: under the compiler's batch-N vmap, run the whole
+    batch through ONE tiled suppression pass (detection_output_jax_batched)
+    instead of lifting the P×P formulation — a naive lift materializes
+    batch × 1917² × 3 suppression masks (tens of GB) at once, while round
+    1's sequential lax.map serialized the postprocess tail (2.1 ms of the
+    SSD batch-32 step).  The row-tiled scan bounds peak memory at
+    B·tile·P while keeping every example in flight."""
     import jax
+    import jax.numpy as jnp
 
     p = dict(p_items)
 
@@ -388,13 +505,10 @@ def _batched_do(p_items, pallas_nms: bool = False, interpret: bool = False):
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):
-        batched = tuple(a for a, b in zip(args, in_batched) if b)
-
-        def one(batched_args):
-            it = iter(batched_args)
-            full = [next(it) if b else a for a, b in zip(args, in_batched)]
-            return fn(*full)
-
-        return jax.lax.map(one, batched), True
+        full = [
+            a if b else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+            for a, b in zip(args, in_batched)
+        ]
+        return detection_output_jax_batched(*full, p), True
 
     return fn

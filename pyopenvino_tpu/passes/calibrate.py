@@ -22,9 +22,10 @@ import numpy as np
 from pyopenvino_tpu.ir.model import Model
 from pyopenvino_tpu.ops import get_op
 
-# ops whose port-0 input gets an activation scale (depthwise GroupConv stays
-# in the float path — it is bandwidth-bound VPU work with no MXU int8 win)
-QUANTIZABLE = ("Convolution", "MatMul")
+# ops whose port-0 input gets an activation scale.  GroupConvolution
+# (depthwise) included: int8 activations halve its HBM bytes — depthwise is
+# bandwidth-bound, so bytes are exactly what it pays for.
+QUANTIZABLE = ("Convolution", "GroupConvolution", "MatMul")
 
 PortKey = Tuple[int, int]  # (consumer node id, consumer port) — always port 0
 

@@ -311,6 +311,12 @@ class CompiledNetwork:
                         if (node.op_type, port) in STATIC_PORTS:
                             continue
                         ins[port] = tv_for(src, sport)
+                    # named scope → HLO metadata → measured per-node cost in
+                    # profile()/runtime/profiling.py (trace-time only; free
+                    # at execution)
+                    import jax
+
+                    scope = jax.named_scope(f"{node.op_type}_{node.id}")
                     if node.id in fusions:
                         f = fusions[node.id]
                         bias = (
@@ -318,10 +324,14 @@ class CompiledNetwork:
                             if f.bias_src is not None
                             else None
                         )
-                        outs = op.emit_fused(ctx, node, ins, bias=bias, act=f.act)
+                        with scope:
+                            outs = op.emit_fused(
+                                ctx, node, ins, bias=bias, act=f.act
+                            )
                         values[f.out_key] = outs[node.out_port]
                     else:
-                        outs = op.emit(ctx, node, ins)
+                        with scope:
+                            outs = op.emit(ctx, node, ins)
                         for port, tv in outs.items():
                             values[(node.id, port)] = tv
                 if capture and node.name in capture:
@@ -550,6 +560,47 @@ class CompiledNetwork:
         return diffs
 
     # -- profiling ------------------------------------------------------------
+
+    def profile(
+        self,
+        inputs: Dict[str, np.ndarray],
+        batch_size: Optional[int] = None,
+        trace_dir: Optional[str] = None,
+    ):
+        """MEASURED per-op cost of one device execution — the compiled-path
+        analogue of the reference's per-node wall-clock printout
+        (inference_engine.py:273-283), via jax.profiler + hlo_stats
+        (runtime/profiling.py).  Returns the raw per-HLO-op rows; aggregate
+        with profiling.aggregate(rows, by='category'|'node').
+
+        inputs: single-example dict, or {name: (B, ...)} with batch_size=B.
+        """
+        import tempfile
+
+        import jax
+
+        if batch_size is not None:
+            fn, args = self.batched_fn(batch_size), (self.weights, inputs)
+        else:
+            fn, args = self._jitted, (self.weights, self._prep_inputs(inputs))
+        out = fn(*args)  # warm: compile outside the trace
+        k = next(iter(out))
+        np.asarray(out[k]).ravel()[:1]  # tunnel-safe barrier
+
+        from pyopenvino_tpu.runtime import profiling
+
+        ctxdir = None
+        if trace_dir is None:
+            ctxdir = tempfile.TemporaryDirectory()
+            trace_dir = ctxdir.name
+        try:
+            with jax.profiler.trace(trace_dir):
+                out = fn(*args)
+                np.asarray(out[k]).ravel()[:1]
+            return profiling.parse_hlo_stats(trace_dir)
+        finally:
+            if ctxdir is not None:
+                ctxdir.cleanup()
 
     def cost_analysis(self) -> Dict[str, float]:
         """XLA's cost model for the whole compiled program (flops, bytes

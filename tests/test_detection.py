@@ -103,3 +103,47 @@ def test_detection_corner_code_type():
     ref = detection_output_ref(logits, scores, proposals, params)
     got = np.asarray(detection_output_jax(logits, scores, proposals, params))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_detection_batched_matches_per_example(seed):
+    """The tiled batched formulation (detection_output_jax_batched, the
+    compiler's vmap rule) must reproduce the per-example result exactly."""
+    from pyopenvino_tpu.ops.ssd import detection_output_jax_batched
+
+    B = 5
+    cases = [_make_case(seed * 10 + i) for i in range(B)]
+    params = cases[0][3]
+    logits = np.stack([c[0] for c in cases])       # (B, 1, P*4)
+    scores = np.stack([c[1] for c in cases])
+    proposals = np.stack([c[2] for c in cases])    # (B, 1, 2, P*pbs)
+
+    got = np.asarray(
+        detection_output_jax_batched(logits, scores, proposals, params)
+    )
+    for i, (lg, sc, pr, _) in enumerate(cases):
+        ref = detection_output_ref(lg, sc, pr, params)
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"example {i}")
+
+
+def test_detection_batched_under_compiler_vmap():
+    """End-to-end: infer_batch on the SSD model routes DetectionOutput
+    through the batched custom_vmap rule and matches per-example infer."""
+    from pyopenvino_tpu.config import Backend, Config
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from tests.conftest import model_paths
+
+    xml, binp = model_paths("ssd_mobilenet_v1_coco")
+    c = compile_model(read_ir_model(xml, binp), Config(backend=Backend.XLA))
+    rng = np.random.default_rng(11)
+    B = 3
+    blobs = rng.uniform(0, 255, (B, 1, 3, 300, 300)).astype(np.float32)
+    batched = c.infer_batch({"image_tensor": blobs})
+    for i in range(B):
+        single = c({"image_tensor": blobs[i]})
+        for k in single:
+            np.testing.assert_allclose(
+                batched[k][i][None], single[k], rtol=1e-3, atol=1e-4,
+                err_msg=f"example {i}")

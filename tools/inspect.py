@@ -47,8 +47,16 @@ def main():
                              "ssd_mobilenet_v1_coco"])
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
-    ap.add_argument("--quant", default="none", choices=["none", "int8w"])
-    ap.add_argument("--device", default="cpu", choices=["cpu", "auto"])
+    ap.add_argument("--quant", default="none",
+                    choices=["none", "int8w", "int8full"])
+    ap.add_argument("--device", default="cpu",
+                    choices=["cpu", "auto", "tpu"])
+    ap.add_argument("--profile", action="store_true",
+                    help="run one device execution under jax.profiler and "
+                    "print MEASURED per-op-category and per-node cost "
+                    "(device time, bound-by) — runtime/profiling.py")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="profile at this batch size (default: single)")
     args = ap.parse_args()
 
     from pyopenvino_tpu.utils import select_device
@@ -99,6 +107,51 @@ def main():
               f"bytes={ca.get('bytes accessed', 0):,.0f}")
     except Exception as e:  # noqa: BLE001
         print(f"  cost analysis unavailable: {e}")
+
+    if args.profile:
+        from pyopenvino_tpu.runtime import profiling
+
+        if args.quant == "int8full":
+            cfg = Config(backend=cfg.backend, quant=QuantMode.INT8_FULL)
+            rng0 = np.random.default_rng(1)
+            samples = [
+                {
+                    p.name: rng0.uniform(
+                        0, 255, p.outputs[p.out_port].shape
+                    ).astype(np.float32)
+                    for p in model.parameters
+                }
+                for _ in range(2)
+            ]
+            c = compile_model(model, cfg, calibration_samples=samples)
+
+        rng = np.random.default_rng(0)
+        if args.batch:
+            inputs = {
+                p.name: rng.uniform(
+                    0, 255,
+                    (args.batch,) + tuple(p.outputs[p.out_port].shape),
+                ).astype(np.float32)
+                for p in c.model.parameters
+            }
+        else:
+            inputs = {
+                p.name: rng.uniform(
+                    0, 255, p.outputs[p.out_port].shape
+                ).astype(np.float32)
+                for p in c.model.parameters
+            }
+        rows = c.profile(inputs, batch_size=args.batch)
+        if not rows:
+            print("\nprofile: no hlo_stats rows (backend/profiler "
+                  "unavailable)")
+            return
+        print(f"\nmeasured per-op-category cost "
+              f"(batch={args.batch or 1}):")
+        print(profiling.format_table(profiling.aggregate(rows, "category")))
+        print("\ntop nodes by measured self time:")
+        agg = profiling.aggregate(rows, "node")[:15]
+        print(profiling.format_table(agg, "node"))
 
 
 if __name__ == "__main__":
