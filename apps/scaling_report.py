@@ -49,6 +49,75 @@ def measure(compiled, in_name, shape, batch, iters=10):
     return batch / dt
 
 
+def run_multiprocess(args):
+    """Spawn real jax.distributed processes (tools/mp_worker.py) for 1 and
+    N process groups and report throughput scaling across the process
+    boundary."""
+    import re
+    import socket
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    # single-process reference outputs for correctness checking in workers
+    from pyopenvino_tpu.utils import force_cpu
+
+    force_cpu()
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = _model_paths(args.model)
+    model = read_ir_model(xml, binp)
+    compiled = compile_model(model, Config())
+    param = model.parameters[0]
+    shape = param.outputs[param.out_port].shape
+
+    results = {}
+    for nproc in (1, args.multiprocess):
+        batch = args.batch_per * nproc
+        rng = np.random.default_rng(0)
+        blob = rng.uniform(0, 255, (batch,) + shape).astype(np.float32)
+        ref = compiled.infer_batch({param.name: blob})
+        ref_npz = f"/tmp/scaling_ref_{nproc}.npz"
+        np.savez(ref_npz, **ref)
+
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, "tools/mp_worker.py", str(pid), str(nproc),
+                 str(port), args.model, str(args.batch_per), ref_npz,
+                 "--bench", "10"],
+                cwd=root, env=env, stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            )
+            for pid in range(nproc)
+        ]
+        tputs = []
+        for pid, p in enumerate(procs):
+            out, _ = p.communicate(timeout=600)
+            if p.returncode != 0:
+                print(out)
+                raise SystemExit(f"worker {pid} failed")
+            m = re.search(r"MP_THROUGHPUT \d+ ([\d.]+)", out)
+            tputs.append(float(m.group(1)))
+        results[nproc] = min(tputs)  # collective rate, gated by slowest
+        print(f"processes={nproc:<3} global_batch={batch:<5} "
+              f"{results[nproc]:>10.1f} img/s")
+
+    base, multi = results[1], results[args.multiprocess]
+    eff = multi / (base * args.multiprocess)
+    print(json.dumps({
+        "model": args.model, "mode": "multiprocess", "processes":
+        args.multiprocess, "img_s": round(multi, 1),
+        "efficiency_vs_linear": round(eff, 3),
+    }))
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--devices", type=int, default=8,
@@ -65,7 +134,16 @@ def main():
                     help="auto: virtual CPU mesh when measuring >1 device "
                     "(this rig has one chip); tpu: use real devices as-is "
                     "(pod slices)")
+    ap.add_argument("--multiprocess", type=int, default=0, metavar="N",
+                    help="spawn N real OS processes forming a "
+                    "jax.distributed group (CPU/gloo, 2 devices each) and "
+                    "report collective DP throughput + scaling vs one "
+                    "process — the multi-host report point of BASELINE.md "
+                    "exercised across actual process boundaries")
     args = ap.parse_args()
+
+    if args.multiprocess:
+        return run_multiprocess(args)
 
     # Decide platform BEFORE the first jax backend use — device counts are
     # frozen at initialization.

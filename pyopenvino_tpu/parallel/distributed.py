@@ -62,3 +62,50 @@ def initialize_multihost(
         "local_devices": jax.local_device_count(),
         "global_devices": jax.device_count(),
     }
+
+
+def infer_batch_multiprocess(compiled, local_inputs):
+    """Data-parallel inference across a multi-process group: each process
+    feeds its LOCAL batch rows ({name: (B_local, ...)} numpy) and receives
+    its local rows of every output back as numpy.
+
+    The local blocks are assembled into global sharded arrays
+    (jax.make_array_from_process_local_data) over the attached mesh's batch
+    sharding, one jitted execution runs collectively across all processes,
+    and each process reads back only its addressable output shards — no
+    host ever materializes the global batch.  Requires shard_compiled()
+    (parallel/mesh.py) to have attached a mesh to `compiled`.
+    """
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if compiled.mesh is None:
+        raise ValueError("compiled network has no mesh; call shard_compiled")
+    pspec = compiled._batch_pspec or P("data")
+    sharding = NamedSharding(compiled.mesh, pspec)
+    global_in = {
+        k: jax.make_array_from_process_local_data(
+            sharding, np.ascontiguousarray(v)
+        )
+        for k, v in local_inputs.items()
+    }
+    b = next(iter(global_in.values())).shape[0]
+    out = compiled.batched_fn(b)(compiled.weights, global_in)
+
+    result = {}
+    for k, v in out.items():
+        shards = sorted(
+            v.addressable_shards,
+            key=lambda s: s.index[0].start if s.index[0].start else 0,
+        )
+        seen = set()
+        blocks = []
+        for s in shards:
+            key = s.index[0].start
+            if key in seen:
+                continue  # replicated shard (e.g. model-axis copies)
+            seen.add(key)
+            blocks.append(np.asarray(s.data))
+        result[k] = np.concatenate(blocks, axis=0)
+    return result

@@ -108,9 +108,20 @@ def shard_compiled(compiled, mesh, tensor_parallel: bool = False):
     else:
         w_shardings = {k: NamedSharding(mesh, P()) for k in compiled.weights}
 
+    def put(v, sharding):
+        # device_put cannot target non-addressable devices; in a
+        # multi-process (multi-controller) group build the global array
+        # from the host value instead — every process holds the full
+        # weight, so the callback serves any requested index locally.
+        if jax.process_count() == 1:
+            return jax.device_put(v, sharding)
+        host = np.asarray(v)
+        return jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
+
     compiled.weights = {
-        k: jax.device_put(v, w_shardings[k])
-        for k, v in compiled.weights.items()
+        k: put(v, w_shardings[k]) for k, v in compiled.weights.items()
     }
 
     # single-sample path: everything replicated except weights

@@ -409,8 +409,18 @@ class CompiledNetwork:
                 name: NamedSharding(self.mesh, self._batch_pspec)
                 for name in param_infos
             }
+            out_sharding = {
+                n.name: NamedSharding(self.mesh, self._batch_pspec)
+                for n in self.model.results
+            }
+            # outputs are DP-sharded only: under TP the last layer would
+            # otherwise leave results channel-sharded over 'model'; the
+            # constraint makes XLA all-gather them inside the program
+            # (over ICI), so every consumer sees batch-sharded full rows
             jitted = jax.jit(
-                batched, in_shardings=(self._w_shardings, data_sharding)
+                batched,
+                in_shardings=(self._w_shardings, data_sharding),
+                out_shardings=out_sharding,
             )
         else:
             jitted = jax.jit(batched)
