@@ -95,7 +95,23 @@ class InferenceServer:
         max_delay_ms: float = 2.0,
     ):
         self.compiled = compiled
-        self.buckets = tuple(sorted(buckets))
+        buckets = sorted(buckets)
+        # Data-parallel mesh attached (parallel/mesh.py shard_compiled):
+        # jit shards the leading batch axis P('data'), so every bucket must
+        # be divisible by the data axis — round buckets up to multiples of
+        # it (a batch of 1 on a data=4 mesh pads to 4; the padded slots are
+        # masked out of responses like any other padding).
+        mesh = getattr(compiled, "mesh", None)
+        pspec = getattr(compiled, "_batch_pspec", None)
+        if mesh is not None and pspec is not None:
+            data_ax = int(np.prod([
+                mesh.shape[ax] for ax in (pspec[0] if isinstance(
+                    pspec[0], tuple) else (pspec[0],)) if ax is not None
+            ])) if len(pspec) else 1
+            buckets = sorted({
+                max(data_ax, -(-b // data_ax) * data_ax) for b in buckets
+            })
+        self.buckets = tuple(buckets)
         self.max_delay_s = max_delay_ms / 1e3
         self.stats = ServerStats()
         self._queue: "queue.Queue[Optional[Tuple[dict, Future, float]]]" = (
