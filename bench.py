@@ -51,11 +51,22 @@ def main():
 
     xml, binp = _model_paths("googlenet-v1")
     model = read_ir_model(xml, binp)
+    # INT8-FULL (calibrated activations, native int8x8 convs) is the
+    # fastest mode since round 2: 13.75k vs 13.59k img/s weight-only at
+    # batch 512 on the v5e (docs/MEASUREMENTS.md).
     cfg = Config(
-        quant=QuantMode.INT8_WEIGHT,
+        quant=QuantMode.INT8_FULL if on_tpu else QuantMode.INT8_WEIGHT,
         compute_dtype="bfloat16" if on_tpu else "float32",
     )
-    compiled = compile_model(model, cfg)
+    cal = None
+    if cfg.quant == QuantMode.INT8_FULL:
+        crng = np.random.default_rng(1)
+        cal = [
+            {"data": crng.uniform(0, 255, (1, 3, 224, 224)).astype(
+                np.float32)}
+            for _ in range(2)
+        ]
+    compiled = compile_model(model, cfg, calibration_samples=cal)
 
     param = model.parameters[0]
     shape = param.outputs[param.out_port].shape  # (1, 3, 224, 224)
