@@ -56,28 +56,14 @@ def _pool_emit(ctx, node, tv: TValue, mode: str, exclude_pad: bool) -> TValue:
     sh, sw = A.get_int_tuple(node.attrs, "strides", (1, 1))
     pad = pool_padding(node.attrs, tv.shape[2:])
 
-    # Pallas pool routes only in interpret mode (CI): Mosaic's layout
-    # rules reject the kernel's lane-merging downsample reshape on real
-    # TPU, and pooling is VPU-streaming work where XLA's reduce_window
-    # lowering is already optimal — the kernel stays as the CI-validated
-    # library implementation (kernels/pool.py).
-    if getattr(ctx, "use_pallas", False) and getattr(
-        ctx, "pallas_interpret", False
-    ):
-        # whole-feature-map VMEM blocks; route only when they fit
-        n, h, w, c = x.shape
-        hp = h + pad.pad_top + pad.pad_bottom
-        wp = w + pad.pad_left + pad.pad_right
-        vmem = (hp * wp + pad.out_h * pad.out_w) * c * x.dtype.itemsize
-        if vmem < (1 << 23):  # 8 MB
-            from pyopenvino_tpu.kernels.pool import pool2d
-
-            out = pool2d(
-                x, mode, (kh, kw), (sh, sw), pad.pads,
-                exclude_pad=exclude_pad, interpret=ctx.pallas_interpret,
-            )
-            return TValue(out, "CL")
-
+    # Pooling always lowers through lax.reduce_window: it is VPU-streaming
+    # work where XLA's lowering is already optimal.  A hand-written Pallas
+    # pool kernel was built, CI-validated in interpret mode, and DELETED in
+    # round 2: Mosaic rejects its lane-merging downsample reshape on this
+    # backend (re-tested after the stack update that fixed the grouped/int8
+    # conv hangs — remote_compile HTTP 500), and a kernel that cannot run
+    # on the hardware is shelf-ware, not a kernel library
+    # (docs/MEASUREMENTS.md "Pruned kernels").
     window = (1, kh, kw, 1)
     strides = (1, sh, sw, 1)
     padding = ((0, 0), *pad.pads, (0, 0))

@@ -255,14 +255,14 @@ def detection_output_ref(box_logits, class_pred, proposals, p) -> np.ndarray:
     return res
 
 
-def detection_output_jax(
-    box_logits, class_pred, proposals, p,
-    pallas_nms: bool = False, interpret: bool = False,
-):
+def detection_output_jax(box_logits, class_pred, proposals, p):
     """JAX fixed-shape masked implementation (jit-safe, static shapes).
 
-    With ``pallas_nms`` the O(P²) suppression runs as the tiled Pallas
-    kernel (kernels/nms.py) instead of a materialized P×P IoU matrix."""
+    The O(P²) suppression is a masked matrix expression XLA maps onto the
+    VPU.  (A Pallas row-tiled suppression kernel existed through round 1
+    but was deleted: Mosaic's compile of it hangs on this backend even
+    after the stack update, and the batched path's tiled scan —
+    detection_output_jax_batched — covers the production case.)"""
     import jax.numpy as jnp
 
     prior_box_size = 4 if p["normalized"] else 5
@@ -283,23 +283,15 @@ def detection_output_jax(
     if p["clip_before_nms"]:
         decoded = jnp.clip(decoded, 0.0, 1.0)
 
-    if pallas_nms:
-        from pyopenvino_tpu.kernels.nms import nms_keep_mask
-
-        keep = nms_keep_mask(
-            decoded, conf, valid, float(p["nms_threshold"]),
-            interpret=interpret,
-        )
-    else:
-        iou = _iou_matrix(jnp, decoded)
-        idx = jnp.arange(P)
-        j_less = idx[None, :] < idx[:, None]
-        beats = (conf[None, :] > conf[:, None]) | (
-            (conf[None, :] == conf[:, None]) & j_less
-        )
-        overlap = (iou > p["nms_threshold"]) & (idx[None, :] != idx[:, None])
-        kill = (overlap & beats & valid[None, :]).any(axis=1)
-        keep = valid & ~kill
+    iou = _iou_matrix(jnp, decoded)
+    idx = jnp.arange(P)
+    j_less = idx[None, :] < idx[:, None]
+    beats = (conf[None, :] > conf[:, None]) | (
+        (conf[None, :] == conf[:, None]) & j_less
+    )
+    overlap = (iou > p["nms_threshold"]) & (idx[None, :] != idx[:, None])
+    kill = (overlap & beats & valid[None, :]).any(axis=1)
+    keep = valid & ~kill
 
     if p["clip_after_nms"]:
         decoded = jnp.clip(decoded, 0.0, 1.0)
@@ -466,15 +458,7 @@ class DetectionOutput(Op):
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         p = _do_params(node)
-        interpret = getattr(ctx, "pallas_interpret", True)
-        # The Pallas suppression kernel routes only in interpret mode:
-        # this TPU backend's Mosaic compile hangs on it (same pathology
-        # as grouped/int convs); on-chip the dense masked XLA NMS is used.
-        fn = _batched_do(
-            tuple(sorted(p.items())),
-            pallas_nms=getattr(ctx, "use_pallas", False) and interpret,
-            interpret=interpret,
-        )
+        fn = _batched_do(tuple(sorted(p.items())))
         out = fn(inputs[0].nchw(), inputs[1].nchw(), inputs[2].nchw())
         return {node.out_port: TValue(out, "L")}
 
@@ -483,7 +467,7 @@ import functools  # noqa: E402
 
 
 @functools.lru_cache(maxsize=None)
-def _batched_do(p_items, pallas_nms: bool = False, interpret: bool = False):
+def _batched_do(p_items):
     """custom_vmap wrapper: under the compiler's batch-N vmap, run the whole
     batch through ONE tiled suppression pass (detection_output_jax_batched)
     instead of lifting the P×P formulation — a naive lift materializes
@@ -498,10 +482,7 @@ def _batched_do(p_items, pallas_nms: bool = False, interpret: bool = False):
 
     @jax.custom_batching.custom_vmap
     def fn(box_logits, class_pred, proposals):
-        return detection_output_jax(
-            box_logits, class_pred, proposals, p,
-            pallas_nms=pallas_nms, interpret=interpret,
-        )
+        return detection_output_jax(box_logits, class_pred, proposals, p)
 
     @fn.def_vmap
     def _rule(axis_size, in_batched, *args):

@@ -155,40 +155,12 @@ class TestPallasBackend:
             assert list(np.argsort(out[k][b])[::-1][:3]) == [2, 0, 1]
 
 
-class TestPoolSoftmaxNmsKernels:
-    """kernels/pool.py, kernels/softmax.py, kernels/nms.py vs references."""
-
-    def test_maxpool_kernel(self):
-        import jax.numpy as jnp
-        from jax import lax
-
-        from pyopenvino_tpu.kernels.pool import pool2d
-
-        rng = np.random.default_rng(0)
-        x = jnp.asarray(rng.standard_normal((2, 9, 9, 8)), jnp.float32)
-        got = pool2d(x, "max", (3, 3), (2, 2), ((1, 1), (1, 1)),
-                     interpret=True)
-        want = lax.reduce_window(
-            x, -jnp.inf, lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-            ((0, 0), (1, 1), (1, 1), (0, 0)),
-        )
-        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
-
-    @pytest.mark.parametrize("exclude_pad", [True, False])
-    def test_avgpool_kernel(self, exclude_pad):
-        import jax.numpy as jnp
-
-        from pyopenvino_tpu.kernels.pool import pool2d
-
-        x = jnp.ones((1, 4, 4, 8), jnp.float32)
-        got = np.asarray(pool2d(
-            x, "avg", (3, 3), (2, 2), ((1, 1), (1, 1)),
-            exclude_pad=exclude_pad, interpret=True,
-        ))
-        if exclude_pad:
-            np.testing.assert_allclose(got, np.ones_like(got), rtol=1e-6)
-        else:
-            assert abs(got[0, 0, 0, 0] - 4.0 / 9.0) < 1e-6
+class TestSoftmaxKernel:
+    """kernels/softmax.py vs jax.nn.softmax.  (The pool and NMS Pallas
+    kernels were deleted in round 2: Mosaic rejects/hangs compiling them on
+    this backend even after the stack update that fixed the conv hangs, and
+    XLA's reduce_window / the tiled batched NMS cover their roles — see
+    docs/MEASUREMENTS.md "Pruned kernels".)"""
 
     def test_softmax_kernel(self):
         import jax
@@ -203,44 +175,8 @@ class TestPoolSoftmaxNmsKernels:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(got.sum(axis=1), np.ones(5), rtol=1e-5)
 
-    def test_nms_kernel_matches_dense(self):
-        import jax.numpy as jnp
-
-        from pyopenvino_tpu.kernels.nms import nms_keep_mask
-
-        rng = np.random.default_rng(2)
-        P = 300
-        centers = rng.uniform(0.1, 0.9, (P, 2))
-        sizes = rng.uniform(0.05, 0.3, (P, 2))
-        boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], 1)
-        conf = rng.uniform(0, 1, P).astype(np.float32)
-        valid = conf > 0.3
-
-        got = np.asarray(nms_keep_mask(
-            jnp.asarray(boxes, jnp.float32), jnp.asarray(conf),
-            jnp.asarray(valid), 0.5, interpret=True,
-        ))
-
-        # dense reference (the XLA path in ops/ssd.py)
-        x0, y0, x1, y1 = boxes.T
-        area = (x1 - x0) * (y1 - y0)
-        ix0 = np.maximum(x0[:, None], x0[None, :])
-        iy0 = np.maximum(y0[:, None], y0[None, :])
-        ix1 = np.minimum(x1[:, None], x1[None, :])
-        iy1 = np.minimum(y1[:, None], y1[None, :])
-        inter = np.maximum(ix1 - ix0, 0) * np.maximum(iy1 - iy0, 0)
-        iou = inter / (area[:, None] + area[None, :] - inter + 1e-12)
-        idx = np.arange(P)
-        beats = (conf[None, :] > conf[:, None]) | (
-            (conf[None, :] == conf[:, None]) & (idx[None, :] < idx[:, None])
-        )
-        overlap = (iou > 0.5) & (idx[None, :] != idx[:, None])
-        kill = (overlap & beats & valid[None, :]).any(axis=1)
-        want = valid & ~kill
-        np.testing.assert_array_equal(got, want)
-
-    def test_ssd_pallas_nms_end_to_end(self, loaded):
-        """PALLAS backend (pallas NMS route) matches XLA on SSD."""
+    def test_ssd_pallas_backend_end_to_end(self, loaded):
+        """PALLAS backend matches XLA on SSD."""
         from pyopenvino_tpu.config import Backend, Config
         from pyopenvino_tpu.runtime.compiler import compile_model
 
