@@ -31,11 +31,21 @@ PortKey = Tuple[int, int]  # (consumer node id, consumer port) — always port 0
 
 
 def calibrate_activations(
-    model: Model, samples: Iterable[Dict[str, np.ndarray]]
+    model: Model, samples: Iterable[Dict[str, np.ndarray]],
+    percentile: float = 100.0,
 ) -> Dict[int, float]:
     """Return {consumer_node_id: scale} for every quantizable data input.
 
     `samples` is an iterable of input dicts ({param_name: blob}).
+
+    `percentile` < 100 clips the observed |activation| distribution before
+    deriving the scale (max over samples of the per-sample percentile) —
+    the standard defense against single-outlier activations blowing up the
+    per-tensor scale (what OpenVINO POT/NNCF and TensorRT calibrators
+    offer).  Default is pure max-abs: on outlier-free distributions
+    (measured on the synthetic-weight models) clipping only adds error;
+    flip to ~99.9 when calibrating real models with heavy-tailed
+    activations.
     """
     absmax: Dict[int, float] = {}
     n_samples = 0
@@ -62,7 +72,9 @@ def calibrate_activations(
             for p, arr in outs.items():
                 values[(node.id, p)] = arr
             if node.op_type in QUANTIZABLE and 0 in ins:
-                m = float(np.abs(ins[0]).max())
+                a = np.abs(np.asarray(ins[0], dtype=np.float32))
+                m = float(np.percentile(a, percentile)
+                          if percentile < 100.0 else a.max())
                 absmax[node.id] = max(absmax.get(node.id, 0.0), m)
     if n_samples == 0:
         raise ValueError("calibration needs at least one sample")
