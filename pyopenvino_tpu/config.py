@@ -71,6 +71,15 @@ class Config:
     # Compute dtype for the XLA/Pallas path ("float32" or "bfloat16").
     compute_dtype: str = "float32"
 
+    # INT8-FULL quantized dataflow: store qualifying conv→conv activation
+    # edges as int8 in HBM (producer epilogue requantizes; consumer feeds
+    # the int8 tensor straight to the MXU integer path) instead of
+    # round-tripping bf16/f32.  Halves HBM bytes on qualifying edges;
+    # measured ~neutral on v5e for GoogLeNet/SSD (the trunks are already
+    # compute/relayout-bound at these shapes) — kept on as the designed
+    # INT8-FULL dataflow, gate here for A/B measurement.
+    int8_dataflow: bool = True
+
     # Depthwise convolution emission.  "native" = XLA feature_group_count
     # conv (fastest: ~5x the shifted-MAC on TPU v5e, re-measured after the
     # 2026-08 stack update fixed the grouped-conv compile hang).

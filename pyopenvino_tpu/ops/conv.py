@@ -141,15 +141,25 @@ class Convolution(Op):
         # shifted-MAC/conv_direct detours are retired; conv_direct.py stays
         # as library code).  int8 activations halve the HBM bytes of every
         # bandwidth-bound layer, which is where SSD/MobileNet lives.
-        s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        # Input may already be int8 in HBM (inter-layer storage,
+        # runtime/compiler.py _find_int8_edges) — then its storage scale is
+        # the activation scale and no on-the-fly quantize is needed.
+        stored = inputs[0].act_scale
+        s_x = stored if stored is not None else (
+            ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        )
         if s_x is not None and tv_w.qscale is not None:
             import jax.numpy as jnp
             from jax import lax
 
-            compute_dtype = x.dtype
-            xq = jnp.clip(
-                jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
-            ).astype(jnp.int8)
+            if stored is not None:
+                compute_dtype = ctx.compute_dtype
+                xq = x  # already int8
+            else:
+                compute_dtype = x.dtype
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
+                ).astype(jnp.int8)
             w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
             w_hwio = jnp.transpose(tv_w.arr, (2, 3, 1, 0))  # int8 HWIO
             acc = lax.conv_general_dilated(
@@ -162,6 +172,8 @@ class Convolution(Op):
             out = acc.astype(jnp.float32) * w_scale.reshape(1, 1, 1, -1)
             out = _epilogue(out, bias, act)
             return {node.out_port: TValue(out.astype(compute_dtype), "CL")}
+        if stored is not None:  # defensive: dequantize for the float path
+            x = x.astype(ctx.compute_dtype) * stored
 
         # Routing policy for the PALLAS backend: 1×1 convs ARE GEMMs — the
         # patch step is a pure reshape, so the fused Pallas kernel wins on
@@ -269,12 +281,19 @@ class GroupConvolution(Op):
                            else lax.Precision.DEFAULT),
             )
 
-        s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        stored = inputs[0].act_scale
+        s_x = stored if stored is not None else (
+            ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        )
         if s_x is not None and tv_w.qscale is not None:
-            compute_dtype = x.dtype
-            xq = jnp.clip(
-                jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
-            ).astype(jnp.int8)
+            if stored is not None:
+                compute_dtype = ctx.compute_dtype
+                xq = x  # already int8 in HBM (compiler inter-layer storage)
+            else:
+                compute_dtype = x.dtype
+                xq = jnp.clip(
+                    jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
+                ).astype(jnp.int8)
             # (G, Co, Ci, Kh, Kw) int8 → HWIO with O = G*Co
             w_hwio = jnp.transpose(
                 tv_w.arr.reshape(g * co, ci, kh, kw), (2, 3, 1, 0)
@@ -284,6 +303,8 @@ class GroupConvolution(Op):
             out = acc.astype(jnp.float32) * w_scale.reshape(1, 1, 1, -1)
             out = _epilogue(out, bias, act)
             return {node.out_port: TValue(out.astype(compute_dtype), "CL")}
+        if stored is not None:  # defensive: dequantize for the float path
+            x = x.astype(ctx.compute_dtype) * stored
 
         w = ctx.weight_for(node, tv_w)  # (G, Co, Ci, Kh, Kw)
         mode = getattr(

@@ -57,13 +57,22 @@ class MatMul(Op):
             a = jnp.swapaxes(a, -1, -2)
 
         # Full-INT8: calibrated activation scale → int8×int8 MXU GEMM with
-        # f32 dequant epilogue (same scheme as Convolution.emit_fused)
-        s_x = ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        # f32 dequant epilogue (same scheme as Convolution.emit_fused).
+        # The input may already be int8 in HBM (compiler inter-layer
+        # storage) — then its storage scale applies and no quantize runs.
+        stored = inputs[0].act_scale
+        s_x = stored if stored is not None else (
+            ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
+        )
         if s_x is not None and tv_b.qscale is not None and a.ndim == 2:
-            compute_dtype = a.dtype
-            aq = jnp.clip(
-                jnp.round(a.astype(jnp.float32) * (1.0 / s_x)), -127, 127
-            ).astype(jnp.int8)
+            if stored is not None:
+                compute_dtype = ctx.compute_dtype
+                aq = a
+            else:
+                compute_dtype = a.dtype
+                aq = jnp.clip(
+                    jnp.round(a.astype(jnp.float32) * (1.0 / s_x)), -127, 127
+                ).astype(jnp.int8)
             bq = tv_b.arr
             if tb:
                 bq = jnp.swapaxes(bq, -1, -2)
@@ -85,6 +94,8 @@ class MatMul(Op):
                 out = (jnp.maximum(out, 0) if kind == "relu"
                        else jnp.clip(out, lo, hi))
             return {node.out_port: TValue(out.astype(compute_dtype), "L")}
+        if stored is not None:  # defensive: dequantize for the float path
+            a = a.astype(ctx.compute_dtype) * stored
 
         if ctx.use_pallas and a.ndim == 2:
             from pyopenvino_tpu.kernels.gemm import fused_gemm

@@ -33,9 +33,9 @@ class TValue:
     layout == "CL": logical NCHW (N, C, H, W) stored physically as (N, H, W, C)
     """
 
-    __slots__ = ("arr", "layout", "qscale")
+    __slots__ = ("arr", "layout", "qscale", "act_scale")
 
-    def __init__(self, arr, layout: str = "L", qscale=None):
+    def __init__(self, arr, layout: str = "L", qscale=None, act_scale=None):
         assert layout in ("L", "CL")
         if layout == "CL":
             assert len(arr.shape) == 4, "CL layout is only defined for 4-D"
@@ -44,6 +44,12 @@ class TValue:
         # Per-output-channel dequant scales when `arr` holds int8 weights
         # (QuantMode.INT8_WEIGHT); consumed by ctx.weight_for / Pallas kernels.
         self.qscale = qscale
+        # Per-tensor storage scale when `arr` holds an int8-quantized
+        # ACTIVATION (QuantMode.INT8_FULL inter-layer storage — the
+        # compiler requantizes producer epilogues so bandwidth-bound edges
+        # carry 1 byte/element through HBM; runtime/compiler.py
+        # _find_int8_edges).  x ≈ arr * act_scale.
+        self.act_scale = act_scale
 
     @property
     def shape(self) -> Tuple[int, ...]:

@@ -135,11 +135,14 @@ class CompiledNetwork:
         self._folded_nodes = self._find_folded_nodes()
         self._runtime_consts = self._find_runtime_consts()
 
-        # Epilogue fusion (Conv/MatMul → Add bias → ReLU/Clamp) for the
-        # Pallas backend — the absorbed nodes are skipped during emission.
+        # Epilogue fusion (Conv/MatMul → Add bias → ReLU/Clamp) on every
+        # compiled backend — the absorbed nodes are skipped during
+        # emission.  XLA would fuse the elementwise tail anyway; doing it
+        # at emission level is what lets the INT8-FULL dataflow requantize
+        # inside the producing epilogue (see _find_int8_edges).
         from pyopenvino_tpu.config import Backend
 
-        if self.config.backend == Backend.PALLAS:
+        if self.config.backend in (Backend.XLA, Backend.PALLAS):
             from pyopenvino_tpu.passes.fuse import find_fusions
 
             self._fusions = find_fusions(model, self.analysis)
@@ -148,6 +151,7 @@ class CompiledNetwork:
         self._fused_skip = {
             nid for f in self._fusions.values() for nid in f.skip
         }
+        self._int8_edges = self._find_int8_edges()
         self.weights = self._build_weights()
         self._fn = self._build_fn()
         self._jitted = jax.jit(self._fn)
@@ -182,6 +186,71 @@ class CompiledNetwork:
                 runtime.add(node.id)
                 break
         return runtime
+
+    def _find_int8_edges(self) -> Dict[Tuple[int, int], float]:
+        """INT8-FULL inter-layer storage decision: {(src, sport): scale}
+        for every traced tensor that can travel HBM as int8.
+
+        A tensor qualifies when its producer is a conv-family op (whose
+        epilogue can requantize the f32 accumulator before the single HBM
+        write-back) and EVERY traced consumer is a conv-family data input
+        with a calibrated activation scale and int8 weights (so it consumes
+        int8 directly on the MXU integer path).  This halves the HBM bytes
+        of each qualifying edge — the dominant cost of the bandwidth-bound
+        CNN trunks (measured: GoogLeNet/SSD are HBM-bound almost
+        everywhere, docs/MEASUREMENTS.md).  Keyed on the FUSED graph: a
+        fused group produces at its chain-end key, after bias/activation."""
+        from pyopenvino_tpu.config import Backend, QuantMode
+
+        if (
+            self.config.quant != QuantMode.INT8_FULL
+            or not self.act_scales
+            or self.config.backend != Backend.XLA
+            or not self.config.int8_dataflow
+        ):
+            return {}
+        model = self.model
+        roots = ("Convolution", "GroupConvolution", "MatMul")
+
+        produced = {}
+        for nid, f in self._fusions.items():
+            produced[f.out_key] = nid
+        for node in model:
+            if (
+                node.op_type in roots
+                and node.id not in self._fusions
+                and node.id not in self._folded_nodes
+            ):
+                produced[(node.id, node.out_port)] = node.id
+
+        out: Dict[Tuple[int, int], float] = {}
+        for (src, sport), _root in produced.items():
+            consumers = [
+                (dst, dport)
+                for p, dst, dport in model.out_edges[src]
+                if p == sport
+            ]
+            if not consumers:
+                continue
+            scales = []
+            for dst, dport in consumers:
+                dn = model.nodes[dst]
+                if (
+                    dn.op_type not in roots
+                    or dport != 0
+                    or dst in self._folded_nodes
+                ):
+                    scales = None
+                    break
+                s = self.act_scales.get(dst)
+                w_src = model.in_edges[dst].get(1)
+                if s is None or w_src is None or w_src[0] not in self._quantized:
+                    scales = None
+                    break
+                scales.append(s)
+            if scales:
+                out[(src, sport)] = max(scales)
+        return out
 
     def _build_weights(self):
         """Device weight pytree.  Float weights are pre-cast to the compute
@@ -246,12 +315,33 @@ class CompiledNetwork:
         quantized = self._quantized
         fusions = self._fusions
         fused_skip = self._fused_skip
+        int8_edges = self._int8_edges
+        if capture is not None:
+            # Debug builds emit every node unfused so any node's own
+            # activation (e.g. a conv BEFORE its bias/ReLU tail) is
+            # capturable and matches the interpreter exactly; int8
+            # inter-layer storage is keyed on the fused graph, so it is
+            # disabled alongside (capture is a debugging path).
+            fusions, fused_skip, int8_edges = {}, set(), {}
 
         def fn(weights, inputs):
             import jax.numpy as jnp
 
             values: Dict[Tuple[int, int], TValue] = {}
             captured: Dict[str, object] = {}
+
+            def store(key, tv):
+                """Register a produced tensor; int8-storage edges are
+                requantized here so XLA fuses the quantize into the
+                producer's epilogue and the HBM write is 1 byte/elem."""
+                s = int8_edges.get(key)
+                if s is not None:
+                    q = jnp.clip(
+                        jnp.round(tv.arr.astype(jnp.float32) * (1.0 / s)),
+                        -127, 127,
+                    ).astype(jnp.int8)
+                    tv = TValue(q, tv.layout, act_scale=s)
+                values[key] = tv
 
             def tv_for(src: int, sport: int) -> TValue:
                 key = (src, sport)
@@ -328,16 +418,20 @@ class CompiledNetwork:
                             outs = op.emit_fused(
                                 ctx, node, ins, bias=bias, act=f.act
                             )
-                        values[f.out_key] = outs[node.out_port]
+                        store(f.out_key, outs[node.out_port])
                     else:
                         with scope:
                             outs = op.emit(ctx, node, ins)
                         for port, tv in outs.items():
-                            values[(node.id, port)] = tv
+                            store((node.id, port), tv)
                 if capture and node.name in capture:
                     key = (node.id, node.out_port)
                     if key in values:
-                        captured[node.name] = values[key].nchw()
+                        tv = values[key]
+                        cap = tv.nchw()
+                        if tv.act_scale is not None:  # int8-stored: dequant
+                            cap = cap.astype(jnp.float32) * tv.act_scale
+                        captured[node.name] = cap
             if capture is not None:
                 return outputs, captured
             return outputs

@@ -147,3 +147,23 @@ def test_detection_batched_under_compiler_vmap():
             np.testing.assert_allclose(
                 batched[k][i][None], single[k], rtol=1e-3, atol=1e-4,
                 err_msg=f"example {i}")
+
+
+def test_detection_batched_fewer_priors_than_records():
+    """P < keep_top_k exercises the top-k pad branch (terminator can land
+    beyond the top-k block)."""
+    from pyopenvino_tpu.ops.ssd import detection_output_jax_batched
+
+    B = 3
+    cases = [_make_case(100 + i, P=12) for i in range(B)]
+    params = dict(cases[0][3], keep_top_k=(20,), top_k=20)
+    logits = np.stack([c[0] for c in cases])
+    scores = np.stack([c[1] for c in cases])
+    proposals = np.stack([c[2] for c in cases])
+    got = np.asarray(
+        detection_output_jax_batched(logits, scores, proposals, params)
+    )
+    for i, (lg, sc, pr, _) in enumerate(cases):
+        ref = detection_output_ref(lg, sc, pr, params)
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5,
+                                   err_msg=f"example {i}")

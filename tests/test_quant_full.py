@@ -73,3 +73,55 @@ class TestInt8Full:
         out = exe.infer({"conv2d_input": mnist_image})
         k = next(iter(out))
         assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+
+
+def test_int8_interlayer_storage_edges():
+    """INT8-FULL assigns int8 HBM storage to conv->conv edges (the
+    quantized dataflow: producer epilogue requantizes, consumer reads int8
+    directly) and the stored-path output stays within quantization
+    tolerance of fp32."""
+    from pyopenvino_tpu.config import Backend, Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from tests.conftest import model_paths
+
+    xml, binp = model_paths("ssd_mobilenet_v1_coco")
+    rng = np.random.default_rng(0)
+    blob = rng.uniform(0, 255, (1, 3, 300, 300)).astype(np.float32)
+    cal = [{"image_tensor": blob}]
+
+    c = compile_model(
+        read_ir_model(xml, binp),
+        Config(backend=Backend.XLA, quant=QuantMode.INT8_FULL),
+        calibration_samples=cal,
+    )
+    # the MobileNet trunk is conv->dw->conv chains: many edges qualify
+    assert len(c._int8_edges) >= 20, len(c._int8_edges)
+
+    ref = compile_model(
+        read_ir_model(xml, binp), Config(backend=Backend.XLA)
+    )({"image_tensor": blob})
+    got = c({"image_tensor": blob})
+    r = next(iter(ref.values())).reshape(-1, 7)
+    g = next(iter(got.values())).reshape(-1, 7)
+    assert r[0, 1] == g[0, 1]          # top detection class preserved
+    assert abs(r[0, 2] - g[0, 2]) < 0.05
+
+
+def test_int8_storage_mnist_golden(mnist_image):
+    """MNIST golden top-3 survives the full quantized dataflow."""
+    from pyopenvino_tpu.config import Backend, Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from tests.conftest import model_paths
+
+    xml, binp = model_paths("mnist")
+    cal = [{"conv2d_input": mnist_image}]
+    c = compile_model(
+        read_ir_model(xml, binp),
+        Config(backend=Backend.XLA, quant=QuantMode.INT8_FULL),
+        calibration_samples=cal,
+    )
+    out = c({"conv2d_input": mnist_image})
+    scores = next(iter(out.values())).reshape(-1)
+    assert list(np.argsort(scores)[::-1][:3]) == [2, 0, 1]
