@@ -81,6 +81,63 @@ def _depthwise_shifted_mac(x, w, strides, dilations, pads):
     return acc
 
 
+def _s2d_applicable(ci, kh, kw, strides, dilations, in_hw, pads, out_hw):
+    """Stride-2 space-to-depth rewrite precondition (see _s2d_conv).
+
+    Targets the thin-input stem convs (Ci=3): with N lanes on the MXU a
+    Ci·Kh contraction of 21 wastes most of the systolic array and the
+    padded NHWC C=3 input is relayout-heavy (measured: GoogLeNet Conv_4
+    is 3.2 ms of 25 ms at batch 512, HBM-bound).  The even-padding of
+    input/kernel must not change the declared output size (it can when
+    padded-H is odd and Kh even — then fall back).
+
+    Kernel must be ≥5: even-padding a K to ⌈K/2⌉·2 multiplies the MAC
+    count by (⌈K/2⌉·2/K)², which is 1.78× for K=3 — measured a 5% LOSS
+    on SSD-MobileNet's 3×3/s2 stem (14.0k vs 14.7k img/s b256) — but
+    only 1.31× for GoogLeNet's 7×7/s2 stem, where the utilization win
+    dominates."""
+    if ci > 8 or min(kh, kw) < 5:
+        return False
+    if strides != (2, 2) or dilations != (1, 1):
+        return False
+    (pt, pb), (pl, pr) = pads
+    hp, wp = in_hw[0] + pt + pb, in_hw[1] + pl + pr
+    he, we = hp + hp % 2, wp + wp % 2
+    khe, kwe = kh + kh % 2, kw + kw % 2
+    return (
+        he // 2 - khe // 2 + 1 == out_hw[0]
+        and we // 2 - kwe // 2 + 1 == out_hw[1]
+    )
+
+
+def _s2d_conv(x, w, pads):
+    """Rewrite a stride-2 conv as stride-1 on 2×2 space-to-depth input.
+
+    x: (N, H, W, C) activations (any dtype — int8 codes included, padding
+    value 0 is exact in the symmetric code domain); w: (Co, Ci, Kh, Kw).
+    Returns (x', w') with x' = (N, ⌈Hp/2⌉, ⌈Wp/2⌉, 4C) and
+    w' = (Co, 4Ci, ⌈Kh/2⌉, ⌈Kw/2⌉) such that
+    conv(x', w', stride 1, no pad) == conv(x, w, stride 2, pads):
+    out[y,x] = Σ_{ki,kj,c} xp[2y+ki, 2x+kj, c]·w[c,ki,kj] with ki=2a+di
+    becomes a contraction over (a, b) of the packed channels (di, dj, c).
+    """
+    import jax.numpy as jnp
+
+    co, ci, kh, kw = w.shape
+    (pt, pb), (pl, pr) = pads
+    x = jnp.pad(x, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    n, h, wd, c = x.shape
+    x = jnp.pad(x, ((0, 0), (0, h % 2), (0, wd % 2), (0, 0)))
+    h2, w2 = x.shape[1] // 2, x.shape[2] // 2
+    x = x.reshape(n, h2, 2, w2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h2, w2, 4 * c)
+    khe, kwe = kh + kh % 2, kw + kw % 2
+    wp = jnp.pad(w, ((0, 0), (0, 0), (0, khe - kh), (0, kwe - kw)))
+    wr = wp.reshape(co, ci, khe // 2, 2, kwe // 2, 2)  # o,c,a,di,b,dj
+    w2_ = wr.transpose(0, 3, 5, 1, 2, 4).reshape(co, 4 * ci, khe // 2, kwe // 2)
+    return x, w2_
+
+
 def _epilogue(out, bias, act):
     """Inline NHWC bias/activation tail for the XLA path."""
     import jax.numpy as jnp
@@ -96,6 +153,7 @@ def _epilogue(out, bias, act):
 @register
 class Convolution(Op):
     type_name = "Convolution"
+    int8_ports = (0,)  # consumes int8 activations on the MXU integer path
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         n, _, h, w = in_shapes[0]
@@ -144,6 +202,11 @@ class Convolution(Op):
         # Input may already be int8 in HBM (inter-layer storage,
         # runtime/compiler.py _find_int8_edges) — then its storage scale is
         # the activation scale and no on-the-fly quantize is needed.
+        s2d = _s2d_applicable(
+            ci, kh, kw, (sh, sw), (dh, dw), inputs[0].shape[2:],
+            pad.pads, (pad.out_h, pad.out_w),
+        )
+
         stored = inputs[0].act_scale
         s_x = stored if stored is not None else (
             ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
@@ -161,10 +224,14 @@ class Convolution(Op):
                     jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
                 ).astype(jnp.int8)
             w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
-            w_hwio = jnp.transpose(tv_w.arr, (2, 3, 1, 0))  # int8 HWIO
+            w_int8, pads_, strides_ = tv_w.arr, pad.pads, (sh, sw)
+            if s2d:
+                xq, w_int8 = _s2d_conv(xq, w_int8, pad.pads)
+                pads_, strides_ = ((0, 0), (0, 0)), (1, 1)
+            w_hwio = jnp.transpose(w_int8, (2, 3, 1, 0))  # int8 HWIO
             acc = lax.conv_general_dilated(
                 xq, w_hwio,
-                window_strides=(sh, sw), padding=pad.pads,
+                window_strides=strides_, padding=pads_,
                 rhs_dilation=(dh, dw),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 preferred_element_type=jnp.int32,
@@ -200,12 +267,16 @@ class Convolution(Op):
             return {node.out_port: TValue(out, "CL")}
 
         w = ctx.weight_for(node, tv_w)  # OIHW, possibly dequantized
+        pads_, strides_ = pad.pads, (sh, sw)
+        if s2d:
+            x, w = _s2d_conv(x, w.astype(x.dtype), pad.pads)
+            pads_, strides_ = ((0, 0), (0, 0)), (1, 1)
         w_hwio = jnp.transpose(w, (2, 3, 1, 0))
         out = lax.conv_general_dilated(
             x,
             w_hwio.astype(x.dtype),
-            window_strides=(sh, sw),
-            padding=pad.pads,
+            window_strides=strides_,
+            padding=pads_,
             rhs_dilation=(dh, dw),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
@@ -223,6 +294,7 @@ class Convolution(Op):
 @register
 class GroupConvolution(Op):
     type_name = "GroupConvolution"
+    int8_ports = (0,)  # consumes int8 activations on the MXU integer path
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         n, _, h, w = in_shapes[0]

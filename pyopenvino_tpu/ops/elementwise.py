@@ -100,6 +100,10 @@ class _Unary(Op):
 @register
 class ReLU(_Unary):
     type_name = "ReLU"
+    # Exact int8 carry: max(x, 0) commutes with the positive dequant
+    # scale, so an int8-stored activation stays int8 at the same scale
+    # (INT8-FULL dataflow, runtime/compiler.py _find_int8_edges).
+    int8_ports = (0,)
 
     def _apply_np(self, node, x):
         return np.maximum(x, 0)
@@ -108,6 +112,15 @@ class ReLU(_Unary):
         import jax.numpy as jnp
 
         return jnp.maximum(x, 0)
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        tv = inputs[0]
+        out = jnp.maximum(tv.arr, 0)
+        return {
+            node.out_port: TValue(out, tv.layout, act_scale=tv.act_scale)
+        }
 
 
 @register
@@ -167,9 +180,71 @@ class SoftMax(_Unary):
         return {node.out_port: TValue(jax.nn.softmax(x, axis=axis), "L")}
 
 
+def _lrn_banded(
+    x, *, alpha, beta, bias, half, in_scale, out_scale, compute_dtype
+):
+    """LRN with the channel window-sum as a banded C×C matmul.
+
+    The window over channels is a linear map: Σ_{|k|<=half} x²[c+k]
+    = x² · B with B[i, j] = 1 iff |i−j| <= half (clipped at the edges —
+    exactly the reference's window, op_plugins/LRN.py).  On the TPU that
+    puts the only non-elementwise step on the MXU (~0.6 ms of matmul at
+    GoogLeNet batch-512 sizes) and leaves everything else as XLA-fused
+    elementwise work at full HBM bandwidth — no lane-shift relayouts.
+    x^(-beta) uses rsqrt for beta=0.75 (d^-¾ = rsqrt(d)·√rsqrt(d)).
+
+    in_scale: dequant scale when x is int8 storage; out_scale: requantize
+    the result to int8 at this scale (INT8-FULL dataflow).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    c = x.shape[-1]
+    band = np.zeros((c, c), np.float32)
+    for i in range(c):
+        band[max(0, i - half): i + half + 1, i] = 1.0
+
+    if in_scale is not None:
+        # int8 codes and the 0/1 band are exact in bf16; the MXU
+        # accumulates in f32; alpha·s² re-scales the code-domain sum
+        xb = x.astype(jnp.bfloat16)
+        sq = xb * xb
+        win = lax.dot_general(
+            sq, jnp.asarray(band, jnp.bfloat16),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d = bias + (alpha * in_scale * in_scale) * win
+        xf = x.astype(jnp.float32) * in_scale
+    else:
+        xf = x.astype(jnp.float32)
+        sq = x * x  # compute dtype (bf16 rounding matches the conv path)
+        win = lax.dot_general(
+            sq, jnp.asarray(band, x.dtype),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=(lax.Precision.HIGHEST
+                       if x.dtype == jnp.float32 else lax.Precision.DEFAULT),
+        )
+        d = bias + alpha * win
+    if abs(beta - 0.75) < 1e-12:
+        r = lax.rsqrt(d)
+        out = xf * (r * jnp.sqrt(r))
+    else:
+        out = xf * jnp.exp(-beta * jnp.log(d))
+    if out_scale is not None:
+        return jnp.clip(
+            jnp.round(out * (1.0 / out_scale)), -127, 127
+        ).astype(jnp.int8)
+    return out.astype(compute_dtype)
+
+
 @register
 class LRN(Op):
     type_name = "LRN"
+    # accepter: dequantizes int8-stored input in-register (Pallas kernel
+    # on-chip; inline dequant on the XLA/CPU lowering)
+    int8_ports = (0,)
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         return ShapeResult({node.out_port: in_shapes[0]})
@@ -198,8 +273,28 @@ class LRN(Op):
         from jax import lax
 
         alpha, beta, bias, size = self._params(node)
-        x = inputs[0].nhwc()  # channel dim last → windowed sum over lanes
+        tv = inputs[0]
+        x = tv.nhwc()  # channel dim last → windowed sum over lanes
         half = size // 2
+
+        # On the chip the channel window-sum runs as a banded C×C matmul
+        # on the MXU (_lrn_banded) — measured 2.2× the lane-window
+        # reduce_window lowering below (GoogLeNet 56×56×192 int8 LRN at
+        # batch 512: 3.3 ms vs 7.5 ms; a hand-written Pallas pass was
+        # also built and measured SLOWER (~5 ms + a lane-repack relayout)
+        # and deleted, docs/MEASUREMENTS.md).  CPU/CI keeps reduce_window
+        # (banded semantics are CI-tested against ref_compute directly).
+        if not ctx.pallas_interpret:
+            out_scale = ctx.out_int8_scale(node)
+            out = _lrn_banded(
+                x, alpha=alpha, beta=beta, bias=bias, half=half,
+                in_scale=tv.act_scale, out_scale=out_scale,
+                compute_dtype=ctx.compute_dtype,
+            )
+            return {node.out_port: TValue(out, "CL", act_scale=out_scale)}
+
+        if tv.act_scale is not None:  # int8-stored input: dequant inline
+            x = x.astype(jnp.float32) * tv.act_scale
         # normalization in f32 regardless of compute dtype (pow in bf16 both
         # loses precision and trips lax.pow's dtype matching)
         xf = x.astype(jnp.float32)
@@ -212,4 +307,5 @@ class LRN(Op):
             padding=((0, 0), (0, 0), (0, 0), (half, half)),
         )
         out = xf * lax.pow(bias + alpha * window_sum, -beta)
-        return {node.out_port: TValue(out.astype(x.dtype), "CL")}
+        out = out.astype(ctx.compute_dtype)
+        return {node.out_port: TValue(out, "CL")}

@@ -25,6 +25,7 @@ def _flags(node):
 @register
 class MatMul(Op):
     type_name = "MatMul"
+    int8_ports = (0,)  # consumes int8 activations on the MXU integer path
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         ta, tb = _flags(node)

@@ -67,6 +67,18 @@ def _pool_emit(ctx, node, tv: TValue, mode: str, exclude_pad: bool) -> TValue:
     window = (1, kh, kw, 1)
     strides = (1, sh, sw, 1)
     padding = ((0, 0), *pad.pads, (0, 0))
+    if mode == "max" and tv.act_scale is not None:
+        # INT8-FULL exact carry: max commutes with the positive dequant
+        # scale, so pooling the int8 codes directly equals pooling the
+        # dequantized values.  Computed by widening to f32 in-register
+        # (int8 values are exact in f32; the converts fuse into the
+        # reduce_window read/write, so HBM stays 1 byte/elem both ways) —
+        # a native int8 reduce_window also runs on this chip but costs a
+        # ~250 s XLA compile vs ~30 s for this form.
+        out = lax.reduce_window(
+            x.astype(jnp.float32), -jnp.inf, lax.max, window, strides, padding
+        ).astype(jnp.int8)
+        return TValue(out, "CL", act_scale=tv.act_scale)
     if mode == "max":
         init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
         out = lax.reduce_window(x, init, lax.max, window, strides, padding)
@@ -84,6 +96,7 @@ def _pool_emit(ctx, node, tv: TValue, mode: str, exclude_pad: bool) -> TValue:
 @register
 class MaxPool(Op):
     type_name = "MaxPool"
+    int8_ports = (0,)  # exact int8 carry (see _pool_emit)
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         n, c, h, w = in_shapes[0]

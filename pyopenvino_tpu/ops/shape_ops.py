@@ -240,6 +240,11 @@ class ShapeOf(Op):
 @register
 class Concat(Op):
     type_name = "Concat"
+    # int8 carry when every input arrives stored at one common scale
+    # (the compiler's demand propagation assigns concat branches the same
+    # scale, so inception joins are pure int8 byte-shuffles); mixed
+    # inputs are dequantized in emit.
+    int8_ports = "all"
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         axis = A.get_int(node.attrs, "axis")
@@ -264,11 +269,26 @@ class Concat(Op):
 
         axis = A.get_int(node.attrs, "axis")
         tvs = [inputs[p] for p in sorted(inputs)]
+        scales = {t.act_scale for t in tvs}
+        if len(scales) == 1 and None not in scales:
+            carry = scales.pop()  # all int8 at one scale: concat stays int8
+        else:
+            carry = None
+            tvs = [
+                TValue(
+                    (t.arr.astype(jnp.float32) * t.act_scale).astype(
+                        ctx.compute_dtype
+                    ),
+                    t.layout,
+                )
+                if t.act_scale is not None else t
+                for t in tvs
+            ]
         rank = len(tvs[0].shape)
         axis = axis % rank
         # channel concat stays channels-last (GoogLeNet inception joins)
         if rank == 4 and axis == 1 and all(t.layout == "CL" for t in tvs):
             out = jnp.concatenate([t.arr for t in tvs], axis=3)
-            return {node.out_port: TValue(out, "CL")}
+            return {node.out_port: TValue(out, "CL", act_scale=carry)}
         out = jnp.concatenate([t.nchw() for t in tvs], axis=axis)
-        return {node.out_port: TValue(out, "L")}
+        return {node.out_port: TValue(out, "L", act_scale=carry)}

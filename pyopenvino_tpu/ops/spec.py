@@ -97,6 +97,14 @@ class Op:
 
     type_name: str = ""
 
+    # Input ports whose ``emit`` understands an int8-stored activation
+    # (a TValue with act_scale set — INT8-FULL inter-layer storage,
+    # runtime/compiler.py _find_int8_edges): a tuple of port numbers, or
+    # "all".  Any int8 value reaching a port NOT listed here is
+    # dequantized by the compiler's central guard before emit, so this
+    # flag is a performance contract, never a correctness requirement.
+    int8_ports = ()
+
     def ref_compute(
         self, node, inputs: Dict[int, np.ndarray]
     ) -> Dict[int, np.ndarray]:

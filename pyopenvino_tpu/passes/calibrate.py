@@ -27,6 +27,14 @@ from pyopenvino_tpu.ops import get_op
 # bandwidth-bound, so bytes are exactly what it pays for.
 QUANTIZABLE = ("Convolution", "GroupConvolution", "MatMul")
 
+# additionally-observed ops: int8-dataflow carries (MaxPool/ReLU — exact
+# commute with the scale) and accepters (LRN/AvgPool — fused dequant-on-
+# read).  Their calibrated input scales let the compiler's demand
+# propagation (runtime/compiler.py _find_int8_edges) store tensors whose
+# consumers include no conv sink — e.g. the GoogLeNet stem's
+# conv→pool→LRN chain, which is pure HBM-bound VPU work.
+OBSERVED = QUANTIZABLE + ("MaxPool", "ReLU", "LRN", "AvgPool")
+
 PortKey = Tuple[int, int]  # (consumer node id, consumer port) — always port 0
 
 
@@ -71,7 +79,7 @@ def calibrate_activations(
                 outs = get_op(node.op_type).ref_compute(node, ins)
             for p, arr in outs.items():
                 values[(node.id, p)] = arr
-            if node.op_type in QUANTIZABLE and 0 in ins:
+            if node.op_type in OBSERVED and 0 in ins:
                 a = np.abs(np.asarray(ins[0], dtype=np.float32))
                 m = float(np.percentile(a, percentile)
                           if percentile < 100.0 else a.max())

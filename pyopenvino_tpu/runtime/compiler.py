@@ -59,11 +59,20 @@ class EmitCtx:
         analysis: ShapeAnalysis,
         config: Config,
         act_scales: Optional[Dict[int, float]] = None,
+        int8_edges: Optional[Dict[Tuple[int, int], float]] = None,
     ):
         self.model = model
         self.analysis = analysis
         self.config = config
         self.act_scales = act_scales or {}
+        # {(src, sport): scale} INT8-FULL storage decisions — lets an op
+        # requantize its OWN output in-kernel (Pallas LRN) instead of
+        # relying on the compiler's post-emit store() quantize.
+        self.int8_edges = int8_edges or {}
+
+    def out_int8_scale(self, node) -> Optional[float]:
+        """Storage scale if this node's output edge is int8-stored."""
+        return self.int8_edges.get((node.id, node.out_port))
 
     @property
     def full_int8(self) -> bool:
@@ -191,15 +200,35 @@ class CompiledNetwork:
         """INT8-FULL inter-layer storage decision: {(src, sport): scale}
         for every traced tensor that can travel HBM as int8.
 
-        A tensor qualifies when its producer is a conv-family op (whose
-        epilogue can requantize the f32 accumulator before the single HBM
-        write-back) and EVERY traced consumer is a conv-family data input
-        with a calibrated activation scale and int8 weights (so it consumes
-        int8 directly on the MXU integer path).  This halves the HBM bytes
-        of each qualifying edge — the dominant cost of the bandwidth-bound
-        CNN trunks (measured: GoogLeNet/SSD are HBM-bound almost
-        everywhere, docs/MEASUREMENTS.md).  Keyed on the FUSED graph: a
-        fused group produces at its chain-end key, after bias/activation."""
+        Backward demand propagation over the FUSED graph (a fused group
+        produces at its chain-end key, after bias/activation).  Each
+        consumer of a tensor yields a storage scale:
+
+          * conv-family data input with a calibrated activation scale and
+            int8 weights (SINK) — yields its calibrated scale; it consumes
+            int8 directly on the MXU integer path, so storing costs nothing
+            it would not pay quantizing on the fly;
+          * MaxPool / ReLU (CARRY) — max commutes with the positive dequant
+            scale, so these consume int8 and re-emit it at the same scale
+            EXACTLY; they yield whatever their own output edge demands;
+          * Concat (CARRY) — pure byte-shuffle in int8 once every input is
+            stored at one common scale; yields its output edge's demand to
+            ALL its inputs (inception joins travel int8 end to end);
+          * LRN / AvgPool (ACCEPTER) — compute in f32 internally but fuse
+            the int8 dequant into their read (bytes halved); they yield the
+            calibrated scale observed at their own data input
+            (passes/calibrate.py observes these ops for exactly this);
+          * anything else — blocks storage of this edge (the central
+            dequant guard in _build_fn keeps such reads correct anyway,
+            but storing would add quantization error with no sink to
+            benefit).
+
+        A tensor is stored int8 at max(yielded scales) when every traced
+        consumer yields one.  This halves the HBM bytes of each qualifying
+        edge — the dominant cost of the bandwidth-bound CNN trunks
+        (measured: GoogLeNet/SSD are HBM-bound almost everywhere,
+        docs/MEASUREMENTS.md; the GoogLeNet stem chain
+        conv-pool-LRN-conv-conv-LRN-pool alone is ~54% of device time)."""
         from pyopenvino_tpu.config import Backend, QuantMode
 
         if (
@@ -211,45 +240,80 @@ class CompiledNetwork:
             return {}
         model = self.model
         roots = ("Convolution", "GroupConvolution", "MatMul")
+        accepters = ("LRN", "AvgPool")
 
-        produced = {}
-        for nid, f in self._fusions.items():
-            produced[f.out_key] = nid
-        for node in model:
-            if (
-                node.op_type in roots
-                and node.id not in self._fusions
-                and node.id not in self._folded_nodes
-            ):
-                produced[(node.id, node.out_port)] = node.id
+        memo: Dict[Tuple[int, int], Optional[float]] = {}
 
-        out: Dict[Tuple[int, int], float] = {}
-        for (src, sport), _root in produced.items():
+        def demand(key: Tuple[int, int]) -> Optional[float]:
+            if key in memo:
+                return memo[key]
+            memo[key] = None  # DAG, but guard anyway
+            src, sport = key
             consumers = [
                 (dst, dport)
                 for p, dst, dport in model.out_edges[src]
                 if p == sport
             ]
-            if not consumers:
-                continue
             scales = []
             for dst, dport in consumers:
+                if dst in self._folded_nodes:
+                    return None
                 dn = model.nodes[dst]
-                if (
-                    dn.op_type not in roots
-                    or dport != 0
-                    or dst in self._folded_nodes
-                ):
-                    scales = None
-                    break
-                s = self.act_scales.get(dst)
-                w_src = model.in_edges[dst].get(1)
-                if s is None or w_src is None or w_src[0] not in self._quantized:
-                    scales = None
-                    break
-                scales.append(s)
-            if scales:
-                out[(src, sport)] = max(scales)
+                if dn.op_type in roots and dport == 0:
+                    s = self.act_scales.get(dst)
+                    w_src = model.in_edges[dst].get(1)
+                    if (
+                        s is None
+                        or w_src is None
+                        or w_src[0] not in self._quantized
+                    ):
+                        return None
+                    scales.append(s)
+                elif dn.op_type in ("MaxPool", "ReLU") and dport == 0:
+                    # exact carry: propagate the output edge's demand; fall
+                    # back to the calibrated scale at the carry's input
+                    s = demand((dst, dn.out_port))
+                    if s is None:
+                        s = self.act_scales.get(dst)
+                    if s is None:
+                        return None
+                    scales.append(s)
+                elif dn.op_type == "Concat" and dst not in self._fused_skip:
+                    s = demand((dst, dn.out_port))
+                    if s is None:
+                        return None
+                    scales.append(s)
+                elif dn.op_type in accepters and dport == 0:
+                    s = self.act_scales.get(dst)
+                    if s is None:
+                        return None
+                    scales.append(s)
+                else:
+                    return None
+            if not scales:
+                return None  # no traced consumers (or Result-only)
+            memo[key] = max(scales)
+            return memo[key]
+
+        produced = {}
+        for nid, f in self._fusions.items():
+            produced[f.out_key] = nid
+        for node in model:
+            if node.op_type in ("Const", "Parameter", "Result"):
+                continue
+            if (
+                node.id not in self._fusions
+                and node.id not in self._folded_nodes
+                and node.id not in self._fused_skip
+            ):
+                for port in node.outputs:
+                    produced[(node.id, port)] = node.id
+
+        out: Dict[Tuple[int, int], float] = {}
+        for key in produced:
+            s = demand(key)
+            if s is not None:
+                out[key] = s
         return out
 
     def _build_weights(self):
@@ -309,7 +373,6 @@ class CompiledNetwork:
         model = self.model
         analysis = self.analysis
         config = self.config
-        ctx = EmitCtx(model, analysis, config, self.act_scales)
         folded = self._folded_nodes
         runtime_consts = self._runtime_consts
         quantized = self._quantized
@@ -323,6 +386,7 @@ class CompiledNetwork:
             # inter-layer storage is keyed on the fused graph, so it is
             # disabled alongside (capture is a debugging path).
             fusions, fused_skip, int8_edges = {}, set(), {}
+        ctx = EmitCtx(model, analysis, config, self.act_scales, int8_edges)
 
         def fn(weights, inputs):
             import jax.numpy as jnp
@@ -333,9 +397,11 @@ class CompiledNetwork:
             def store(key, tv):
                 """Register a produced tensor; int8-storage edges are
                 requantized here so XLA fuses the quantize into the
-                producer's epilogue and the HBM write is 1 byte/elem."""
+                producer's epilogue and the HBM write is 1 byte/elem.
+                Carry ops (MaxPool/ReLU/Concat) emit int8 TValues
+                directly — those pass through at their carried scale."""
                 s = int8_edges.get(key)
-                if s is not None:
+                if s is not None and tv.act_scale is None:
                     q = jnp.clip(
                         jnp.round(tv.arr.astype(jnp.float32) * (1.0 / s)),
                         -127, 127,
@@ -385,7 +451,10 @@ class CompiledNetwork:
                         )
                 elif node.op_type == "Result":
                     src, sport = model.in_edges[node.id][0]
-                    out = tv_for(src, sport).nchw()
+                    tv = tv_for(src, sport)
+                    out = tv.nchw()
+                    if tv.act_scale is not None:  # int8-stored: dequantize
+                        out = out.astype(jnp.float32) * tv.act_scale
                     out_dtype = node.inputs[0].dtype
                     outputs[node.name] = out.astype(out_dtype)
                 elif node.id in folded:
@@ -394,13 +463,26 @@ class CompiledNetwork:
                     continue  # absorbed into a fused group's epilogue
                 else:
                     op = get_op(node.op_type)
+                    int8_ports = getattr(op, "int8_ports", ())
                     ins = {}
                     for port, (src, sport) in sorted(
                         model.in_edges[node.id].items()
                     ):
                         if (node.op_type, port) in STATIC_PORTS:
                             continue
-                        ins[port] = tv_for(src, sport)
+                        tv = tv_for(src, sport)
+                        # central dequant guard: an int8-stored activation
+                        # reaching an op that does not declare int8
+                        # handling for this port is dequantized here (the
+                        # convert+scale fuses into the consumer — the HBM
+                        # read stays 1 byte/elem), so correctness never
+                        # depends on the edge analysis above
+                        if tv.act_scale is not None and not (
+                            int8_ports == "all" or port in int8_ports
+                        ):
+                            deq = tv.arr.astype(jnp.float32) * tv.act_scale
+                            tv = TValue(deq.astype(ctx.compute_dtype), tv.layout)
+                        ins[port] = tv
                     # named scope → HLO metadata → measured per-node cost in
                     # profile()/runtime/profiling.py (trace-time only; free
                     # at execution)

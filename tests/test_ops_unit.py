@@ -296,3 +296,133 @@ class TestStridedSliceMasks:
                  "ellipsis_mask": "1,0"},
                 x, [0, 0], [2, 4],
             )
+
+
+class TestLRNBanded:
+    """The TPU LRN formulation (banded C-by-C matmul window sum,
+    ops/elementwise.py _lrn_banded) against the numpy reference — the
+    chip route is CI-tested here directly since CPU runs keep the
+    reduce_window lowering."""
+
+    def _ref(self, x, alpha, beta, bias, size):
+        c = x.shape[-1]
+        sq = x.astype(np.float64) ** 2
+        denom = np.empty_like(sq)
+        for ch in range(c):
+            lo, hi = max(0, ch - size // 2), min(c, ch + size // 2 + 1)
+            denom[..., ch] = (bias + alpha * sq[..., lo:hi].sum(axis=-1)) ** beta
+        return x / denom
+
+    @pytest.mark.parametrize("c", [64, 192])
+    def test_float_matches_reference(self, c):
+        import jax.numpy as jnp
+
+        from pyopenvino_tpu.ops.elementwise import _lrn_banded
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 5, 7, c)).astype(np.float32)
+        got = np.asarray(_lrn_banded(
+            jnp.asarray(x), alpha=1e-4, beta=0.75, bias=1.0, half=2,
+            in_scale=None, out_scale=None, compute_dtype=jnp.float32,
+        ))
+        ref = self._ref(x, 1e-4, 0.75, 1.0, 5)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    def test_general_beta_exp_log_path(self):
+        import jax.numpy as jnp
+
+        from pyopenvino_tpu.ops.elementwise import _lrn_banded
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((1, 3, 3, 64)).astype(np.float32)
+        got = np.asarray(_lrn_banded(
+            jnp.asarray(x), alpha=2e-4, beta=0.6, bias=2.0, half=1,
+            in_scale=None, out_scale=None, compute_dtype=jnp.float32,
+        ))
+        ref = self._ref(x, 2e-4, 0.6, 2.0, 3)
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    def test_int8_in_out(self):
+        import jax.numpy as jnp
+
+        from pyopenvino_tpu.ops.elementwise import _lrn_banded
+
+        rng = np.random.default_rng(1)
+        xq = rng.integers(-127, 128, (1, 4, 4, 64)).astype(np.int8)
+        s_in, s_out = 0.21, 0.02
+        got = np.asarray(_lrn_banded(
+            jnp.asarray(xq), alpha=1e-4, beta=0.75, bias=1.0, half=2,
+            in_scale=s_in, out_scale=s_out, compute_dtype=jnp.float32,
+        ))
+        assert got.dtype == np.int8
+        ref = self._ref(xq.astype(np.float32) * s_in, 1e-4, 0.75, 1.0, 5)
+        refq = np.clip(np.round(ref / s_out), -127, 127)
+        np.testing.assert_allclose(
+            got.astype(np.int32), refq.astype(np.int32), atol=1
+        )
+
+
+class TestSpaceToDepthConv:
+    """Stride-2 thin-input convs rewrite onto a 2x2 space-to-depth input
+    (ops/conv.py _s2d_conv) — must be bit-equivalent to the direct conv."""
+
+    def _run(self, H, W, kh, kw, ci=3, co=8, applicable=True):
+        import jax.numpy as jnp
+
+        from pyopenvino_tpu.ops.conv import (
+            _s2d_applicable, _s2d_conv,
+        )
+        from pyopenvino_tpu.ops.padding import conv_padding
+
+        rng = np.random.default_rng(kh * 100 + kw)
+        x = rng.standard_normal((2, H, W, ci)).astype(np.float32)
+        w = rng.standard_normal((co, ci, kh, kw)).astype(np.float32)
+        attrs = {
+            "strides": "2,2", "dilations": "1,1",
+            "pads_begin": f"{kh//2},{kw//2}", "pads_end": f"{kh//2},{kw//2}",
+        }
+        pad = conv_padding(attrs, (H, W), (kh, kw))
+        from jax import lax
+
+        direct = lax.conv_general_dilated(
+            jnp.asarray(x), jnp.asarray(w.transpose(2, 3, 1, 0)),
+            window_strides=(2, 2), padding=pad.pads,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
+        assert applicable == _s2d_applicable(
+            ci, kh, kw, (2, 2), (1, 1), (H, W), pad.pads,
+            (pad.out_h, pad.out_w),
+        )
+        x2, w2 = _s2d_conv(jnp.asarray(x), jnp.asarray(w), pad.pads)
+        got = lax.conv_general_dilated(
+            x2, jnp.transpose(w2, (2, 3, 1, 0)),
+            window_strides=(1, 1), padding=((0, 0), (0, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=lax.Precision.HIGHEST,
+        )
+        assert got.shape == direct.shape
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(direct), rtol=1e-5, atol=1e-5
+        )
+
+    def test_7x7_even_input(self):
+        self._run(224, 224, 7, 7)       # GoogLeNet stem: odd padded dim
+
+    def test_3x3_ssd_stem_gated_off(self):
+        # math still holds at 3x3, but the routing gate refuses it: the
+        # 2-padded kernel costs 1.78x the MACs — measured 5% slower on
+        # SSD-MobileNet's stem (b256 14.0k vs 14.7k img/s)
+        self._run(300, 300, 3, 3, applicable=False)
+
+    def test_5x5(self):
+        self._run(64, 96, 5, 5)
+
+    def test_even_kernel_oddpad_falls_back(self):
+        from pyopenvino_tpu.ops.conv import _s2d_applicable
+
+        # padded H odd with even kernel would grow the output: must refuse
+        assert not _s2d_applicable(
+            3, 4, 4, (2, 2), (1, 1), (225, 224), ((0, 0), (0, 0)),
+            ((225 - 4) // 2 + 1, (224 - 4) // 2 + 1),
+        )

@@ -108,6 +108,71 @@ def test_int8_interlayer_storage_edges():
     assert abs(r[0, 2] - g[0, 2]) < 0.05
 
 
+def test_int8_dataflow_carries_googlenet(loaded):
+    """The extended INT8 dataflow stores edges whose consumers are pools,
+    LRNs and concats (carry/accepter propagation), not just conv->conv:
+    the GoogLeNet stem (conv-pool-LRN-conv) and every inception join must
+    travel HBM as int8, and top-1 must still match fp32."""
+    m = loaded("googlenet-v1")
+    rng = np.random.default_rng(3)
+    blob = rng.uniform(0, 255, (1, 3, 224, 224)).astype(np.float32)
+    c = compile_model(
+        m, Config(quant=QuantMode.INT8_FULL), calibration_samples=[{"data": blob}]
+    )
+    by_type = {}
+    for (src, sport), _s in c._int8_edges.items():
+        for p, dst, dport in c.model.out_edges[src]:
+            if p == sport:
+                t = c.model.nodes[dst].op_type
+                by_type[t] = by_type.get(t, 0) + 1
+    # stem pools + inception pool branches consume stored int8
+    assert by_type.get("MaxPool", 0) >= 10, by_type
+    # stem LRNs read int8 (fused dequant)
+    assert by_type.get("LRN", 0) >= 2, by_type
+    # all 9 inception joins carry int8 (4 branch inputs each)
+    assert by_type.get("Concat", 0) >= 36, by_type
+    ref = compile_model(m, Config())({"data": blob})
+    out = c({"data": blob})
+    k = next(iter(out))
+    assert np.argmax(out[k]) == np.argmax(ref[k])
+
+
+def test_int8_maxpool_carry_exact():
+    """max commutes with the positive dequant scale: pooling stored int8
+    codes then dequantizing equals pooling the dequantized values."""
+    import jax.numpy as jnp
+
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(-127, 128, (1, 8, 12, 12)).astype(np.float32)
+    s = 0.173
+    b = GraphBuilder("pool_carry")
+    p = b.parameter("x", (1, 8, 12, 12))
+    pool = b.max_pool(p, kernel=(3, 3), strides=(2, 2))
+    b.result(pool)
+    m = b.build()
+    ref = compile_model(m, Config())({"x": x * s})
+    k = next(iter(ref))
+
+    import jax
+
+    from pyopenvino_tpu.ops import get_op
+    from pyopenvino_tpu.ops.spec import TValue
+    from pyopenvino_tpu.runtime.compiler import EmitCtx, infer_shapes
+
+    node = next(n for n in m if n.op_type == "MaxPool")
+    ctx = EmitCtx(m, infer_shapes(m), Config())
+    tv = TValue(
+        jnp.asarray(x.transpose(0, 2, 3, 1).astype(np.int8)), "CL", act_scale=s
+    )
+    out = get_op("MaxPool").emit(ctx, node, {0: tv})[node.out_port]
+    assert out.arr.dtype == jnp.int8 and out.act_scale == s
+    np.testing.assert_allclose(
+        np.asarray(out.nchw(), np.float32) * s, ref[k], rtol=1e-6
+    )
+
+
 def test_int8_storage_mnist_golden(mnist_image):
     """MNIST golden top-3 survives the full quantized dataflow."""
     from pyopenvino_tpu.config import Backend, Config, QuantMode
