@@ -208,6 +208,30 @@ def _iou_matrix(xp, b):
     return inter / union
 
 
+def _top_k_prefilter_np(valid, conf, p):
+    """Spec `top_k`: only the top-k candidates (by confidence, ties to the
+    lower prior index) enter NMS.  The reference PARSES top_k but never
+    applies it (/root/reference/pyopenvino/op_plugins/DetectionOutput.py:282
+    — parsed; :162-260 — unused); the OpenVINO/caffe DetectionOutput spec
+    applies it pre-NMS.  We follow the spec: it is also the entire
+    performance story of this op — the suppression pair count drops from
+    P² (1917² for SSD-MobileNet) to top_k² (100²).
+
+    Exactness: a candidate can only be killed by a HIGHER-confidence valid
+    box, and every such killer of a top-k box is itself top-k — so the
+    keep/kill decision of every surviving record is identical to full NMS;
+    only sub-top-k boxes (which could at most fill trailing keep_top_k
+    slots after >top_k−keep_top_k kills) are excluded."""
+    top_k = p["top_k"]
+    P = conf.shape[-1]
+    if top_k <= 0 or top_k >= P:
+        return valid
+    order = np.argsort(np.where(valid, -conf, np.inf), kind="stable")
+    sel = np.zeros(P, dtype=bool)
+    sel[order[:top_k]] = True
+    return valid & sel
+
+
 def detection_output_ref(box_logits, class_pred, proposals, p) -> np.ndarray:
     """Numpy fixed-shape masked implementation (also the fold/interp path)."""
     assert proposals.shape[1] == 2, "variance_encoded_in_target=1 unsupported"
@@ -223,6 +247,7 @@ def detection_output_ref(box_logits, class_pred, proposals, p) -> np.ndarray:
     cls = scores.argmax(axis=1)
     conf = scores[np.arange(P), cls]
     valid = (conf > p["confidence_threshold"]) & (cls != 0)
+    valid = _top_k_prefilter_np(valid, conf, p)
 
     offset = 0 if p["normalized"] else 1
     decoded = _decode(np, boxes_p[:, offset : offset + 4], logits, boxes_v, p)
@@ -263,6 +288,7 @@ def detection_output_jax(box_logits, class_pred, proposals, p):
     but was deleted: Mosaic's compile of it hangs on this backend even
     after the stack update, and the batched path's tiled scan —
     detection_output_jax_batched — covers the production case.)"""
+    import jax
     import jax.numpy as jnp
 
     prior_box_size = 4 if p["normalized"] else 5
@@ -277,6 +303,10 @@ def detection_output_jax(box_logits, class_pred, proposals, p):
     cls = jnp.argmax(scores, axis=1)
     conf = jnp.max(scores, axis=1)  # == score at argmax, without the gather
     valid = (conf > p["confidence_threshold"]) & (cls != 0)
+    top_k = p["top_k"]
+    if 0 < top_k < P:  # spec top_k pre-NMS (see _top_k_prefilter_np)
+        _, sel_idx = jax.lax.top_k(jnp.where(valid, conf, -jnp.inf), top_k)
+        valid = valid & jnp.zeros(P, bool).at[sel_idx].set(True)
 
     offset = 0 if p["normalized"] else 1
     decoded = _decode(jnp, boxes_p[:, offset : offset + 4], logits, boxes_v, p)
@@ -366,6 +396,19 @@ def detection_output_jax_batched(box_logits, class_pred, proposals, p,
     decoded = jax.vmap(decode_one)(boxes_p, logits, boxes_v)  # (B, P, 4)
     if p["clip_before_nms"]:
         decoded = jnp.clip(decoded, 0.0, 1.0)
+
+    # spec top_k pre-NMS (see _top_k_prefilter_np): compact the top-k
+    # candidates per example and suppress only those — exact for every
+    # surviving record, and the pair count drops P²→top_k² (1917²→100²
+    # for SSD-MobileNet: measured 5.9 ms → sub-ms of the b256 step)
+    if 0 < p["top_k"] < P:
+        M = p["top_k"]
+        conf, cand = jax.lax.top_k(
+            jnp.where(valid, conf, -jnp.inf), M)           # (B, M) desc
+        valid = conf > p["confidence_threshold"]           # -inf rows drop
+        cls = jnp.take_along_axis(cls, cand, axis=1)
+        decoded = jnp.take_along_axis(decoded, cand[..., None], axis=1)
+        P = M
 
     # --- tiled batched suppression ---
     PP = ((P + row_tile - 1) // row_tile) * row_tile
