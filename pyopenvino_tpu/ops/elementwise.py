@@ -280,10 +280,16 @@ class LRN(Op):
         # On the chip the channel window-sum runs as a banded C×C matmul
         # on the MXU (_lrn_banded) — measured 2.2× the lane-window
         # reduce_window lowering below (GoogLeNet 56×56×192 int8 LRN at
-        # batch 512: 3.3 ms vs 7.5 ms; a hand-written Pallas pass was
-        # also built and measured SLOWER (~5 ms + a lane-repack relayout)
-        # and deleted, docs/MEASUREMENTS.md).  CPU/CI keeps reduce_window
-        # (banded semantics are CI-tested against ref_compute directly).
+        # batch 512: 3.3 ms vs 7.5 ms).  The XLA lowering does
+        # materialize the bf16 square in HBM (~2.0× the byte floor), but
+        # TWO independent Pallas fusions of the full pass measured far
+        # WORSE in-model and were deleted: a lane-window shift pass
+        # (~5 ms + lane-repack relayout) and a square→banded-MXU-matmul→
+        # rsqrt→requant kernel (GoogLeNet 19.3k → 11.2k img/s end to end
+        # — the custom call also breaks XLA's fusions around it, e.g. the
+        # following MaxPool went 0.5 → 10 ms).  docs/MEASUREMENTS.md.
+        # CPU/CI keeps reduce_window (banded semantics are CI-tested
+        # against ref_compute directly).
         if not ctx.pallas_interpret:
             out_scale = ctx.out_int8_scale(node)
             out = _lrn_banded(
