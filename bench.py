@@ -51,9 +51,10 @@ def main():
 
     xml, binp = _model_paths("googlenet-v1")
     model = read_ir_model(xml, binp)
-    # INT8-FULL (calibrated activations, native int8x8 convs) is the
-    # fastest mode since round 2: 13.75k vs 13.59k img/s weight-only at
-    # batch 512 on the v5e (docs/MEASUREMENTS.md).
+    # INT8-FULL (calibrated activations, native int8x8 convs, int8
+    # inter-layer dataflow) is the fastest mode since round 2: 19.3k vs
+    # 13.6k img/s weight-only at batch 512 on the v5e
+    # (docs/MEASUREMENTS.md).
     cfg = Config(
         quant=QuantMode.INT8_FULL if on_tpu else QuantMode.INT8_WEIGHT,
         compute_dtype="bfloat16" if on_tpu else "float32",
