@@ -167,3 +167,29 @@ def test_detection_batched_fewer_priors_than_records():
         ref = detection_output_ref(lg, sc, pr, params)
         np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=1e-5,
                                    err_msg=f"example {i}")
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 11])
+def test_top_k_prefilter_records_are_prefix_of_full_nms(seed):
+    """Spec top_k pre-NMS (ops/ssd.py _top_k_prefilter_np) exactness: every
+    record the prefiltered form emits must equal the same-rank record of
+    full NMS — a killer always outranks its victim, so the kept top-k boxes
+    are exactly the top-ranked kept boxes of the unfiltered suppression.
+    Only trailing sub-top-k records (beyond the prefix) may differ."""
+    logits, scores, proposals, params = _make_case(seed, P=96)
+    full = detection_output_ref(
+        logits, scores, proposals, dict(params, top_k=-1)
+    )[0, 0]
+    pre = detection_output_ref(
+        logits, scores, proposals, dict(params, top_k=8)
+    )[0, 0]
+    n_pre = next(
+        (i for i in range(pre.shape[0]) if pre[i, 0] == -1.0), pre.shape[0]
+    )
+    assert n_pre <= 8
+    np.testing.assert_allclose(pre[:n_pre], full[:n_pre], rtol=1e-6)
+    # and the jax twins implement the same prefilter
+    got = np.asarray(detection_output_jax(
+        logits, scores, proposals, dict(params, top_k=8)
+    ))[0, 0]
+    np.testing.assert_allclose(got[:n_pre], pre[:n_pre], rtol=1e-4, atol=1e-5)
