@@ -114,10 +114,9 @@ class ReLU(_Unary):
         return jnp.maximum(x, 0)
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
-        import jax.numpy as jnp
-
+        # unlike _Unary.emit, the carried act_scale survives (exact carry)
         tv = inputs[0]
-        out = jnp.maximum(tv.arr, 0)
+        out = self._apply_jx(node, tv.arr)
         return {
             node.out_port: TValue(out, tv.layout, act_scale=tv.act_scale)
         }
@@ -205,8 +204,13 @@ def _lrn_banded(
         band[max(0, i - half): i + half + 1, i] = 1.0
 
     if in_scale is not None:
-        # int8 codes and the 0/1 band are exact in bf16; the MXU
-        # accumulates in f32; alpha·s² re-scales the code-domain sum
+        # int8 codes and the 0/1 band are exact in bf16; the SQUARES are
+        # not (codes >64 square past bf16's 8-bit mantissa — ≤2^-9
+        # relative), but α·Σ is a small correction to `bias`, so the
+        # denominator error stays ≪ the int8 output quantization step
+        # (CI gates the int8-in/int8-out path at ±1 code vs the f64
+        # reference).  The MXU accumulates in f32; alpha·s² re-scales
+        # the code-domain sum.
         xb = x.astype(jnp.bfloat16)
         sq = xb * xb
         win = lax.dot_general(
@@ -299,8 +303,7 @@ class LRN(Op):
             )
             return {node.out_port: TValue(out, "CL", act_scale=out_scale)}
 
-        if tv.act_scale is not None:  # int8-stored input: dequant inline
-            x = x.astype(jnp.float32) * tv.act_scale
+        x = tv.dequant().nhwc()  # int8-stored input: dequant inline
         # normalization in f32 regardless of compute dtype (pow in bf16 both
         # loses precision and trips lax.pow's dtype matching)
         xf = x.astype(jnp.float32)

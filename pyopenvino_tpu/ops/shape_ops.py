@@ -274,16 +274,7 @@ class Concat(Op):
             carry = scales.pop()  # all int8 at one scale: concat stays int8
         else:
             carry = None
-            tvs = [
-                TValue(
-                    (t.arr.astype(jnp.float32) * t.act_scale).astype(
-                        ctx.compute_dtype
-                    ),
-                    t.layout,
-                )
-                if t.act_scale is not None else t
-                for t in tvs
-            ]
+            tvs = [t.dequant(ctx.compute_dtype) for t in tvs]
         rank = len(tvs[0].shape)
         axis = axis % rank
         # channel concat stays channels-last (GoogLeNet inception joins)

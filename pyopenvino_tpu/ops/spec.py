@@ -79,6 +79,23 @@ class TValue:
     def logical(self) -> "TValue":
         return TValue(self.nchw(), "L")
 
+    def dequant(self, compute_dtype=None) -> "TValue":
+        """Dequantized copy when ``arr`` holds int8 activation codes
+        (act_scale set); returns self unchanged otherwise.  The single
+        definition of x ≈ arr·act_scale — every consumer-side dequant
+        (compiler guard, Result/capture, Concat mixed-scale fallback,
+        LRN interpret path) goes through here.  The f32 multiply fuses
+        into the consumer's first read, so the HBM side stays
+        1 byte/element."""
+        if self.act_scale is None:
+            return self
+        import jax.numpy as jnp
+
+        arr = self.arr.astype(jnp.float32) * self.act_scale
+        if compute_dtype is not None:
+            arr = arr.astype(compute_dtype)
+        return TValue(arr, self.layout, qscale=self.qscale)
+
     def __repr__(self):
         return f"TValue({self.shape}, {self.dtype}, {self.layout})"
 

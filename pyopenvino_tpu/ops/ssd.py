@@ -397,6 +397,11 @@ def detection_output_jax_batched(box_logits, class_pred, proposals, p,
     if p["clip_before_nms"]:
         decoded = jnp.clip(decoded, 0.0, 1.0)
 
+    # output geometry is defined by the FULL prior count (infer_shapes and
+    # the numpy/jax twins use it) — fix it before the compaction below
+    # rebinds P to the candidate count
+    out_shape = _output_shape(p, P)
+
     # spec top_k pre-NMS (see _top_k_prefilter_np): compact the top-k
     # candidates per example and suppress only those — exact for every
     # surviving record, and the pair count drops P²→top_k² (1917²→100²
@@ -453,8 +458,7 @@ def detection_output_jax_batched(box_logits, class_pred, proposals, p,
     if p["clip_after_nms"]:
         decoded = jnp.clip(decoded, 0.0, 1.0)
 
-    out_shape = _output_shape(p, P)
-    max_record = out_shape[2]
+    max_record = out_shape[2]  # out_shape fixed pre-compaction (full P)
     num_keep = keep.sum(axis=1)                            # (B,)
 
     # top-K by confidence instead of a full argsort: lax.top_k breaks ties

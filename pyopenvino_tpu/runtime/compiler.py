@@ -270,11 +270,11 @@ class CompiledNetwork:
                         return None
                     scales.append(s)
                 elif dn.op_type in ("MaxPool", "ReLU") and dport == 0:
-                    # exact carry: propagate the output edge's demand; fall
-                    # back to the calibrated scale at the carry's input
+                    # exact carry: propagate the output edge's demand only —
+                    # no calibrated-scale fallback, so a carry chain with no
+                    # quantizing consumer downstream (e.g. pool → Result)
+                    # stays full-precision, honoring the contract below
                     s = demand((dst, dn.out_port))
-                    if s is None:
-                        s = self.act_scales.get(dst)
                     if s is None:
                         return None
                     scales.append(s)
@@ -451,10 +451,7 @@ class CompiledNetwork:
                         )
                 elif node.op_type == "Result":
                     src, sport = model.in_edges[node.id][0]
-                    tv = tv_for(src, sport)
-                    out = tv.nchw()
-                    if tv.act_scale is not None:  # int8-stored: dequantize
-                        out = out.astype(jnp.float32) * tv.act_scale
+                    out = tv_for(src, sport).dequant().nchw()
                     out_dtype = node.inputs[0].dtype
                     outputs[node.name] = out.astype(out_dtype)
                 elif node.id in folded:
@@ -477,11 +474,8 @@ class CompiledNetwork:
                         # convert+scale fuses into the consumer — the HBM
                         # read stays 1 byte/elem), so correctness never
                         # depends on the edge analysis above
-                        if tv.act_scale is not None and not (
-                            int8_ports == "all" or port in int8_ports
-                        ):
-                            deq = tv.arr.astype(jnp.float32) * tv.act_scale
-                            tv = TValue(deq.astype(ctx.compute_dtype), tv.layout)
+                        if not (int8_ports == "all" or port in int8_ports):
+                            tv = tv.dequant(ctx.compute_dtype)
                         ins[port] = tv
                     # named scope → HLO metadata → measured per-node cost in
                     # profile()/runtime/profiling.py (trace-time only; free
@@ -509,11 +503,7 @@ class CompiledNetwork:
                 if capture and node.name in capture:
                     key = (node.id, node.out_port)
                     if key in values:
-                        tv = values[key]
-                        cap = tv.nchw()
-                        if tv.act_scale is not None:  # int8-stored: dequant
-                            cap = cap.astype(jnp.float32) * tv.act_scale
-                        captured[node.name] = cap
+                        captured[node.name] = values[key].dequant().nchw()
             if capture is not None:
                 return outputs, captured
             return outputs

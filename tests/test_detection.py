@@ -193,3 +193,39 @@ def test_top_k_prefilter_records_are_prefix_of_full_nms(seed):
         logits, scores, proposals, dict(params, top_k=8)
     ))[0, 0]
     np.testing.assert_allclose(got[:n_pre], pre[:n_pre], rtol=1e-4, atol=1e-5)
+
+
+def test_batched_output_shape_uses_full_prior_count():
+    """Regression: with keep_top_k<=0 the record count derives from the
+    FULL prior count; the batched twin must not compute it from the
+    compacted top_k candidate count (found by self-review of the top_k
+    compaction)."""
+    from pyopenvino_tpu.ops.ssd import detection_output_jax_batched
+
+    P, nc, B = 32, 3, 2
+    rng = np.random.default_rng(0)
+    logits = rng.normal(0, 0.5, (B, P * 4)).astype(np.float32)
+    scores = rng.uniform(0, 1, (B, P * nc)).astype(np.float32)
+    cx, cy = rng.uniform(0.2, 0.8, (2, P))
+    w, h = rng.uniform(0.05, 0.3, (2, P))
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
+    var = np.tile([0.1, 0.1, 0.2, 0.2], (P, 1))
+    proposals = np.broadcast_to(
+        np.stack([boxes.reshape(-1), var.reshape(-1)])[None],
+        (B, 2, P * 4),
+    ).astype(np.float32)
+    params = dict(
+        num_classes=nc, background_label_id=0, top_k=8,
+        variance_encoded_in_target=False, keep_top_k=(0,),
+        code_type="caffe.PriorBoxParameter.CENTER_SIZE",
+        share_location=True, nms_threshold=0.5, confidence_threshold=0.4,
+        clip_after_nms=True, clip_before_nms=False, decrease_label_id=False,
+        normalized=True, input_height=1, input_width=1,
+    )
+    out = np.asarray(detection_output_jax_batched(
+        logits, scores, proposals, params
+    ))
+    assert out.shape == (B, 1, 1, nc * P, 7)
+    ref = detection_output_ref(logits[:1], scores[:1], proposals[0][None],
+                               params)
+    np.testing.assert_allclose(out[0], ref, rtol=1e-4, atol=1e-5)
