@@ -87,12 +87,28 @@ def run_multiprocess(args):
         with socket.socket() as s:
             s.bind(("127.0.0.1", 0))
             port = s.getsockname()[1]
+
+        # Pin each worker to a disjoint core set: every process emulates a
+        # HOST, and two XLA:CPU thread pools oversubscribing one box's
+        # cores measures contention, not scaling (measured on the 4-core
+        # rig: unpinned 2-process = 36% of linear, pinned = ~100%).
+        import shutil
+        ncores = os.cpu_count() or 1
+        use_taskset = shutil.which("taskset") and ncores >= nproc
+
+        def cmd(pid):
+            base = [sys.executable, "tools/mp_worker.py", str(pid),
+                    str(nproc), str(port), args.model, str(args.batch_per),
+                    ref_npz, "--bench", "10"]
+            if not use_taskset:
+                return base
+            lo = pid * ncores // nproc
+            hi = (pid + 1) * ncores // nproc - 1
+            return ["taskset", "-c", f"{lo}-{hi}"] + base
+
         procs = [
             subprocess.Popen(
-                [sys.executable, "tools/mp_worker.py", str(pid), str(nproc),
-                 str(port), args.model, str(args.batch_per), ref_npz,
-                 "--bench", "10"],
-                cwd=root, env=env, stdout=subprocess.PIPE,
+                cmd(pid), cwd=root, env=env, stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT, text=True,
             )
             for pid in range(nproc)
