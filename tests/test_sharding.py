@@ -81,3 +81,35 @@ def test_dp_x_tp_combined(mnist_image):
     name = net.outputs[0]["name"]
     for b in range(4):
         np.testing.assert_allclose(out[name][b], ref[name][0], rtol=1e-4, atol=1e-6)
+
+
+def test_flagship_dp_x_tp_int8w():
+    """The flagship GoogLeNet-v1 on the full (data=4, model=2) mesh with
+    INT8 weight-only quantization: per-output-channel weight AND scale
+    vectors ride P(None, 'model') (parallel/mesh.py _weight_pspec), the
+    batch rides P('data') — sharded outputs must match the unsharded
+    network per example.  The mnist tests above cover the mechanism; this
+    covers the real inception topology (concat joins, 1x1/3x3/5x5
+    branches, channel counts not divisible by the mesh everywhere)."""
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = model_paths("googlenet-v1")
+    model = read_ir_model(xml, binp)
+    cfg = Config(quant=QuantMode.INT8_WEIGHT)
+    compiled = compile_model(model, cfg)
+
+    rng = np.random.default_rng(0)
+    blob = rng.uniform(0, 255, (1, 3, 224, 224)).astype(np.float32)
+    ref = compiled.infer({"data": blob})
+
+    mesh = build_mesh(MeshConfig(data=4, model=2))
+    shard_compiled(compiled, mesh, tensor_parallel=True)
+    batch = np.repeat(blob, 4, axis=0)
+    out = compiled.infer_batch({"data": batch})
+    name = next(iter(ref))
+    for b in range(4):
+        np.testing.assert_allclose(
+            out[name][b], ref[name][0], rtol=1e-4, atol=1e-6
+        )
