@@ -32,6 +32,9 @@ MODELS = {
     "mnist_bn": ("conv2d_input", (1, 1, 28, 28)),
     "googlenet-v1": ("data", (1, 3, 224, 224)),
     "ssd_mobilenet_v1_coco": ("image_tensor", (1, 3, 300, 300)),
+    # fifth family: programmatic residual net (tools/gen_resnet.py) —
+    # no reference XML exists; built via GraphBuilder + ir/writer.py
+    "resnet18": ("data", (1, 3, 224, 224)),
 }
 BACKENDS = ["interpreter", "xla", "pallas"]
 
