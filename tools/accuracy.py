@@ -38,6 +38,7 @@ MODELS = {
     "mnist_bn": ("conv2d_input", (1, 1, 28, 28), "cls"),
     "googlenet-v1": ("data", (1, 3, 224, 224), "cls"),
     "ssd_mobilenet_v1_coco": ("image_tensor", (1, 3, 300, 300), "det"),
+    "resnet18": ("data", (1, 3, 224, 224), "cls"),  # programmatic 5th family
 }
 
 GATE_CLS_PCT = 0.5   # top-1 delta gate, percent
