@@ -80,6 +80,13 @@ class Config:
     # INT8-FULL dataflow, gate here for A/B measurement.
     int8_dataflow: bool = True
 
+    # INT8-FULL activation-calibration clipping percentile (100.0 = pure
+    # max-abs).  99.9 is the standard outlier defense (OpenVINO POT /
+    # TensorRT calibrators); measured on synthetic-weight SSD it cuts the
+    # int8full mAP delta 24.5 → 20.0 while percentiles ≤99.5 over-clip
+    # and hurt badly (37.7 / 49.0) — see passes/calibrate.py.
+    calibration_percentile: float = 100.0
+
     # Depthwise convolution emission.  "native" = XLA feature_group_count
     # conv (fastest: ~5x the shifted-MAC on TPU v5e, re-measured after the
     # 2026-08 stack update fixed the grouped-conv compile hang).

@@ -817,7 +817,10 @@ def compile_model(
             )
         from pyopenvino_tpu.passes.calibrate import calibrate_activations
 
-        act_scales = calibrate_activations(model, calibration_samples)
+        act_scales = calibrate_activations(
+            model, calibration_samples,
+            percentile=config.calibration_percentile,
+        )
     net = CompiledNetwork(
         model, config, mesh=mesh, quantized=quantized, act_scales=act_scales
     )

@@ -81,7 +81,13 @@ def run_model(model_name: str, mode: str, images, calibration):
         "int8w": QuantMode.INT8_WEIGHT,
         "int8full": QuantMode.INT8_FULL,
     }[mode]
-    cfg = Config(backend=Backend.XLA, quant=quant)
+    # SSD calibrates at the 99.9th percentile: dense anchor-field score
+    # tails are outlier-heavy, and clipping them cuts the int8full mAP
+    # delta 24.5 → 20.0 on synthetic weights (max-abs stays best for the
+    # classification models — measured sweep in config.py's docstring)
+    pct = 99.9 if model_name == "ssd_mobilenet_v1_coco" else 100.0
+    cfg = Config(backend=Backend.XLA, quant=quant,
+                 calibration_percentile=pct)
     ie = IECore()
     xml, binp = _model_paths(model_name)
     net = ie.read_network(xml, binp)
