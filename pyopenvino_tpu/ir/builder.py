@@ -193,6 +193,32 @@ class GraphBuilder:
         return self._add_node("Reshape", [x, t],
                               {"special_zero": "true"}, name)
 
+    def concat(self, xs, axis=1, name=None) -> Port:
+        return self._add_node("Concat", list(xs), {"axis": axis}, name)
+
+    def transpose(self, x, perm, name=None) -> Port:
+        p = self.const(np.asarray(perm, np.int64))
+        return self._add_node("Transpose", [x, p], {}, name)
+
+    def group_conv2d(self, x, w, strides=(1, 1), pads=((0, 0), (0, 0)),
+                     dilations=(1, 1), name=None) -> Port:
+        """w: (G, Co_per_group, Ci_per_group, Kh, Kw) — depthwise when
+        Co_per_group == Ci_per_group == 1."""
+        (pt, pb), (pl, pr) = pads
+        return self._add_node("GroupConvolution", [x, w], {
+            "strides": f"{strides[0]},{strides[1]}",
+            "dilations": f"{dilations[0]},{dilations[1]}",
+            "pads_begin": f"{pt},{pl}", "pads_end": f"{pb},{pr}",
+            "auto_pad": "explicit",
+        }, name)
+
+    def lrn(self, x, size=5, alpha=1e-4, beta=0.75, bias=1.0,
+            name=None) -> Port:
+        axes = self.const(np.asarray([1], np.int64))
+        return self._add_node("LRN", [x, axes], {
+            "size": size, "alpha": alpha, "beta": beta, "bias": bias,
+        }, name)
+
     # -- finalize ------------------------------------------------------------
 
     def build(self) -> Model:

@@ -39,7 +39,7 @@ def _random_graph(seed):
         _, c, h, w = src.shape
         kind = rng.choice(
             ["conv", "pool", "relu", "clamp", "sigmoid", "biasadd", "scale",
-             "residual"]
+             "residual", "dwconv", "lrn", "concat", "transpose2"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -77,6 +77,29 @@ def _random_graph(seed):
             if not partners:
                 continue
             out = b.add(src, partners[int(rng.integers(len(partners)))])
+        elif kind == "dwconv":
+            k = 3
+            s = int(rng.choice([1, 2])) if h >= 6 else 1
+            wd = rng.normal(0, 0.4, (c, 1, 1, k, k)).astype(np.float32)
+            out = b.group_conv2d(src, b.const(wd), strides=(s, s),
+                                 pads=((1, 1), (1, 1)))
+        elif kind == "lrn":
+            out = b.lrn(src, size=min(5, c) | 1)
+        elif kind == "concat":
+            partners = [
+                p for p in live
+                if p.shape[0] == src.shape[0] and p.shape[2:] == src.shape[2:]
+            ]
+            if len(partners) < 2:
+                continue
+            picks = [partners[int(rng.integers(len(partners)))]
+                     for _ in range(2)]
+            out = b.concat([src] + picks, axis=1)
+        elif kind == "transpose2":
+            # NCHW→NHWC→NCHW round trip: exercises Transpose emit + the
+            # layout machinery without changing the logical shape
+            t = b.transpose(src, (0, 2, 3, 1))
+            out = b.transpose(t, (0, 3, 1, 2))
         else:
             continue
         live.append(out)
