@@ -788,6 +788,23 @@ class CompiledNetwork:
         })
         return dict(lowered.compile().cost_analysis())
 
+    def memory_analysis(self) -> Dict[str, int]:
+        """Device-memory footprint of the compiled program from XLA's
+        allocation report: weights/inputs (arguments), outputs, transient
+        activation workspace (temp) and generated code bytes — the HBM
+        budget counterpart of cost_analysis()."""
+        lowered = self._jitted.lower(self.weights, {
+            n.name: np.zeros(n.outputs[n.out_port].shape, np.float32)
+            for n in self.model.parameters
+        })
+        ma = lowered.compile().memory_analysis()
+        fields = (
+            "argument_size_in_bytes", "output_size_in_bytes",
+            "temp_size_in_bytes", "alias_size_in_bytes",
+            "generated_code_size_in_bytes",
+        )
+        return {f: int(getattr(ma, f)) for f in fields if hasattr(ma, f)}
+
 
 def compile_model(
     model: Model,

@@ -44,7 +44,7 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="googlenet-v1",
                     choices=["mnist", "mnist_bn", "googlenet-v1",
-                             "ssd_mobilenet_v1_coco"])
+                             "ssd_mobilenet_v1_coco", "resnet18"])
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
     ap.add_argument("--quant", default="none",
@@ -107,6 +107,19 @@ def main():
               f"bytes={ca.get('bytes accessed', 0):,.0f}")
     except Exception as e:  # noqa: BLE001
         print(f"  cost analysis unavailable: {e}")
+
+    try:
+        ma = c.memory_analysis()
+        mb = 1024 * 1024
+        print(
+            "  device memory: "
+            f"args={ma.get('argument_size_in_bytes', 0)/mb:,.1f} MiB "
+            f"temp={ma.get('temp_size_in_bytes', 0)/mb:,.1f} MiB "
+            f"out={ma.get('output_size_in_bytes', 0)/mb:,.1f} MiB "
+            f"code={ma.get('generated_code_size_in_bytes', 0)/mb:,.1f} MiB"
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"  memory analysis unavailable: {e}")
 
     if args.profile:
         from pyopenvino_tpu.runtime import profiling
