@@ -156,3 +156,28 @@ def test_random_graph_int8_weight_parity(seed):
             got[k], ref[k], rtol=0.2, atol=0.05,
             err_msg=f"seed={seed} output {k!r}",
         )
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_random_graph_int8_dataflow_on_off(seed):
+    """Isolate the INT8-FULL inter-layer dataflow (carries/accepters +
+    central dequant guard): with identical calibrated scales, dataflow
+    on vs off may differ ONLY by the int8 storage rounding of stored
+    edges — a gross-bug detector for double dequantization or wrong
+    carried scales.  (Offline sweeps: 30 seeds clean; plus 400 fp32 and
+    40 pallas-backend seeds — docs/MEASUREMENTS.md.)"""
+    from pyopenvino_tpu.config import QuantMode
+
+    model, in_name, in_shape = _random_graph(seed)
+    rng = np.random.default_rng(seed + 1000)
+    blob = rng.normal(0, 1, in_shape).astype(np.float32)
+    cal = [{in_name: blob},
+           {in_name: rng.normal(0, 1, in_shape).astype(np.float32)}]
+    on = compile_model(model, Config(quant=QuantMode.INT8_FULL),
+                       calibration_samples=cal).infer({in_name: blob})
+    off = compile_model(
+        model, Config(quant=QuantMode.INT8_FULL, int8_dataflow=False),
+        calibration_samples=cal).infer({in_name: blob})
+    for k in on:
+        np.testing.assert_allclose(on[k], off[k], rtol=0.3, atol=0.05,
+                                   err_msg=f"seed={seed} output {k!r}")
