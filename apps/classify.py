@@ -56,7 +56,7 @@ def main():
     ap.add_argument("--image", default=None)
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
-    ap.add_argument("--quant", default="none", choices=["none", "int8w"])
+    ap.add_argument("--quant", default="none", choices=["none", "int8w", "int8full"])
     ap.add_argument("--dtype", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=1,
@@ -75,9 +75,11 @@ def main():
         KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
     )
 
+    qmode = {"none": QuantMode.NONE, "int8w": QuantMode.INT8_WEIGHT,
+             "int8full": QuantMode.INT8_FULL}[args.quant]
     cfg = Config(
         backend=KERNEL_TYPE_TO_BACKEND[args.backend],
-        quant=QuantMode.INT8_WEIGHT if args.quant == "int8w" else QuantMode.NONE,
+        quant=qmode,
         compute_dtype=args.dtype,
     )
 
@@ -90,6 +92,15 @@ def main():
     shape = net.inputs[0]["shape"]
     image = args.image or DEFAULT_IMAGES[args.model]
     blob = load_blob(args.model, image, shape)
+
+    if qmode == QuantMode.INT8_FULL:
+        # calibrate on the actual input plus one noise sample (calibration
+        # must see representative data — docs/MEASUREMENTS.md Accuracy)
+        rng = np.random.default_rng(1)
+        exe.set_calibration([
+            {in_name: blob},
+            {in_name: rng.uniform(0, 255, tuple(shape)).astype(np.float32)},
+        ])
 
     if args.batch > 1:
         # build the batch through the native data-loading pipeline
