@@ -152,7 +152,16 @@ def _float_const_value(model: Model, node: Node, shape, rng,
         # the regime a trained detector actually produces
         bias = rng.normal(-10.5, 1.2, size=shape)
         hot = rng.random(size=shape) < 0.008
-        return bias + hot * rng.normal(6.0, 2.0, size=shape)
+        return bias + hot * rng.normal(8.5, 2.5, size=shape)
+    if role == "cls_w":
+        # class-head conv weights at 0.3× He: the feature contribution
+        # modulates the bias-driven logits instead of swamping them, so
+        # detection rankings are margin-stable — the fp32-perturbation
+        # noise floor of the mAP gate drops ~4× and the INT8 delta
+        # measures engine error, not NMS-survivor churn
+        fan_in = int(np.prod(shape[-3:]))
+        return rng.normal(0.0, 0.3 * np.sqrt(2.0 / max(fan_in, 1)),
+                          size=shape)
     for _, dst, dport in model.out_edges[node.id]:
         consumer = model.nodes[dst]
         if consumer.op_type in ("Convolution", "GroupConvolution") and dport == 1:
