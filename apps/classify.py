@@ -72,11 +72,10 @@ def main():
 
     from pyopenvino_tpu import IECore
     from pyopenvino_tpu.config import (
-        KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
+        KERNEL_TYPE_TO_BACKEND, QUANT_NAME_TO_MODE, Config, QuantMode,
     )
 
-    qmode = {"none": QuantMode.NONE, "int8w": QuantMode.INT8_WEIGHT,
-             "int8full": QuantMode.INT8_FULL}[args.quant]
+    qmode = QUANT_NAME_TO_MODE[args.quant]
     cfg = Config(
         backend=KERNEL_TYPE_TO_BACKEND[args.backend],
         quant=qmode,

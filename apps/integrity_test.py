@@ -52,14 +52,10 @@ def input_blob(name, shape):
 def run_cell(model_name, backend, quant):
     from pyopenvino_tpu import IECore
     from pyopenvino_tpu.config import (
-        KERNEL_TYPE_TO_BACKEND, Config, QuantMode,
+        KERNEL_TYPE_TO_BACKEND, QUANT_NAME_TO_MODE, Config, QuantMode,
     )
 
-    qmode = {
-        "fp32": QuantMode.NONE,
-        "int8w": QuantMode.INT8_WEIGHT,
-        "int8full": QuantMode.INT8_FULL,
-    }[quant]
+    qmode = QUANT_NAME_TO_MODE["none" if quant == "fp32" else quant]
     cfg = Config(backend=KERNEL_TYPE_TO_BACKEND[backend], quant=qmode)
     ie = IECore()
     xml, binp = _model_paths(model_name)

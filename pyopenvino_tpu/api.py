@@ -103,7 +103,12 @@ class ExecutableNetwork:
         self._compiled.clear()  # scales change the compiled program
 
     def _get_compiled(self):
-        key = (self.config.backend, self.config.quant, self.config.compute_dtype)
+        # key on the FULL config: a mutation of any field (e.g.
+        # calibration_percentile, int8_dataflow, depthwise_mode) must
+        # trigger a recompile, not return a stale cached program
+        import dataclasses
+
+        key = dataclasses.astuple(self.config)
         if key not in self._compiled:
             from pyopenvino_tpu.runtime.compiler import compile_model
 

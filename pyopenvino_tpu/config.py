@@ -36,6 +36,15 @@ class QuantMode(enum.Enum):
                            # int8xint8 MXU, f32 dequant epilogue)
 
 
+# CLI-facing quant mode names (the enum VALUES differ for compat reasons:
+# INT8_FULL's value is "int8") — the single mapping every app/tool uses.
+QUANT_NAME_TO_MODE = {
+    "none": QuantMode.NONE,
+    "bf16": QuantMode.BF16,
+    "int8w": QuantMode.INT8_WEIGHT,
+    "int8full": QuantMode.INT8_FULL,
+}
+
 # Map the reference's kernel_type strings onto backends so the facade stays
 # drop-in compatible (reference kernel types: README.md:133-136).
 KERNEL_TYPE_TO_BACKEND = {

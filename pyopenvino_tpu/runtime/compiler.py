@@ -778,26 +778,27 @@ class CompiledNetwork:
             if ctxdir is not None:
                 ctxdir.cleanup()
 
+    def _lowered_exec(self):
+        """Lower+compile the single-example program with zero-filled
+        inputs — shared by the XLA cost/memory analyses so both always
+        describe the same program."""
+        return self._jitted.lower(self.weights, {
+            n.name: np.zeros(n.outputs[n.out_port].shape, np.float32)
+            for n in self.model.parameters
+        }).compile()
+
     def cost_analysis(self) -> Dict[str, float]:
         """XLA's cost model for the whole compiled program (flops, bytes
         accessed...) — the compile-time analogue of the reference's per-node
         wall-clock printout (inference_engine.py:273-283)."""
-        lowered = self._jitted.lower(self.weights, {
-            n.name: np.zeros(n.outputs[n.out_port].shape, np.float32)
-            for n in self.model.parameters
-        })
-        return dict(lowered.compile().cost_analysis())
+        return dict(self._lowered_exec().cost_analysis())
 
     def memory_analysis(self) -> Dict[str, int]:
         """Device-memory footprint of the compiled program from XLA's
         allocation report: weights/inputs (arguments), outputs, transient
         activation workspace (temp) and generated code bytes — the HBM
         budget counterpart of cost_analysis()."""
-        lowered = self._jitted.lower(self.weights, {
-            n.name: np.zeros(n.outputs[n.out_port].shape, np.float32)
-            for n in self.model.parameters
-        })
-        ma = lowered.compile().memory_analysis()
+        ma = self._lowered_exec().memory_analysis()
         fields = (
             "argument_size_in_bytes", "output_size_in_bytes",
             "temp_size_in_bytes", "alias_size_in_bytes",

@@ -29,6 +29,11 @@ from pyopenvino_tpu.ir.builder import GraphBuilder  # noqa: E402
 from pyopenvino_tpu.ir.writer import write_ir_model  # noqa: E402
 
 
+# Bump when the topology/weight synthesis changes so the cached
+# assets/resnet18.{xml,bin} regenerate (__graft_entry__._model_paths).
+GENERATOR_VERSION = 1
+
+
 def _conv_bn_relu(b, rng, x, co, k, stride, relu=True, in_scale=1.0):
     """Conv with folded-BN weights + bias + optional ReLU."""
     ci = x.shape[1]

@@ -101,6 +101,11 @@ def _int_const_value(model: Model, nodes, shape) -> np.ndarray:
     return np.ones(n_elem, dtype=np.int64)
 
 
+# Bump when synthesis changes so cached assets/*.bin regenerate
+# (consumed by __graft_entry__._model_paths via a .ver sidecar).
+GENERATOR_VERSION = 3  # v3: cls_w 0.3x He + hot bias N(8.5, 2.5)
+
+
 def _class_head_roles(model: Model) -> dict:
     """{const node id: 'cls_w' | 'cls_b'} for the consts feeding an SSD
     class-prediction head (everything upstream of DetectionOutput's class

@@ -83,11 +83,28 @@ def main():
     )
     print(f"const elements: {n_params:,}")
 
+    from pyopenvino_tpu.config import QUANT_NAME_TO_MODE
+
     cfg = Config(
         backend=KERNEL_TYPE_TO_BACKEND[args.backend],
-        quant=QuantMode.INT8_WEIGHT if args.quant == "int8w" else QuantMode.NONE,
+        quant=QUANT_NAME_TO_MODE[args.quant],
     )
-    c = compile_model(model, cfg)
+    cal = None
+    if cfg.quant == QuantMode.INT8_FULL:
+        # the stats below must describe the ACTUAL int8full program
+        # (its argument/temp bytes are the numbers the mode exists to
+        # halve), so calibrate on synthetic samples here too
+        rng0 = np.random.default_rng(1)
+        cal = [
+            {
+                p.name: rng0.uniform(
+                    0, 255, p.outputs[p.out_port].shape
+                ).astype(np.float32)
+                for p in model.parameters
+            }
+            for _ in range(2)
+        ]
+    c = compile_model(model, cfg, calibration_samples=cal)
     print(f"\ncompiled ({args.backend}/{args.quant}):")
     print(f"  graph rewrites: {len(model.nodes) - len(c.model.nodes)} nodes "
           f"removed by scale folding")
@@ -124,19 +141,8 @@ def main():
     if args.profile:
         from pyopenvino_tpu.runtime import profiling
 
-        if args.quant == "int8full":
-            cfg = Config(backend=cfg.backend, quant=QuantMode.INT8_FULL)
-            rng0 = np.random.default_rng(1)
-            samples = [
-                {
-                    p.name: rng0.uniform(
-                        0, 255, p.outputs[p.out_port].shape
-                    ).astype(np.float32)
-                    for p in model.parameters
-                }
-                for _ in range(2)
-            ]
-            c = compile_model(model, cfg, calibration_samples=samples)
+        # `c` was already compiled with the requested quant mode (incl.
+        # int8full calibration) above — profile that same program
 
         rng = np.random.default_rng(0)
         if args.batch:
