@@ -101,6 +101,7 @@ class ExecutableNetwork:
         calibration (passes/calibrate.py)."""
         self._calibration = list(samples)
         self._compiled.clear()  # scales change the compiled program
+        self.close()  # a running async-request server is stale too
 
     def _get_compiled(self):
         # key on the FULL config: a mutation of any field (e.g.
@@ -151,6 +152,29 @@ class ExecutableNetwork:
         return compiled.infer(inputs, verbose=verbose)
 
     def infer_batch(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        if self.config.backend == Backend.INTERPRETER:
+            # honor the selected backend (e.g. kernel_type='numpy' to stay
+            # off the device): run the numpy twin per example and stack
+            it = self._get_interpreter()
+            n = next(iter(inputs.values())).shape[0]
+            declared = {
+                p.name: p.outputs[p.out_port].shape
+                for p in self.ienet.model.parameters
+            }
+            # same contract as the compiled path (runtime/compiler.py
+            # batched_fn): per-example rows reshape to the declared input
+            # shape; outputs collapse the declared unit batch dim
+            per = [
+                it.run({
+                    k: np.asarray(v[i]).reshape(declared[k])
+                    for k, v in inputs.items()
+                })
+                for i in range(n)
+            ]
+            return {
+                k: np.stack([p[k][0] for p in per], axis=0)
+                for k in per[0]
+            }
         return self._get_compiled().infer_batch(inputs)
 
     # -- async request API (OpenVINO ExecutableNetwork.requests parity) ------
@@ -169,6 +193,12 @@ class ExecutableNetwork:
         return self._requests
 
     def _ensure_server(self):
+        # the server binds one compiled program; recreate it whenever the
+        # effective config produced a different compile (kernel_type /
+        # config mutation after first use must not serve stale programs)
+        compiled = self._get_compiled()
+        if self._server is not None and self._server.compiled is not compiled:
+            self.close()
         if self._server is None:
             from pyopenvino_tpu.serving import InferenceServer
 
@@ -176,7 +206,7 @@ class ExecutableNetwork:
             # async request in a cold bucket doesn't pay the jit compile
             # inside its latency (serving/server.py start docstring).
             self._server = InferenceServer(
-                self._get_compiled(), buckets=self.config.batch_buckets
+                compiled, buckets=self.config.batch_buckets
             ).start(warmup=True)
         return self._server
 

@@ -87,6 +87,13 @@ class Node:
     @property
     def out_port(self) -> int:
         """Primary (first) output port id."""
+        if not self.outputs:
+            # bare StopIteration here is opaque (and becomes a silent
+            # early-exit inside generators, PEP 479) — Result nodes have
+            # no output ports
+            raise ValueError(
+                f"{self.op_type} node {self.name!r} has no output ports"
+            )
         return next(iter(self.outputs))
 
     def __repr__(self) -> str:  # keep dataclass noise out of test output

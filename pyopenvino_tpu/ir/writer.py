@@ -123,7 +123,13 @@ def serialize_ir(model: Model) -> Tuple[bytes, bytes]:
 
 def write_ir_model(model: Model, xml_path: str, bin_path: Optional[str] = None):
     if bin_path is None:
-        bin_path = xml_path.rsplit(".", 1)[0] + ".bin"
+        # splitext, NOT rsplit('.'): a dotted directory name with an
+        # extensionless filename ("/data/run.v2/mynet") must not place
+        # the weights at "/data/run.bin" — and this matches how
+        # read_ir_model derives the .bin path (ir/xml_parser.py)
+        import os
+
+        bin_path = os.path.splitext(xml_path)[0] + ".bin"
     xml_bytes, bin_bytes = serialize_ir(model)
     with open(xml_path, "wb") as f:
         f.write(xml_bytes)

@@ -55,6 +55,15 @@ def initialize_multihost(
             num_processes=num_processes,
             process_id=process_id,
         )
+    elif any(os.environ.get(v) for v in (
+        # Cloud TPU pod-slice launchers set these; a bare
+        # initialize() then auto-discovers peers from the metadata
+        # server — without this branch the docstring's argless call
+        # silently left each host an isolated single-process group
+        "TPU_WORKER_HOSTNAMES", "TPU_WORKER_ID", "MEGASCALE_COORDINATOR_ADDRESS",
+    )):
+        jax.distributed.initialize()
+        multi = True
     return {
         "initialized": multi,
         "process_index": jax.process_index(),

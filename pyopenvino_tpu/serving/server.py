@@ -43,17 +43,18 @@ class ServerStats:
         default_factory=lambda: deque(maxlen=100_000)
     )
 
-    def percentile(self, p: float) -> float:
+    def _snapshot(self) -> list:
         # the scheduler thread appends concurrently; list() on a mutating
         # deque can raise, so snapshot with a bounded retry
         for _ in range(8):
             try:
-                snap = list(self.latencies_ms)
-                break
+                return list(self.latencies_ms)
             except RuntimeError:
                 continue
-        else:
-            snap = []
+        return []
+
+    def percentile(self, p: float) -> float:
+        snap = self._snapshot()
         if not snap:
             return 0.0
         return float(np.percentile(np.asarray(snap), p))
@@ -67,12 +68,19 @@ class ServerStats:
         return self.percentile(99)
 
     def summary(self) -> Dict[str, float]:
+        # one snapshot for both percentiles: consistent pair, half the
+        # copy/sort work of two independent property reads
+        snap = self._snapshot()
+        p50, p99 = (
+            (float(x) for x in np.percentile(np.asarray(snap), [50, 99]))
+            if snap else (0.0, 0.0)
+        )
         return {
             "requests": self.requests,
             "batches": self.batches,
             "padded_slots": self.padded_slots,
-            "p50_ms": round(self.p50_ms, 3),
-            "p99_ms": round(self.p99_ms, 3),
+            "p50_ms": round(p50, 3),
+            "p99_ms": round(p99, 3),
         }
 
 
@@ -122,6 +130,10 @@ class InferenceServer:
         self._lock = threading.Lock()
 
         self._param_names = [n.name for n in compiled.model.parameters]
+        self._param_shapes = {
+            n.name: tuple(n.outputs[n.out_port].shape)
+            for n in compiled.model.parameters
+        }
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -135,6 +147,12 @@ class InferenceServer:
         with self._lock:
             if self._running:
                 return self
+            if self._thread is not None and self._thread.is_alive():
+                # previous scheduler still draining (e.g. stop() timed out
+                # mid-compile) — a second thread would race it on the queue
+                raise RuntimeError(
+                    "previous scheduler thread still stopping; retry stop()"
+                )
             self._running = True
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -143,9 +161,13 @@ class InferenceServer:
     def warmup_buckets(self):
         """Run one dummy batch through every bucket size (compiles + caches
         each jit entry)."""
+        # dummies carry each Parameter's DECLARED dtype: warming with the
+        # wrong dtype caches a jit entry the first real request misses,
+        # paying the cold compile in-band — the exact cost warmup avoids
         dummy = {
             n.name: np.zeros(
-                (1,) + tuple(n.outputs[n.out_port].shape), np.float32
+                (1,) + tuple(n.outputs[n.out_port].shape),
+                n.outputs[n.out_port].dtype,
             )
             for n in self.compiled.model.parameters
         }
@@ -167,7 +189,27 @@ class InferenceServer:
         self._queue.put(None)  # wake the scheduler
         if self._thread is not None:
             self._thread.join(timeout=30)
+            if self._thread.is_alive():
+                # still mid-batch (e.g. a cold jit compile) — keep the
+                # handle so start() refuses to race it (see start())
+                return
             self._thread = None
+        self._fail_orphans()
+
+    def _fail_orphans(self):
+        """Fail any request that slipped into the queue during shutdown
+        (submit() raced the _running flip) — its caller would otherwise
+        block on the Future forever."""
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if item is None:
+                continue
+            _, fut, _ = item
+            if not fut.done():
+                fut.set_exception(RuntimeError("server stopped"))
 
     def __enter__(self):
         return self.start()
@@ -183,6 +225,17 @@ class InferenceServer:
         {result_name: ndarray}."""
         if not self._running:
             raise RuntimeError("server not started")
+        # validate HERE, in the caller's thread: a malformed request that
+        # reaches the scheduler fails the whole coalesced batch it landed
+        # in, taking innocent concurrent requests down with it
+        for name, shape in self._param_shapes.items():
+            if name not in inputs:
+                raise KeyError(f"missing input {name!r}")
+            got = np.asarray(inputs[name]).shape
+            if tuple(got) != shape:
+                raise ValueError(
+                    f"input {name!r}: shape {got} != declared {shape}"
+                )
         fut: Future = Future()
         self._queue.put((inputs, fut, time.perf_counter()))
         return fut

@@ -111,3 +111,25 @@ def test_expected_result_on_compiled_backend(mnist_image):
     exe.expected_result = {name: golden[name] + 1e3}
     exe.infer({"conv2d_input": mnist_image})
     assert exe.last_compare_failures == [name]
+
+
+def test_infer_batch_honors_interpreter_backend(mnist_image):
+    """kernel_type='numpy' must keep infer_batch off the compiled path
+    (the point of choosing the interpreter), with the same output
+    contract: (B,) + result shape sans the declared unit batch."""
+    import numpy as np
+
+    from __graft_entry__ import _model_paths
+    from pyopenvino_tpu import IECore
+
+    ie = IECore()
+    net = ie.read_network(*_model_paths("mnist"))
+    exe = ie.load_network(net, "TPU")
+    batch = np.repeat(mnist_image.reshape(1, 1, 1, 28, 28), 3, axis=0)
+    a = exe.infer_batch({"conv2d_input": batch})
+    exe.kernel_type = "numpy"
+    assert exe.backend.value == "interpreter"
+    b = exe.infer_batch({"conv2d_input": batch})
+    for k in a:
+        assert a[k].shape == b[k].shape
+        np.testing.assert_allclose(a[k], b[k], rtol=1e-3, atol=1e-5)

@@ -64,10 +64,40 @@ def test_partial_batch_padding(mnist_compiled, mnist_image):
 
 
 def test_error_propagation(mnist_compiled):
+    """Malformed requests are rejected at submit(), in the caller's
+    thread — one bad request must never poison the coalesced batch of
+    innocent concurrent requests it would have landed in."""
     with InferenceServer(mnist_compiled, buckets=(1,)) as srv:
-        fut = srv.submit({"wrong_name": np.zeros((1, 1, 28, 28), np.float32)})
-        with pytest.raises(Exception):
-            fut.result(timeout=60)
+        with pytest.raises(KeyError):
+            srv.submit({"wrong_name": np.zeros((1, 1, 28, 28), np.float32)})
+        with pytest.raises(ValueError):
+            srv.submit({"conv2d_input": np.zeros((2, 28, 28), np.float32)})
+        # a valid request right after still serves fine
+        out = srv.infer(
+            {"conv2d_input": np.zeros((1, 1, 28, 28), np.float32)}
+        )
+        assert out
+
+
+def test_stop_fails_orphaned_requests(mnist_compiled):
+    """A request that slips into the queue during shutdown gets its
+    Future failed instead of hanging the caller forever (stop() drains
+    the queue via _fail_orphans after the scheduler exits)."""
+    import time as _t
+    from concurrent.futures import Future
+
+    srv = InferenceServer(mnist_compiled, buckets=(1,)).start()
+    srv.infer({"conv2d_input": np.zeros((1, 1, 28, 28), np.float32)})
+    srv.stop()
+    # the race: a submit() that passed the _running gate lands its item
+    # after the scheduler already exited
+    fut = Future()
+    srv._queue.put(
+        ({"conv2d_input": np.zeros((1, 1, 28, 28))}, fut, _t.perf_counter())
+    )
+    srv._fail_orphans()
+    with pytest.raises(RuntimeError):
+        fut.result(timeout=10)
 
 
 def test_many_clients_threads(mnist_compiled, mnist_image):
