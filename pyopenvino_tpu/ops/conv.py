@@ -220,9 +220,7 @@ class Convolution(Op):
                 xq = x  # already int8
             else:
                 compute_dtype = x.dtype
-                xq = jnp.clip(
-                    jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
-                ).astype(jnp.int8)
+                xq = TValue.quantize(x, s_x)
             w_scale = tv_w.qscale.reshape(-1).astype(jnp.float32) * s_x
             w_int8, pads_, strides_ = tv_w.arr, pad.pads, (sh, sw)
             if s2d:
@@ -363,9 +361,7 @@ class GroupConvolution(Op):
                 xq = x  # already int8 in HBM (compiler inter-layer storage)
             else:
                 compute_dtype = x.dtype
-                xq = jnp.clip(
-                    jnp.round(x.astype(jnp.float32) * (1.0 / s_x)), -127, 127
-                ).astype(jnp.int8)
+                xq = TValue.quantize(x, s_x)
             # (G, Co, Ci, Kh, Kw) int8 → HWIO with O = G*Co
             w_hwio = jnp.transpose(
                 tv_w.arr.reshape(g * co, ci, kh, kw), (2, 3, 1, 0)

@@ -237,9 +237,9 @@ def _lrn_banded(
     else:
         out = xf * jnp.exp(-beta * jnp.log(d))
     if out_scale is not None:
-        return jnp.clip(
-            jnp.round(out * (1.0 / out_scale)), -127, 127
-        ).astype(jnp.int8)
+        from pyopenvino_tpu.ops.spec import TValue
+
+        return TValue.quantize(out, out_scale)
     return out.astype(compute_dtype)
 
 

@@ -71,9 +71,7 @@ class MatMul(Op):
                 aq = a
             else:
                 compute_dtype = a.dtype
-                aq = jnp.clip(
-                    jnp.round(a.astype(jnp.float32) * (1.0 / s_x)), -127, 127
-                ).astype(jnp.int8)
+                aq = TValue.quantize(a, s_x)
             bq = tv_b.arr
             if tb:
                 bq = jnp.swapaxes(bq, -1, -2)

@@ -79,6 +79,18 @@ class TValue:
     def logical(self) -> "TValue":
         return TValue(self.nchw(), "L")
 
+    @staticmethod
+    def quantize(x, scale):
+        """round(x/scale) clipped to the symmetric ±127 code domain —
+        the single inverse of dequant(); every producer-side requantize
+        (compiler store(), conv/matmul on-the-fly input quantize, LRN
+        epilogue) goes through here."""
+        import jax.numpy as jnp
+
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) * (1.0 / scale)), -127, 127
+        ).astype(jnp.int8)
+
     def dequant(self, compute_dtype=None) -> "TValue":
         """Dequantized copy when ``arr`` holds int8 activation codes
         (act_scale set); returns self unchanged otherwise.  The single

@@ -445,8 +445,15 @@ def detection_output_jax_batched(box_logits, class_pred, proposals, p,
         beats = (conf[:, None, :] > conf_rows[..., None]) | (
             (conf[:, None, :] == conf_rows[..., None]) & j_less[None]
         )
-        overlap = (inter > p["nms_threshold"] * union) & (
-            idx[None, None, :] != row_ids[None, :, None])
+        # union > 0 guard: a half-inverted decoded box has NEGATIVE area,
+        # so inter=0 > thr·union would spuriously register as overlap —
+        # the ref twin's inter/union gives -0.0/NaN there, i.e. no
+        # overlap (found by differential fuzzing with CORNER decode)
+        overlap = (
+            (inter > p["nms_threshold"] * union)
+            & (union > 0)
+            & (idx[None, None, :] != row_ids[None, :, None])
+        )
         kill = jnp.any(overlap & beats & valid[:, None, :], axis=2)
         return None, kill                                  # (B, T)
 

@@ -27,13 +27,15 @@ from pyopenvino_tpu.ops import get_op
 # bandwidth-bound, so bytes are exactly what it pays for.
 QUANTIZABLE = ("Convolution", "GroupConvolution", "MatMul")
 
-# additionally-observed ops: int8-dataflow carries (MaxPool/ReLU — exact
-# commute with the scale) and accepters (LRN/AvgPool — fused dequant-on-
-# read).  Their calibrated input scales let the compiler's demand
-# propagation (runtime/compiler.py _find_int8_edges) store tensors whose
-# consumers include no conv sink — e.g. the GoogLeNet stem's
-# conv→pool→LRN chain, which is pure HBM-bound VPU work.
-OBSERVED = QUANTIZABLE + ("MaxPool", "ReLU", "LRN", "AvgPool")
+# additionally-observed ops: the int8-dataflow ACCEPTERS (LRN/AvgPool —
+# fused dequant-on-read), whose calibrated input scales let the
+# compiler's demand propagation (runtime/compiler.py _find_int8_edges)
+# store tensors whose consumers include no conv sink — e.g. the
+# GoogLeNet stem's conv→pool→LRN chain, pure HBM-bound VPU work.
+# Carries (MaxPool/ReLU) need no scale of their own: they propagate
+# their OUTPUT edge's demand only, so observing them would just burn
+# calibration time on scales nothing reads.
+OBSERVED = QUANTIZABLE + ("LRN", "AvgPool")
 
 PortKey = Tuple[int, int]  # (consumer node id, consumer port) — always port 0
 

@@ -266,6 +266,12 @@ class CompiledNetwork:
                         s is None
                         or w_src is None
                         or w_src[0] not in self._quantized
+                        # MatMul's int8 MXU path only exists for 2-D
+                        # inputs (ops/matmul.py); a >2-D MatMul would
+                        # dequantize defensively — storing would add
+                        # rounding error with no sink to benefit
+                        or (dn.op_type == "MatMul"
+                            and len(dn.inputs[0].shape) != 2)
                     ):
                         return None
                     scales.append(s)
@@ -402,11 +408,9 @@ class CompiledNetwork:
                 directly — those pass through at their carried scale."""
                 s = int8_edges.get(key)
                 if s is not None and tv.act_scale is None:
-                    q = jnp.clip(
-                        jnp.round(tv.arr.astype(jnp.float32) * (1.0 / s)),
-                        -127, 127,
-                    ).astype(jnp.int8)
-                    tv = TValue(q, tv.layout, act_scale=s)
+                    tv = TValue(
+                        TValue.quantize(tv.arr, s), tv.layout, act_scale=s
+                    )
                 values[key] = tv
 
             def tv_for(src: int, sport: int) -> TValue:

@@ -229,3 +229,39 @@ def test_batched_output_shape_uses_full_prior_count():
     ref = detection_output_ref(logits[:1], scores[:1], proposals[0][None],
                                params)
     np.testing.assert_allclose(out[0], ref, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_batched_matches_ref_with_inverting_boxes(seed):
+    """Regression (review finding): with CORNER decode and large logit
+    variance, decoded boxes can half-invert (negative area).  The batched
+    tiled suppression's div-free overlap test (inter > thr*union) then
+    spuriously killed valid boxes where the ref's inter/union gives
+    -0.0/NaN (no overlap) — the union>0 guard keeps the twins exact."""
+    P, nc = 40, 5
+    rng = np.random.default_rng(seed)
+    logits = rng.normal(0, 0.5, (1, P * 4)).astype(np.float32)
+    scores = rng.uniform(0, 1, (1, P * nc)).astype(np.float32)
+    cx, cy = rng.uniform(0.2, 0.8, (2, P))
+    w, h = rng.uniform(0.05, 0.3, (2, P))
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], axis=1)
+    var = np.tile([0.5, 0.5, 0.5, 0.5], (P, 1))  # large: inverts some boxes
+    proposals = np.stack([boxes.reshape(-1), var.reshape(-1)])[None].astype(
+        np.float32)
+    params = dict(
+        num_classes=nc, background_label_id=0, top_k=-1,
+        variance_encoded_in_target=False, keep_top_k=(20,),
+        code_type="caffe.PriorBoxParameter.CORNER",
+        share_location=True, nms_threshold=0.4, confidence_threshold=0.4,
+        clip_after_nms=False, clip_before_nms=False, decrease_label_id=False,
+        normalized=True, input_height=1, input_width=1,
+    )
+    from pyopenvino_tpu.ops.ssd import detection_output_jax_batched
+
+    ref = detection_output_ref(logits, scores, proposals, params)
+    got = np.asarray(detection_output_jax_batched(
+        logits[None].reshape(1, -1), scores.reshape(1, -1),
+        proposals.reshape(1, 2, -1), params,
+    ))[0]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
+                               err_msg=f"seed={seed}")
