@@ -84,9 +84,14 @@ def parse_ir(xml_text: str, blob: Optional[bytes], name: Optional[str] = None) -
         raise ValueError(f"not an OpenVINO IR file (root tag {root.tag!r})")
     net_name = name or root.attrib.get("name", "net")
 
+    layers = root.find("layers")
+    if layers is None:
+        raise ValueError("IR file has no <layers> section")
     nodes: Dict[int, Node] = {}
-    for layer in root.find("layers").findall("layer"):
+    for layer in layers.findall("layer"):
         nid = int(layer.attrib["id"])
+        if nid in nodes:
+            raise ValueError(f"duplicate layer id {nid} in IR")
         op_type = layer.attrib["type"]
         data = layer.find("data")
         attrs = dict(data.attrib) if data is not None else {}

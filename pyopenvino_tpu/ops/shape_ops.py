@@ -76,7 +76,7 @@ class Reshape(Op):
         return {node.out_port: inputs[0].reshape(dims)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
-        target = ctx.static_value(node, 1, inputs)
+        target = ctx.static_value(node, 1)
         x = inputs[0].nchw()
         dims = self._dims(node, x.shape, target)
         return {node.out_port: TValue(x.reshape(dims), "L")}
@@ -102,7 +102,7 @@ class Transpose(Op):
         return {node.out_port: inputs[0].transpose(axes)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
-        axes = tuple(int(a) for a in ctx.static_value(node, 1, inputs))
+        axes = tuple(int(a) for a in ctx.static_value(node, 1))
         x = inputs[0].nchw()
         return {node.out_port: TValue(x.transpose(axes), "L")}
 
@@ -135,7 +135,7 @@ class Unsqueeze(Op):
         return {node.out_port: inputs[0].reshape(out)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
-        axes = tuple(int(a) for a in ctx.static_value(node, 1, inputs))
+        axes = tuple(int(a) for a in ctx.static_value(node, 1))
         x = inputs[0].nchw()
         return {node.out_port: TValue(x.reshape(self._out_shape(x.shape, axes)), "L")}
 
@@ -205,9 +205,9 @@ class StridedSlice(Op):
         return {node.out_port: inputs[0][tuple(slices)]}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
-        begin = ctx.static_value(node, 1, inputs)
-        end = ctx.static_value(node, 2, inputs)
-        strides = ctx.static_value(node, 3, inputs) if 3 in inputs else None
+        begin = ctx.static_value(node, 1)
+        end = ctx.static_value(node, 2)
+        strides = ctx.static_value(node, 3) if 3 in inputs else None
         x = inputs[0].nchw()
         slices = _strided_slice_spec(node, x.ndim, begin, end, strides)
         return {node.out_port: TValue(x[tuple(slices)], "L")}

@@ -113,8 +113,8 @@ class PriorBoxClustered(Op):
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         import jax.numpy as jnp
 
-        grid = ctx.static_value(node, 0, inputs)
-        image = ctx.static_value(node, 1, inputs)
+        grid = ctx.static_value(node, 0)
+        image = ctx.static_value(node, 1)
         out = prior_boxes_clustered(grid, image, **_pbc_params(node))
         return {node.out_port: TValue(jnp.asarray(out), "L")}
 

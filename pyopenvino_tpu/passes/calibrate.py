@@ -20,7 +20,6 @@ from typing import Dict, Iterable, Tuple
 import numpy as np
 
 from pyopenvino_tpu.ir.model import Model
-from pyopenvino_tpu.ops import get_op
 
 # ops whose port-0 input gets an activation scale.  GroupConvolution
 # (depthwise) included: int8 activations halve its HBM bytes — depthwise is
@@ -57,35 +56,25 @@ def calibrate_activations(
     flip to ~99.9 when calibrating real models with heavy-tailed
     activations.
     """
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
     absmax: Dict[int, float] = {}
+
+    def observe(node, ins, _outs):
+        if node.op_type in OBSERVED and 0 in ins:
+            a = np.abs(np.asarray(ins[0], dtype=np.float32))
+            m = float(np.percentile(a, percentile)
+                      if percentile < 100.0 else a.max())
+            absmax[node.id] = max(absmax.get(node.id, 0.0), m)
+
+    # one interpreter walk per sample — the numpy-twin loop lives in
+    # Interpreter.run (its per-node `observe` hook exists for exactly
+    # this; the pass used to hand-roll a third copy of the walk)
+    it = Interpreter(model)
     n_samples = 0
     for inputs in samples:
         n_samples += 1
-        values: Dict[PortKey, np.ndarray] = {}
-        for node in model:
-            ins = {
-                p: values[(s, sp)]
-                for p, (s, sp) in sorted(model.in_edges[node.id].items())
-            }
-            if node.op_type == "Parameter":
-                info = node.outputs[node.out_port]
-                outs = {
-                    node.out_port: np.asarray(inputs[node.name])
-                    .reshape(info.shape).astype(info.dtype)
-                }
-            elif node.op_type == "Const":
-                outs = {node.out_port: node.const}
-            elif node.op_type == "Result":
-                outs = {}
-            else:
-                outs = get_op(node.op_type).ref_compute(node, ins)
-            for p, arr in outs.items():
-                values[(node.id, p)] = arr
-            if node.op_type in OBSERVED and 0 in ins:
-                a = np.abs(np.asarray(ins[0], dtype=np.float32))
-                m = float(np.percentile(a, percentile)
-                          if percentile < 100.0 else a.max())
-                absmax[node.id] = max(absmax.get(node.id, 0.0), m)
+        it.run(inputs, observe=observe)
     if n_samples == 0:
         raise ValueError("calibration needs at least one sample")
     return {

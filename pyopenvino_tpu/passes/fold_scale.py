@@ -29,6 +29,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from pyopenvino_tpu.ir.model import Edge, Model
+from pyopenvino_tpu.passes.util import channel_aligned, single_consumer
 
 # ops a positive per-channel scale commutes through (channel-preserving)
 _COMMUTES_POSITIVE = ("MaxPool", "ReLU")
@@ -46,10 +47,7 @@ def _channel_scale(const_node, channels: int) -> Optional[np.ndarray]:
     """The (C,) scale vector if the const broadcasts per-channel, else None."""
     if const_node.const is None:
         return None
-    shape = const_node.const.shape
-    if int(np.prod(shape)) != channels:
-        return None
-    if len(shape) >= 2 and shape[1] != channels:
+    if not channel_aligned(const_node.const.shape, channels):
         return None
     return np.asarray(const_node.const, np.float32).reshape(-1)
 
@@ -139,10 +137,11 @@ def fold_scale_into_conv(model: Model) -> Model:
             continue
         if needs_positive and not np.all(s > 0):
             continue  # max/relu don't commute with non-positive scales
-        # every traversed bias must itself be a per-channel const, or the
-        # fold is invalid — validate all before mutating anything
+        # every traversed bias must itself be a CHANNEL-ALIGNED const, or
+        # the fold is invalid (a count-only check accepted per-W constants
+        # whenever W == C) — validate all before mutating anything
         if any(
-            int(np.prod(nodes[b].const.shape)) != channels
+            not channel_aligned(nodes[b].const.shape, channels)
             for b in bias_consts
         ):
             continue

@@ -22,6 +22,7 @@ import numpy as np
 
 from pyopenvino_tpu.ir import attrs as A
 from pyopenvino_tpu.ir.model import Model
+from pyopenvino_tpu.passes.util import channel_aligned, single_consumer
 
 _ROOTS = ("Convolution", "GroupConvolution", "MatMul")
 
@@ -35,13 +36,7 @@ class Fusion:
     skip: Tuple[int, ...]                    # absorbed node ids
 
 
-def _single_consumer(model: Model, nid: int):
-    """The unique (node, in_port) consuming nid's output, or None."""
-    edges = model.out_edges[nid]
-    if len(edges) != 1:
-        return None
-    _, dst, dport = edges[0]
-    return model.nodes[dst], dport
+_single_consumer = single_consumer
 
 
 def _out_channels(model: Model, analysis, node) -> int:
@@ -57,12 +52,11 @@ def _bias_ok(bias_shape, channels: int, root_type: str) -> bool:
         return False
     if root_type == "MatMul":
         return bias_shape[-1] == channels
-    # conv: NCHW channel dim is 1 (or a rank<=1 vector)
-    if len(bias_shape) <= 1:
-        return True
-    return len(bias_shape) >= 2 and bias_shape[1] == channels and all(
-        d == 1 for i, d in enumerate(bias_shape) if i != 1
-    )
+    # conv: the const must broadcast over the NCHW CHANNEL axis — a
+    # rank-1 (C,) vector right-aligns to W instead, so when W == C the
+    # Add is a per-column offset the fusion would silently turn into a
+    # per-channel bias (passes/util.py channel_aligned)
+    return channel_aligned(bias_shape, channels)
 
 
 def find_fusions(model: Model, analysis) -> Dict[int, Fusion]:

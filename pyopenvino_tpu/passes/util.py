@@ -1,0 +1,38 @@
+"""Shared helpers for graph-rewrite passes."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.ir.model import Model
+
+
+def single_consumer(model: Model, nid: int) -> Optional[Tuple[object, int]]:
+    """The unique (node, in_port) consuming nid's output, or None."""
+    edges = model.out_edges[nid]
+    if len(edges) != 1:
+        return None
+    _, dst, dport = edges[0]
+    return model.nodes[dst], dport
+
+
+def channel_aligned(shape, channels: int, rank: int = 4) -> bool:
+    """True iff a const of `shape`, numpy-broadcast against a rank-`rank`
+    NCHW tensor, applies a length-`channels` vector along the CHANNEL
+    axis (dim 1) and nothing else.
+
+    Numpy right-aligns: a rank-1 (C,) vector pairs with W, not C — the
+    trap that made count-only checks accept per-column constants as
+    per-channel whenever W == C (silent numeric corruption in the
+    bias-fusion and BN-fold passes).  (C, 1, 1) and (1, C, 1, 1) are
+    aligned; (C,) is only safe as a scalar (channels == 1)."""
+    if int(np.prod(shape)) != channels:
+        return False
+    if len(shape) > rank:
+        return False
+    full = (1,) * (rank - len(shape)) + tuple(int(d) for d in shape)
+    return full[1] == channels and all(
+        d == 1 for i, d in enumerate(full) if i != 1
+    )

@@ -21,7 +21,6 @@ Key compile-time behaviors:
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -76,8 +75,6 @@ class EmitCtx:
 
     @property
     def full_int8(self) -> bool:
-        from pyopenvino_tpu.config import QuantMode
-
         return self.config.quant == QuantMode.INT8_FULL
 
     def act_scale(self, node) -> Optional[float]:
@@ -103,7 +100,7 @@ class EmitCtx:
 
         return jax.default_backend() != "tpu"
 
-    def static_value(self, node, port: int, inputs) -> np.ndarray:
+    def static_value(self, node, port: int) -> np.ndarray:
         src, sport = self.model.in_edges[node.id][port]
         val = self.analysis.value(src, sport)
         if val is None:
@@ -257,7 +254,10 @@ class CompiledNetwork:
             scales = []
             for dst, dport in consumers:
                 if dst in self._folded_nodes:
-                    return None
+                    # a statically-folded consumer (e.g. ShapeOf feeding a
+                    # folded shape subgraph) never reads the traced tensor
+                    # at runtime — it must not block int8 storage
+                    continue
                 dn = model.nodes[dst]
                 if dn.op_type in roots and dport == 0:
                     s = self.act_scales.get(dst)
@@ -504,7 +504,9 @@ class CompiledNetwork:
                             outs = op.emit(ctx, node, ins)
                         for port, tv in outs.items():
                             store((node.id, port), tv)
-                if capture and node.name in capture:
+                if capture and node.name in capture and node.outputs:
+                    # (Result nodes have no output ports — their value is
+                    # already in `outputs` under the same name)
                     key = (node.id, node.out_port)
                     if key in values:
                         captured[node.name] = values[key].dequant().nchw()
@@ -646,6 +648,12 @@ class CompiledNetwork:
                     f"weight {k!r}: checkpoint {loaded[k].dtype}{loaded[k].shape} "
                     f"!= expected {v.dtype}{v.shape}"
                 )
+        extras = set(loaded) - set(self.weights)
+        if extras:
+            raise KeyError(
+                f"checkpoint has {len(extras)} unknown weight key(s), e.g. "
+                f"{sorted(extras)[:5]} — wrong model or config?"
+            )
         self.weights = {k: jnp.asarray(v) for k, v in loaded.items()}
 
     # -- per-layer debugging --------------------------------------------------

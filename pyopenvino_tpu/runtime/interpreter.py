@@ -38,8 +38,14 @@ class Interpreter:
         self.last_timings: List[Tuple[int, str, str, float]] = []
 
     def run(
-        self, inputs: Dict[str, np.ndarray], verbose: bool = False
+        self, inputs: Dict[str, np.ndarray], verbose: bool = False,
+        observe=None,
     ) -> Dict[str, np.ndarray]:
+        """Run the numpy twin.  ``observe(node, node_inputs, outs)`` is
+        called after every traced op — the per-node hook that serves
+        activation calibration (passes/calibrate.py) and any future
+        walker, so the Parameter/Const/Result/ref_compute loop lives in
+        exactly one place."""
         model = self.model
         params = {}
         for node in model.parameters:
@@ -74,6 +80,8 @@ class Interpreter:
                 if node.id in self.capture_node_args:
                     self.captured.append((node, dict(node_inputs)))
                 outs = get_op(node.op_type).ref_compute(node, node_inputs)
+                if observe is not None:
+                    observe(node, node_inputs, outs)
             dt = time.perf_counter() - t0
             self.last_timings.append((node.id, node.op_type, node.name, dt))
             if verbose:
