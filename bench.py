@@ -1,4 +1,4 @@
-"""Headline benchmark: GoogLeNet-v1 INT8 weight-only throughput per chip.
+"""Headline benchmark: GoogLeNet-v1 INT8 throughput per chip.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
@@ -8,10 +8,12 @@ Baseline: the reference's fastest GoogLeNet-v1 path — the `special`
 thread (reference: integrity_test_expected_result.txt:50; BASELINE.md).
 North-star target is ≥1000× that per chip (BASELINE.json).
 
-Methodology: batch-N inference (vmap'd whole-graph XLA program), INT8
-per-output-channel weight-only quantization, bf16 activations on TPU
-(fp32 on CPU fallback), steady-state timing after jit warm-up with
-blocking on device results.
+Methodology: batch-N inference (vmap'd whole-graph XLA program), steady-state
+timing after jit warm-up with a host-fetch barrier on device results.  On
+TPU the mode is INT8-FULL — calibrated activation scales, native int8×int8
+convs, int8 inter-layer dataflow — the fastest mode since round 2; the CPU
+fallback uses INT8 weight-only (int8 emulation on CPU XLA is slow and the
+CPU number is only a smoke signal).
 """
 
 import json
