@@ -28,6 +28,7 @@ DEFAULT_IMAGES = {
     "mnist_bn": "/root/reference/resources/mnist2.png",
     "googlenet-v1": "/root/reference/resources/guinea-pig.jpg",
     "resnet18": "/root/reference/resources/guinea-pig.jpg",
+    "mobilenet-v2": "/root/reference/resources/guinea-pig.jpg",
 }
 
 
@@ -52,7 +53,8 @@ def main():
                     choices=["auto", "cpu", "tpu"],
                     help="cpu pins the process to the CPU backend")
     ap.add_argument("--model", default="mnist",
-                    choices=["mnist", "mnist_bn", "googlenet-v1", "resnet18"])
+                    choices=["mnist", "mnist_bn", "googlenet-v1", "resnet18",
+                             "mobilenet-v2"])
     ap.add_argument("--image", default=None)
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])

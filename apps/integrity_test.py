@@ -35,6 +35,9 @@ MODELS = {
     # fifth family: programmatic residual net (tools/gen_resnet.py) —
     # no reference XML exists; built via GraphBuilder + ir/writer.py
     "resnet18": ("data", (1, 3, 224, 224)),
+    # sixth family: programmatic inverted-residual depthwise classifier
+    # (tools/gen_mobilenet.py)
+    "mobilenet-v2": ("data", (1, 3, 224, 224)),
 }
 BACKENDS = ["interpreter", "xla", "pallas"]
 

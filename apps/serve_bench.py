@@ -35,7 +35,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--model", default="mnist",
                     choices=["mnist", "mnist_bn", "googlenet-v1",
-                             "ssd_mobilenet_v1_coco", "resnet18"])
+                             "ssd_mobilenet_v1_coco", "resnet18",
+                             "mobilenet-v2"])
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--quant", default="none", choices=["none", "int8w"])
