@@ -71,8 +71,12 @@ def main():
         # representative calibration: the input plus one noise sample;
         # dense anchor-score tails clip best at the 99.9th percentile
         # (docs/MEASUREMENTS.md Accuracy)
+        from tools.accuracy import CAL_PERCENTILE
+
         rng = np.random.default_rng(1)
-        exe.config = cfg.replace(calibration_percentile=99.9)
+        pct = CAL_PERCENTILE.get("ssd_mobilenet_v1_coco")
+        if pct is not None:
+            exe.config = cfg.replace(calibration_percentile=pct)
         exe.set_calibration([
             {in_name: blob},
             {in_name: rng.uniform(0, 255, blob.shape).astype(np.float32)},

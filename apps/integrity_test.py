@@ -27,18 +27,11 @@ import numpy as np
 
 from __graft_entry__ import _model_paths
 
-MODELS = {
-    "mnist": ("conv2d_input", (1, 1, 28, 28)),
-    "mnist_bn": ("conv2d_input", (1, 1, 28, 28)),
-    "googlenet-v1": ("data", (1, 3, 224, 224)),
-    "ssd_mobilenet_v1_coco": ("image_tensor", (1, 3, 300, 300)),
-    # fifth family: programmatic residual net (tools/gen_resnet.py) —
-    # no reference XML exists; built via GraphBuilder + ir/writer.py
-    "resnet18": ("data", (1, 3, 224, 224)),
-    # sixth family: programmatic inverted-residual depthwise classifier
-    # (tools/gen_mobilenet.py)
-    "mobilenet-v2": ("data", (1, 3, 224, 224)),
-}
+# Input name/shape come from each parsed IR (net.inputs) — only the model
+# list lives here.  resnet18 / mobilenet-v2 are the programmatic families
+# (tools/gen_resnet.py, tools/gen_mobilenet.py): no reference XML exists.
+MODELS = ["mnist", "mnist_bn", "googlenet-v1", "ssd_mobilenet_v1_coco",
+          "resnet18", "mobilenet-v2"]
 BACKENDS = ["interpreter", "xla", "pallas"]
 
 
@@ -64,7 +57,8 @@ def run_cell(model_name, backend, quant):
     xml, binp = _model_paths(model_name)
     net = ie.read_network(xml, binp)
     exe = ie.load_network(net, "TPU", config=cfg)
-    in_name, shape = MODELS[model_name]
+    inp = net.inputs[0]
+    in_name, shape = inp["name"], tuple(inp["shape"])
     blob = input_blob(in_name, shape)
     if qmode == QuantMode.INT8_FULL:
         # calibration must see REPRESENTATIVE data: the eval blob plus a
@@ -98,7 +92,11 @@ def check(model_name, out, declared, reference_out):
     if model_name == "ssd_mobilenet_v1_coco":
         rec = next(iter(out.values())).reshape(-1, 7)
         ids = rec[:, 0]
-        if not ((ids == -1).any() or (ids >= 0).all()):
+        # every id before the first -1 terminator must be a valid (>=0)
+        # image index; rows after the terminator are don't-care padding
+        term = np.nonzero(ids == -1)[0]
+        live = ids[: term[0]] if term.size else ids
+        if not (live >= 0).all():
             failures.append("bad record ids")
     if reference_out is not None:
         for name in out:

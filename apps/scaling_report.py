@@ -39,7 +39,7 @@ def measure(compiled, in_name, shape, batch, iters=10):
     dev = jax.device_put({in_name: blob})
     out = fn(compiled.weights, dev)
     k = next(iter(out))
-    idx = (0,) * np.asarray(out[k]).ndim
+    idx = (0,) * out[k].ndim  # .ndim needs no device->host transfer
     _ = np.asarray(out[k][idx])  # warm-up barrier (host fetch)
     t0 = time.perf_counter()
     for _ in range(iters):

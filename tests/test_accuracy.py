@@ -113,3 +113,59 @@ def test_ssd_synthetic_weights_sparse_detections():
         confs = [c for _, c, _ in dets]
         assert confs == sorted(confs, reverse=True)
         assert max(confs) < 0.99 and min(confs) >= 0.3
+
+
+def test_score_cls_labels_filters_to_labeled_images():
+    """--labels files cover only real images; the synthetic randN padding
+    in the eval set must be excluded from scoring, not KeyError."""
+    from tools.accuracy import score_cls
+
+    ref = {
+        "img.jpg": {"o": np.array([[0.1, 0.9]])},
+        "rand1": {"o": np.array([[0.8, 0.2]])},
+    }
+    acc, delta = score_cls(ref, ref, labels={"img.jpg": 1})
+    assert acc == 100.0 and delta == 0.0
+    with pytest.raises(SystemExit):
+        score_cls(ref, ref, labels={"not-an-eval-image.png": 0})
+
+
+def test_score_det_all_empty_is_nan_not_zero():
+    """FP32 producing zero detections must surface as NaN (gated as 'n/a'
+    by the harness), not as a fake 0-vs-0 pass or a NaN FAIL."""
+    from tools.accuracy import score_det
+
+    empty = np.full((1, 1, 100, 7), -1, np.float32)
+    outs = {"a": {"o": empty}}
+    val, delta = score_det(outs, outs)
+    assert np.isnan(val) and np.isnan(delta)
+
+
+def _load_integrity():
+    import importlib.util
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "apps",
+                        "integrity_test.py")
+    spec = importlib.util.spec_from_file_location("integrity_app", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_integrity_ssd_record_id_invariant():
+    """Every image id before the first -1 terminator must be >= 0 — a
+    terminator later in the table must not excuse garbage ids before it."""
+    integ = _load_integrity()
+    declared = {"d": (1, 1, 100, 7)}
+
+    good = np.full((100, 7), 0.0, np.float32)
+    good[2, 0] = -1
+    assert not integ.check("ssd_mobilenet_v1_coco",
+                           {"d": good.reshape(1, 1, 100, 7)}, declared, None)
+
+    bad = good.copy()
+    bad[0, 0] = -5  # negative id BEFORE the terminator
+    fails = integ.check("ssd_mobilenet_v1_coco",
+                        {"d": bad.reshape(1, 1, 100, 7)}, declared, None)
+    assert any("bad record ids" in f for f in fails)

@@ -205,6 +205,14 @@ def score_cls(ref_outputs, outputs, labels=None):
     from pyopenvino_tpu.metrics import topk_labels
 
     keys = sorted(ref_outputs)
+    if labels:
+        # Score only the images the user labeled — the eval set pads out
+        # with synthetic randN images that real label files cannot cover.
+        keys = [k for k in keys if k in labels]
+        if not keys:
+            raise SystemExit(
+                "--labels matches none of the eval images; label one of: "
+                + ", ".join(sorted(ref_outputs)))
     ref = np.stack([
         next(iter(ref_outputs[k].values())).reshape(-1) for k in keys
     ])
@@ -355,6 +363,14 @@ def main():
                     floor = max(wig, alt)
                 val, delta = score_det(ref, out, gt_boxes)
                 metric, gate = "mAP", GATE_MAP
+            if np.isnan(delta):
+                # FP32 produced zero detections (or empty GT): there is
+                # nothing to gate — a degenerate-model condition, not a
+                # quantization failure.
+                print(f"{model_name:<24} {mode:<9} {metric:<14} "
+                      f"{'n/a':>8} {'n/a':>10} {floor:>7.2f}  "
+                      f"n/a (fp32 produced no detections)")
+                continue
             ok = (delta - floor) <= gate
             if not ok:
                 failed.append((model_name, mode, metric, delta))

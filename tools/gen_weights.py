@@ -89,13 +89,27 @@ def _int_const_value(model: Model, nodes, shape) -> np.ndarray:
             if axes is not None:
                 return axes
         if consumer.op_type == "StridedSlice" and dport in (1, 2, 3):
-            in_rank = consumer.inputs[0].shape[0]
-            out_len = out_info.shape[0] if out_info and out_info.shape else 1
-            if dport == 1:  # begin: take the trailing out_len entries
-                return np.array([in_rank - out_len], dtype=np.int64)[:n_elem]
-            if dport == 2:  # end
-                return np.array([in_rank], dtype=np.int64)[:n_elem]
-            return np.ones(n_elem, dtype=np.int64)  # strides
+            # Emit exactly n_elem entries (one per sliced axis) — a
+            # begin/end const may declare >1 element for multi-axis
+            # slices, and a 1-element array would crash the final
+            # reshape-to-declared-shape.
+            in_shape = consumer.inputs[0].shape
+            if dport == 3:
+                return np.ones(n_elem, dtype=np.int64)  # strides
+            # per-axis extent being sliced: a 1-D operand is the SSD
+            # shape-vector pattern (its length is the extent); otherwise
+            # slice the tensor's own dims
+            extents = (list(in_shape) if len(in_shape) != 1
+                       else [in_shape[0]])[:n_elem]
+            extents += [1] * (n_elem - len(extents))
+            if dport == 2:  # end: up to each axis extent
+                return np.asarray(extents, dtype=np.int64)
+            if len(in_shape) == 1 and n_elem == 1:
+                # begin: the trailing out_len entries of the shape vector
+                out_len = (out_info.shape[0]
+                           if out_info and out_info.shape else 1)
+                return np.array([in_shape[0] - out_len], dtype=np.int64)
+            return np.zeros(n_elem, dtype=np.int64)  # begin per axis
         if consumer.op_type == "LRN" and dport == 1:
             return np.array([1], dtype=np.int64)  # across-channel axes
     return np.ones(n_elem, dtype=np.int64)

@@ -66,11 +66,18 @@ def replay(args):
         fixtures = pickle.load(f)
 
     class _Ctx:
+        """Mirrors the EmitCtx surface (runtime/compiler.py:52) — every
+        member an op's ``emit`` may read must exist here, else replay
+        reports a spurious 'emit failed' for that op class."""
+
         config = Config()
         use_pallas = False
         full_int8 = False
         # fixtures replay on CPU; Pallas routes (if any) use interpret mode
         pallas_interpret = True
+
+        def __init__(self, inputs):
+            self._inputs = inputs
 
         @property
         def compute_dtype(self):
@@ -82,6 +89,14 @@ def replay(args):
         def act_scale(self, node):
             return None
 
+        def out_int8_scale(self, node):
+            return None
+
+        def static_value(self, node, port):
+            # The capture recorded the actual runtime value of every input
+            # port, which for shape-op operands IS the compile-time const.
+            return np.asarray(self._inputs[port])
+
     failures = 0
     for fx in fixtures:
         node, inputs = fx["node"], fx["inputs"]
@@ -89,7 +104,7 @@ def replay(args):
         ref = op.ref_compute(node, inputs)
         try:
             tvs = {p: TValue(jnp.asarray(v), "L") for p, v in inputs.items()}
-            jax_out = op.emit(_Ctx(), node, tvs)
+            jax_out = op.emit(_Ctx(inputs), node, tvs)
             for port in ref:
                 got = np.asarray(jax_out[port].nchw()
                                  if len(ref[port].shape) == 4
