@@ -10,11 +10,13 @@ import os
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force the virtual device count to exactly 8 — an inherited
+# host_platform_device_count (e.g. =4 from a debugging shell) would fail
+# every MeshConfig(data=4, model=2) test far from the cause.
+_flags = [f for f in os.environ.get("XLA_FLAGS", "").split()
+          if "host_platform_device_count" not in f]
+_flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(_flags)
 
 # The environment's sitecustomize imports jax at interpreter startup (before
 # this conftest), so the env vars alone are too late — reconfigure the
@@ -37,22 +39,14 @@ MODEL_NAMES = ["mnist", "mnist_bn", "googlenet-v1", "ssd_mobilenet_v1_coco"]
 
 
 def model_paths(name: str):
-    """Return (xml_path, bin_path); synthesizes a deterministic .bin into
-    assets/ when the reference blob is stripped."""
-    xml = os.path.join(REFERENCE_MODELS, f"{name}.xml")
-    real_bin = os.path.join(REFERENCE_MODELS, f"{name}.bin")
-    if os.path.exists(real_bin):
-        return xml, real_bin
-    os.makedirs(ASSETS, exist_ok=True)
-    synth_bin = os.path.join(ASSETS, f"{name}.bin")
-    if not os.path.exists(synth_bin):
-        from pyopenvino_tpu.ir import read_ir_model
-        from tools.gen_weights import generate_weights
+    """Return (xml_path, bin_path) — delegates to the single
+    implementation in __graft_entry__ so tests get the same
+    GENERATOR_VERSION sidecar staleness check as every other harness
+    (a forked copy here once skipped it, silently running tests on
+    stale synthetic weights after a generator bump)."""
+    from __graft_entry__ import _model_paths
 
-        model = read_ir_model(xml, weights_path="/nonexistent")
-        with open(synth_bin, "wb") as f:
-            f.write(generate_weights(model))
-    return xml, synth_bin
+    return _model_paths(name)
 
 
 @pytest.fixture(scope="session")

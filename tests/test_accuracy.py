@@ -90,10 +90,9 @@ def test_detections_as_gt_drops_conf():
 def test_end_to_end_mnist_int8_agreement():
     """INT8 weight-only MNIST agrees with FP32 on top-1 for the eval set
     (the classification half of the gate table, real shipped weights)."""
-    from tools.accuracy import MODELS, eval_images, run_model, score_cls
+    from tools.accuracy import eval_images, run_model, score_cls
 
     images = eval_images("mnist", 4)
-    in_name = MODELS["mnist"][0]
     ref = run_model("mnist", "fp32", images, None)
     out = run_model("mnist", "int8w", images, None)
     val, delta = score_cls(ref, out)

@@ -76,13 +76,20 @@ def test_double_start_async_raises(mnist_image):
     net = ie.read_network(xml, binp)
     exe = ie.load_network(net, "TPU", num_requests=1)
     try:
+        import concurrent.futures
+
         r = exe.requests[0]
         r.start_async({"conv2d_input": mnist_image})
-        # immediately starting again on the same slot must be rejected
-        # unless the first already completed
-        if not r._future.done():
+        # Starting again while in flight must be rejected.  The real
+        # future may complete at any moment (TOCTOU), so substitute a
+        # never-done future to make the rejection path deterministic.
+        real = r._future
+        r._future = concurrent.futures.Future()
+        try:
             with pytest.raises(RuntimeError):
                 r.start_async({"conv2d_input": mnist_image})
+        finally:
+            r._future = real
         r.wait(timeout=120)
     finally:
         exe.close()

@@ -16,34 +16,45 @@ from pyopenvino_tpu.config import Backend, Config, QuantMode
 from tests.conftest import model_paths
 
 
-def _ssd_infer(cfg, blob, calibration=None):
+@pytest.fixture(scope="module")
+def ssd_net():
+    """One IR parse + weight decode for the whole module — the 366-layer
+    SSD is the most expensive model to parse and each test compiles it
+    under several configs."""
     ie = IECore()
     xml, binp = model_paths("ssd_mobilenet_v1_coco")
-    net = ie.read_network(xml, binp)
+    return ie, ie.read_network(xml, binp)
+
+
+def _ssd_infer(ssd_net, cfg, blob, calibration=None):
+    ie, net = ssd_net
     exe = ie.load_network(net, "TPU", config=cfg)
     if calibration:
         exe.set_calibration(calibration)
     return exe.infer({"image_tensor": blob})
 
 
-def test_native_and_shifted_mac_agree():
+def test_native_and_shifted_mac_agree(ssd_net):
     rng = np.random.default_rng(3)
     blob = rng.uniform(0, 255, (1, 3, 300, 300)).astype(np.float32)
-    a = _ssd_infer(Config(backend=Backend.XLA, depthwise_mode="native"), blob)
+    a = _ssd_infer(ssd_net,
+                   Config(backend=Backend.XLA, depthwise_mode="native"), blob)
     b = _ssd_infer(
-        Config(backend=Backend.XLA, depthwise_mode="shifted_mac"), blob
+        ssd_net, Config(backend=Backend.XLA, depthwise_mode="shifted_mac"),
+        blob
     )
     for k in a:
         np.testing.assert_allclose(a[k], b[k], rtol=1e-4, atol=1e-5)
 
 
-def test_int8_full_depthwise_runs_and_tracks_fp32():
+def test_int8_full_depthwise_runs_and_tracks_fp32(ssd_net):
     rng = np.random.default_rng(4)
     blob = rng.uniform(0, 255, (1, 3, 300, 300)).astype(np.float32)
     cal = [{"image_tensor": blob}]
-    ref = _ssd_infer(Config(backend=Backend.XLA), blob)
+    ref = _ssd_infer(ssd_net, Config(backend=Backend.XLA), blob)
     got = _ssd_infer(
-        Config(backend=Backend.XLA, quant=QuantMode.INT8_FULL), blob, cal
+        ssd_net, Config(backend=Backend.XLA, quant=QuantMode.INT8_FULL),
+        blob, cal
     )
     # records: [n, cls, conf, box*4] — the top record's class matches and
     # its confidence is within quantization tolerance

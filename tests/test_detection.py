@@ -259,9 +259,10 @@ def test_batched_matches_ref_with_inverting_boxes(seed):
     from pyopenvino_tpu.ops.ssd import detection_output_jax_batched
 
     ref = detection_output_ref(logits, scores, proposals, params)
+    # already batch-shaped: logits (1, P*4), scores (1, P*nc),
+    # proposals (1, 2, P*4)
     got = np.asarray(detection_output_jax_batched(
-        logits[None].reshape(1, -1), scores.reshape(1, -1),
-        proposals.reshape(1, 2, -1), params,
+        logits, scores, proposals, params,
     ))[0]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
                                err_msg=f"seed={seed}")

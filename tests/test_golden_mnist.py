@@ -69,8 +69,10 @@ def test_int8_weight_only_golden(mnist_net, mnist_image):
     assert int(np.argmax(res[out][0])) == EXPECTED_TOP3[0]
 
 
-def test_interpreter_vs_xla_per_layer(mnist_net, mnist_image):
-    """Differential: compiled outputs match the numpy interpreter."""
+def test_interpreter_vs_xla_golden_outputs(mnist_net, mnist_image):
+    """Differential on the golden image: compiled final outputs match the
+    numpy interpreter.  (Per-layer activation comparison is covered by
+    test_debug_api.py::test_verify_against_interpreter_passes.)"""
     ie, net = mnist_net
     exe = ie.load_network(net, "TPU")
     exe.kernel_type = "interpreter"

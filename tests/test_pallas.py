@@ -175,22 +175,6 @@ class TestSoftmaxKernel:
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(got.sum(axis=1), np.ones(5), rtol=1e-5)
 
-    def test_ssd_pallas_backend_end_to_end(self, loaded):
-        """PALLAS backend matches XLA on SSD."""
-        from pyopenvino_tpu.config import Backend, Config
-        from pyopenvino_tpu.runtime.compiler import compile_model
-
-        m = loaded("ssd_mobilenet_v1_coco")
-        rng = np.random.default_rng(3)
-        blob = rng.uniform(0, 255, (1, 3, 300, 300)).astype(np.float32)
-        ox = compile_model(m, Config(backend=Backend.XLA))(
-            {"image_tensor": blob})
-        op = compile_model(m, Config(backend=Backend.PALLAS))(
-            {"image_tensor": blob})
-        k = next(iter(ox))
-        np.testing.assert_allclose(ox[k], op[k], rtol=1e-3, atol=1e-4)
-
-
 class TestDirectConv:
     """kernels/conv_direct.py — implicit-GEMM stride-1 conv."""
 
