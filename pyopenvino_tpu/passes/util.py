@@ -36,3 +36,36 @@ def channel_aligned(shape, channels: int, rank: int = 4) -> bool:
     return full[1] == channels and all(
         d == 1 for i, d in enumerate(full) if i != 1
     )
+
+
+def prune_dead_nodes(model: Model) -> Tuple[Model, int]:
+    """Drop nodes that cannot reach any Result — dead branches, e.g. a
+    training-time auxiliary head left in an exported IR.
+
+    Parameters are always kept (pruning one would change the model's
+    input-binding contract).  XLA DCEs the traced program regardless;
+    this pass keeps dead weights out of the device pytree and spares the
+    INT8 calibration walk from executing dead ops.  The numpy
+    Interpreter deliberately does NOT prune: it is the faithful
+    every-node twin (the reference executes all scheduled nodes,
+    inference_engine.py:259-292), so dead-branch activations stay
+    inspectable for debugging.
+
+    Returns (model, dropped_count); the input model is returned
+    unchanged when nothing is dead."""
+    keep = set()
+    stack = [n.id for n in model.results]
+    while stack:
+        nid = stack.pop()
+        if nid in keep:
+            continue
+        keep.add(nid)
+        for src, _ in model.in_edges[nid].values():
+            stack.append(src)
+    keep |= {n.id for n in model.parameters}
+    dropped = len(model.nodes) - len(keep)
+    if not dropped:
+        return model, 0
+    nodes = {nid: model.nodes[nid] for nid in keep}
+    edges = [e for e in model.edges if e.src in keep and e.dst in keep]
+    return Model(model.name, nodes, edges), dropped

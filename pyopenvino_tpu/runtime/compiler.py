@@ -828,6 +828,12 @@ def compile_model(
     """calibration_samples: iterable of {param_name: blob} input dicts,
     required for QuantMode.INT8_FULL (activation scales — passes/calibrate)."""
     config = config or Config()
+    # Dead-branch elimination first: keeps dead weights out of the device
+    # pytree and dead ops out of quantization/calibration.  (The numpy
+    # Interpreter stays unpruned by design — passes/util.py.)
+    from pyopenvino_tpu.passes.util import prune_dead_nodes
+
+    model, _ = prune_dead_nodes(model)
     # Graph rewrite: fold per-channel BN Multiply constants into conv
     # weights (before quantization, so INT8 scales see effective weights).
     from pyopenvino_tpu.passes.fold_scale import fold_scale_into_conv
