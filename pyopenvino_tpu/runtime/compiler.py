@@ -834,6 +834,17 @@ def compile_model(
     from pyopenvino_tpu.passes.util import prune_dead_nodes
 
     model, _ = prune_dead_nodes(model)
+    # A weightless structural parse (no .bin found — ir/xml_parser.py
+    # read_ir_model) is fine for inspection/weight-synthesis but cannot
+    # compile; fail here with the cause instead of deep inside a pass.
+    missing = [n.name for n in model
+               if n.op_type == "Const" and n.const is None]
+    if missing:
+        raise ValueError(
+            f"model has {len(missing)} Const node(s) without data — "
+            f"weightless structural parse (was the .bin found?); first: "
+            f"{missing[0]!r}"
+        )
     # Graph rewrite: fold per-channel BN Multiply constants into conv
     # weights (before quantization, so INT8 scales see effective weights).
     from pyopenvino_tpu.passes.fold_scale import fold_scale_into_conv
