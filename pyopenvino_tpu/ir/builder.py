@@ -169,6 +169,54 @@ class GraphBuilder:
         return self._add_node("Multiply", [a, b],
                               {"auto_broadcast": "numpy"}, name)
 
+    def subtract(self, a, b, name=None) -> Port:
+        return self._add_node("Subtract", [a, b],
+                              {"auto_broadcast": "numpy"}, name)
+
+    def divide(self, a, b, name=None) -> Port:
+        return self._add_node("Divide", [a, b],
+                              {"auto_broadcast": "numpy"}, name)
+
+    def maximum(self, a, b, name=None) -> Port:
+        return self._add_node("Maximum", [a, b],
+                              {"auto_broadcast": "numpy"}, name)
+
+    def minimum(self, a, b, name=None) -> Port:
+        return self._add_node("Minimum", [a, b],
+                              {"auto_broadcast": "numpy"}, name)
+
+    def power(self, a, b, name=None) -> Port:
+        return self._add_node("Power", [a, b],
+                              {"auto_broadcast": "numpy"}, name)
+
+    def sqrt(self, x, name=None) -> Port:
+        return self._add_node("Sqrt", [x], {}, name)
+
+    def exp(self, x, name=None) -> Port:
+        return self._add_node("Exp", [x], {}, name)
+
+    def tanh(self, x, name=None) -> Port:
+        return self._add_node("Tanh", [x], {}, name)
+
+    def squeeze(self, x, axes=None, name=None) -> Port:
+        ins = [x]
+        if axes is not None:
+            ins.append(self.const(np.asarray(axes, np.int64)))
+        return self._add_node("Squeeze", ins, {}, name)
+
+    def gather(self, x, indices, axis=0, name=None) -> Port:
+        idx = self.const(np.asarray(indices, np.int64))
+        ax = self.const(np.asarray(axis, np.int64))
+        return self._add_node("Gather", [x, idx, ax], {}, name)
+
+    def pad(self, x, pads_begin, pads_end, mode="constant", value=None,
+            name=None) -> Port:
+        ins = [x, self.const(np.asarray(pads_begin, np.int64)),
+               self.const(np.asarray(pads_end, np.int64))]
+        if value is not None:
+            ins.append(self.const(np.asarray(value, np.float32)))
+        return self._add_node("Pad", ins, {"pad_mode": mode}, name)
+
     def relu(self, x, name=None) -> Port:
         return self._add_node("ReLU", [x], {}, name)
 

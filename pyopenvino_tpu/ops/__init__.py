@@ -13,6 +13,7 @@ from pyopenvino_tpu.ops.spec import REGISTRY, Op, ShapeResult, TValue, get_op, s
 # registration side-effects
 from pyopenvino_tpu.ops import conv  # noqa: F401
 from pyopenvino_tpu.ops import elementwise  # noqa: F401
+from pyopenvino_tpu.ops import extended  # noqa: F401
 from pyopenvino_tpu.ops import io_ops  # noqa: F401
 from pyopenvino_tpu.ops import matmul  # noqa: F401
 from pyopenvino_tpu.ops import pool  # noqa: F401

@@ -1,0 +1,245 @@
+"""Extension ops beyond the reference's 21 (opset1 semantics).
+
+The reference implements exactly the op set its four shipped XMLs need
+(SURVEY.md §2.2).  Real Model-Optimizer-converted IRs routinely carry a
+few more — unfolded mean/scale preprocessing chains (Subtract / Divide /
+Power / Sqrt), Squeeze (the mirror of Unsqueeze), Gather for embedding /
+axis selection, and explicit Pad — so these are implemented with the
+same three entry points (ref_compute / emit / infer_shapes) to keep the
+engine from being overfit to the shipped files.  Ops here follow
+OpenVINO opset1 semantics; none appear in the reference
+(pyopenvino/op_plugins/ has no plugin for any of them — loading such an
+IR there dies at run time, inference_engine.py:270-272)."""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from pyopenvino_tpu.ops.elementwise import _Binary, _Unary
+from pyopenvino_tpu.ops.spec import Op, ShapeResult, TValue, register
+
+
+@register
+class Subtract(_Binary):
+    type_name = "Subtract"
+    np_fn = staticmethod(lambda a, b: a - b)
+
+
+@register
+class Divide(_Binary):
+    type_name = "Divide"
+    np_fn = staticmethod(lambda a, b: a / b)
+
+
+def _dual(np_ufunc, jnp_name):
+    """Binary fn usable from both ref_compute (numpy in/out) and emit
+    (JAX tracers — numpy ufuncs do not dispatch on tracers)."""
+    def fn(a, b):
+        if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+            return np_ufunc(a, b)
+        import jax.numpy as jnp
+
+        return getattr(jnp, jnp_name)(a, b)
+    return staticmethod(fn)
+
+
+@register
+class Maximum(_Binary):
+    type_name = "Maximum"
+    np_fn = _dual(np.maximum, "maximum")
+
+
+@register
+class Minimum(_Binary):
+    type_name = "Minimum"
+    np_fn = _dual(np.minimum, "minimum")
+
+
+@register
+class Power(_Binary):
+    """Binary power (opset1): element-wise x ** exponent."""
+
+    type_name = "Power"
+    np_fn = staticmethod(lambda a, b: a ** b)
+
+
+@register
+class Sqrt(_Unary):
+    type_name = "Sqrt"
+
+    def _apply_np(self, node, x):
+        return np.sqrt(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.sqrt(x)
+
+
+@register
+class Exp(_Unary):
+    type_name = "Exp"
+
+    def _apply_np(self, node, x):
+        return np.exp(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.exp(x)
+
+
+@register
+class Tanh(_Unary):
+    type_name = "Tanh"
+
+    def _apply_np(self, node, x):
+        return np.tanh(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.tanh(x)
+
+
+@register
+class Squeeze(Op):
+    """Drop unit dims — the mirror of Unsqueeze (shape_ops.py).  With no
+    axes input every unit dim is dropped (opset1)."""
+
+    type_name = "Squeeze"
+
+    def _out_shape(self, in_shape, axes):
+        if axes is None:
+            return tuple(d for d in in_shape if d != 1)
+        rank = len(in_shape)
+        axes = {a % rank for a in axes}
+        for a in axes:
+            if in_shape[a] != 1:
+                raise ValueError(
+                    f"Squeeze: axis {a} has extent {in_shape[a]} != 1"
+                )
+        return tuple(d for i, d in enumerate(in_shape) if i not in axes)
+
+    def _axes(self, node, values):
+        axes = values.get(1)
+        if 1 in node.inputs and axes is None:
+            raise ValueError(f"Squeeze {node.name}: axes are not constant")
+        return None if axes is None else tuple(int(a) for a in axes)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        out = self._out_shape(in_shapes[0], self._axes(node, in_values))
+        res = ShapeResult({node.out_port: out})
+        if in_values.get(0) is not None:
+            res.values[node.out_port] = in_values[0].reshape(out)
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axes = (tuple(int(a) for a in inputs[1])
+                if 1 in inputs else None)
+        out = self._out_shape(inputs[0].shape, axes)
+        return {node.out_port: inputs[0].reshape(out)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        axes = (tuple(int(a) for a in ctx.static_value(node, 1))
+                if 1 in node.inputs else None)
+        x = inputs[0].nchw()
+        return {node.out_port: TValue(
+            x.reshape(self._out_shape(x.shape, axes)), "L")}
+
+
+@register
+class Gather(Op):
+    """opset1 Gather: select indices along a constant axis (input 2)."""
+
+    type_name = "Gather"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        axis_v = in_values.get(2)
+        if axis_v is None:
+            raise ValueError(f"Gather {node.name}: axis is not constant")
+        axis = int(np.asarray(axis_v).reshape(()))
+        data, idx = in_shapes[0], in_shapes[1]
+        axis %= len(data)
+        out = tuple(data[:axis]) + tuple(idx) + tuple(data[axis + 1:])
+        res = ShapeResult({node.out_port: out})
+        if in_values.get(0) is not None and in_values.get(1) is not None:
+            res.values[node.out_port] = np.take(
+                in_values[0], in_values[1].astype(np.int64), axis=axis)
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axis = int(np.asarray(inputs[2]).reshape(()))
+        return {node.out_port: np.take(
+            inputs[0], inputs[1].astype(np.int64), axis=axis)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        axis = int(np.asarray(ctx.static_value(node, 2)).reshape(()))
+        x = inputs[0].nchw()
+        idx = inputs[1].nchw().astype(jnp.int32)
+        return {node.out_port: TValue(jnp.take(x, idx, axis=axis), "L")}
+
+
+@register
+class Pad(Op):
+    """opset1 Pad: constant/edge/reflect/symmetric padding; pads_begin /
+    pads_end are constant inputs (1, 2), constant fill value input 3."""
+
+    type_name = "Pad"
+
+    @staticmethod
+    def _mode(node) -> str:
+        mode = node.attrs.get("pad_mode", "constant")
+        if mode not in ("constant", "edge", "reflect", "symmetric"):
+            raise ValueError(f"Pad: unsupported pad_mode {mode!r}")
+        return mode
+
+    @staticmethod
+    def _pads(source, what):
+        arr = source
+        if arr is None:
+            raise ValueError(f"Pad: {what} is not constant")
+        return tuple(int(v) for v in np.asarray(arr).reshape(-1))
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        b = self._pads(in_values.get(1), "pads_begin")
+        e = self._pads(in_values.get(2), "pads_end")
+        out = tuple(d + pb + pe for d, pb, pe in zip(in_shapes[0], b, e))
+        self._mode(node)  # validate early
+        return ShapeResult({node.out_port: out})
+
+    def _np_kwargs(self, node, inputs_or_values, get):
+        mode = self._mode(node)
+        kw = {"mode": mode}
+        if mode == "constant":
+            fill = get(3)
+            kw["constant_values"] = (
+                0.0 if fill is None else float(np.asarray(fill).reshape(()))
+            )
+        return kw
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        b = self._pads(inputs.get(1), "pads_begin")
+        e = self._pads(inputs.get(2), "pads_end")
+        kw = self._np_kwargs(node, inputs, inputs.get)
+        return {node.out_port: np.pad(
+            inputs[0], tuple(zip(b, e)), **kw)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        b = self._pads(ctx.static_value(node, 1), "pads_begin")
+        e = self._pads(ctx.static_value(node, 2), "pads_end")
+
+        def get(port):
+            return (ctx.static_value(node, port)
+                    if port in node.inputs else None)
+
+        kw = self._np_kwargs(node, None, get)
+        x = inputs[0].nchw()
+        return {node.out_port: TValue(
+            jnp.pad(x, tuple(zip(b, e)), **kw), "L")}

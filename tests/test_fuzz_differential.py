@@ -39,7 +39,8 @@ def _random_graph(seed):
         _, c, h, w = src.shape
         kind = rng.choice(
             ["conv", "pool", "relu", "clamp", "sigmoid", "biasadd", "scale",
-             "residual", "dwconv", "lrn", "concat", "transpose2"]
+             "residual", "dwconv", "lrn", "concat", "transpose2",
+             "meansub", "stddiv", "minmax", "pad"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -100,6 +101,23 @@ def _random_graph(seed):
             # layout machinery without changing the logical shape
             t = b.transpose(src, (0, 2, 3, 1))
             out = b.transpose(t, (0, 3, 1, 2))
+        elif kind == "meansub":
+            # unfolded preprocessing: per-channel mean subtraction
+            mean = rng.normal(0, 0.3, (1, c, 1, 1)).astype(np.float32)
+            out = b.subtract(src, b.const(mean))
+        elif kind == "stddiv":
+            std = rng.uniform(0.7, 1.4, (1, c, 1, 1)).astype(np.float32)
+            out = b.divide(src, b.const(std))
+        elif kind == "minmax":
+            lo = rng.normal(-0.5, 0.1, (1, c, 1, 1)).astype(np.float32)
+            out = b.maximum(b.minimum(src, b.const(
+                np.full((1, c, 1, 1), 4.0, np.float32))), b.const(lo))
+        elif kind == "pad":
+            pb = [0, 0, int(rng.integers(0, 2)), int(rng.integers(0, 2))]
+            pe = [0, 0, int(rng.integers(0, 2)), int(rng.integers(0, 2))]
+            mode = str(rng.choice(["constant", "edge"]))
+            out = b.pad(src, pb, pe, mode=mode,
+                        value=0.0 if mode == "constant" else None)
         else:
             continue
         live.append(out)

@@ -1,0 +1,147 @@
+"""Extension ops beyond the reference's 21 (ops/extended.py).
+
+Real MO-converted IRs carry unfolded preprocessing (Subtract/Divide/
+Power/Sqrt), Squeeze, Gather and Pad; the reference dies on them at run
+time (inference_engine.py:270-272).  Each op here is checked
+interpreter↔XLA on builder graphs, plus an IR writer→parser round-trip
+so the serialized form is loadable too."""
+
+import numpy as np
+import pytest
+
+from pyopenvino_tpu.config import Backend, Config, QuantMode
+from pyopenvino_tpu.ir.builder import GraphBuilder
+from pyopenvino_tpu.runtime.compiler import compile_model
+from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+
+def _parity(model, feed, rtol=1e-5, atol=1e-6):
+    ref = Interpreter(model).run(feed)
+    got = compile_model(model, Config(backend=Backend.XLA)).infer(feed)
+    assert set(ref) == set(got)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=rtol, atol=atol)
+    return ref
+
+
+@pytest.mark.parametrize("op", ["subtract", "divide", "maximum",
+                                "minimum", "power"])
+def test_binary_ops_parity(op):
+    rng = np.random.default_rng(0)
+    b = GraphBuilder(op)
+    x = b.parameter("in", (1, 4, 6, 6))
+    # per-channel const operand — exercises the CL broadcast path
+    c = rng.uniform(0.5, 2.0, (1, 4, 1, 1)).astype(np.float32)
+    b.result(getattr(b, op)(x, b.const(c)), name="out")
+    m = b.build()
+    feed = {"in": rng.uniform(0.1, 2.0, (1, 4, 6, 6)).astype(np.float32)}
+    _parity(m, feed)
+
+
+@pytest.mark.parametrize("op,fn", [("sqrt", np.sqrt), ("exp", np.exp),
+                                   ("tanh", np.tanh)])
+def test_unary_ops_parity_and_semantics(op, fn):
+    rng = np.random.default_rng(1)
+    b = GraphBuilder(op)
+    x = b.parameter("in", (1, 3, 5, 5))
+    b.result(getattr(b, op)(x), name="out")
+    m = b.build()
+    blob = rng.uniform(0.1, 3.0, (1, 3, 5, 5)).astype(np.float32)
+    ref = _parity(m, {"in": blob})
+    np.testing.assert_allclose(next(iter(ref.values())), fn(blob),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_squeeze_with_and_without_axes():
+    b = GraphBuilder("sq")
+    x = b.parameter("in", (1, 4, 1, 6))
+    b.result(b.squeeze(x, axes=(2,)), name="ax")
+    b.result(b.squeeze(x), name="all")
+    m = b.build()
+    blob = np.arange(24, dtype=np.float32).reshape(1, 4, 1, 6)
+    ref = _parity(m, {"in": blob})
+    assert ref["ax"].shape == (1, 4, 6)
+    assert ref["all"].shape == (4, 6)
+
+
+def test_squeeze_non_unit_axis_rejected():
+    b = GraphBuilder("sq_bad")
+    x = b.parameter("in", (1, 4, 1, 6))
+    with pytest.raises(ValueError, match="extent"):
+        b.squeeze(x, axes=(1,))
+
+
+def test_gather_axes():
+    rng = np.random.default_rng(2)
+    b = GraphBuilder("gather")
+    x = b.parameter("in", (1, 6, 4, 4))
+    b.result(b.gather(x, [4, 0, 2], axis=1), name="out")
+    m = b.build()
+    blob = rng.normal(0, 1, (1, 6, 4, 4)).astype(np.float32)
+    ref = _parity(m, {"in": blob})
+    np.testing.assert_allclose(ref["out"], blob[:, [4, 0, 2]], rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["constant", "edge", "reflect",
+                                  "symmetric"])
+def test_pad_modes(mode):
+    rng = np.random.default_rng(3)
+    b = GraphBuilder("pad")
+    x = b.parameter("in", (1, 3, 5, 5))
+    value = 2.5 if mode == "constant" else None
+    b.result(b.pad(x, (0, 0, 1, 2), (0, 0, 2, 1), mode=mode, value=value),
+             name="out")
+    m = b.build()
+    blob = rng.normal(0, 1, (1, 3, 5, 5)).astype(np.float32)
+    ref = _parity(m, {"in": blob})
+    assert ref["out"].shape == (1, 3, 8, 8)
+    kw = {"constant_values": 2.5} if mode == "constant" else {}
+    want = np.pad(blob, ((0, 0), (0, 0), (1, 2), (2, 1)), mode=mode, **kw)
+    np.testing.assert_allclose(ref["out"], want, rtol=1e-6)
+
+
+def test_preprocessing_chain_end_to_end_and_int8():
+    """The canonical unfolded MO preprocessing: (x - mean) / std → conv →
+    relu — parity across backends and runnable under INT8 weight-only."""
+    rng = np.random.default_rng(4)
+    b = GraphBuilder("prep")
+    x = b.parameter("in", (1, 3, 12, 12))
+    mean = rng.uniform(100, 150, (1, 3, 1, 1)).astype(np.float32)
+    std = rng.uniform(50, 80, (1, 3, 1, 1)).astype(np.float32)
+    y = b.divide(b.subtract(x, b.const(mean)), b.const(std))
+    w = rng.normal(0, 0.3, (8, 3, 3, 3)).astype(np.float32)
+    y = b.relu(b.conv2d(y, b.const(w), pads=((1, 1), (1, 1))))
+    b.result(y, name="out")
+    m = b.build()
+    blob = rng.uniform(0, 255, (1, 3, 12, 12)).astype(np.float32)
+    ref = _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
+
+    q = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))
+    got = q.infer({"in": blob})
+    k = next(iter(ref))
+    np.testing.assert_allclose(got[k], ref[k], rtol=0.2, atol=0.05)
+
+
+def test_extended_ops_survive_writer_parser_round_trip(tmp_path):
+    rng = np.random.default_rng(5)
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.ir.writer import write_ir_model
+
+    b = GraphBuilder("roundtrip")
+    x = b.parameter("in", (1, 3, 6, 6))
+    y = b.subtract(x, b.const(
+        rng.normal(0, 1, (1, 3, 1, 1)).astype(np.float32)))
+    y = b.sqrt(b.maximum(y, b.const(np.float32(0.1).reshape(1, 1, 1, 1))))
+    y = b.pad(y, (0, 0, 1, 1), (0, 0, 1, 1), mode="edge")
+    y = b.gather(y, [1, 2], axis=1)
+    b.result(b.squeeze(y, axes=(0,)), name="out")
+    m = b.build()
+
+    xml = tmp_path / "ext.xml"
+    write_ir_model(m, str(xml))
+    m2 = read_ir_model(str(xml))
+    blob = rng.uniform(0.2, 2.0, (1, 3, 6, 6)).astype(np.float32)
+    a = Interpreter(m).run({"in": blob})
+    c = compile_model(m2, Config()).infer({"in": blob})
+    np.testing.assert_allclose(c["out"], a["out"], rtol=1e-5, atol=1e-6)
+    assert c["out"].shape == (2, 8, 8)
