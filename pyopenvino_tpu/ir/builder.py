@@ -217,6 +217,14 @@ class GraphBuilder:
             ins.append(self.const(np.asarray(value, np.float32)))
         return self._add_node("Pad", ins, {"pad_mode": mode}, name)
 
+    def interpolate(self, x, sizes, axes=(2, 3), mode="nearest",
+                    align_corners=False, name=None) -> Port:
+        t = self.const(np.asarray(sizes, np.int64))
+        return self._add_node("Interpolate", [x, t], {
+            "axes": ",".join(str(a) for a in axes), "mode": mode,
+            "align_corners": "1" if align_corners else "0",
+        }, name)
+
     def relu(self, x, name=None) -> Port:
         return self._add_node("ReLU", [x], {}, name)
 

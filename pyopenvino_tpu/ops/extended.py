@@ -243,3 +243,100 @@ class Pad(Op):
         x = inputs[0].nchw()
         return {node.out_port: TValue(
             jnp.pad(x, tuple(zip(b, e)), **kw), "L")}
+
+
+def _interp_axis_plan(in_len: int, out_len: int, mode: str,
+                      align_corners: bool):
+    """Static per-axis resample plan.
+
+    nearest → (idx,) gather indices; linear → (lo, hi, w) with
+    out = (1-w)·x[lo] + w·x[hi].  Both the numpy twin and the JAX emit
+    consume the SAME precomputed numpy arrays, so interpreter↔XLA parity
+    holds by construction (shapes are static under jit, so the plan is a
+    trace-time constant)."""
+    i = np.arange(out_len, dtype=np.float64)
+    if align_corners and out_len > 1:
+        pos = i * (in_len - 1) / (out_len - 1)
+    else:
+        pos = (i + 0.5) * (in_len / out_len) - 0.5
+    if mode == "nearest":
+        idx = np.clip(np.floor(pos + 0.5), 0, in_len - 1).astype(np.int64)
+        return (idx,)
+    lo = np.clip(np.floor(pos), 0, in_len - 1).astype(np.int64)
+    hi = np.minimum(lo + 1, in_len - 1)
+    w = np.clip(pos - lo, 0.0, 1.0).astype(np.float32)
+    return lo, hi, w
+
+
+@register
+class Interpolate(Op):
+    """opset1 Interpolate, nearest/linear over constant target dims
+    (input 1).  attrs: axes (e.g. "2,3"), mode, align_corners."""
+
+    type_name = "Interpolate"
+
+    @staticmethod
+    def _cfg(node):
+        from pyopenvino_tpu.ir import attrs as A
+
+        axes = A.get_int_tuple(node.attrs, "axes", (2, 3))
+        mode = node.attrs.get("mode", "nearest")
+        if mode not in ("nearest", "linear"):
+            raise ValueError(f"Interpolate: unsupported mode {mode!r}")
+        align = str(node.attrs.get("align_corners", "0")).lower() in (
+            "1", "true")
+        return axes, mode, align
+
+    def _out_shape(self, node, in_shape, target):
+        axes, _, _ = self._cfg(node)
+        if target is None:
+            raise ValueError(
+                f"Interpolate {node.name}: target shape is not constant")
+        target = [int(t) for t in np.asarray(target).reshape(-1)]
+        if len(target) != len(axes):
+            raise ValueError(
+                f"Interpolate: {len(axes)} axes but {len(target)} target dims")
+        out = list(in_shape)
+        for a, t in zip(axes, target):
+            out[a % len(in_shape)] = t
+        return tuple(out)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: self._out_shape(
+            node, in_shapes[0], in_values.get(1))})
+
+    def _resample(self, x, node, target, take, asarray):
+        axes, mode, align = self._cfg(node)
+        rank = x.ndim
+        target = [int(t) for t in np.asarray(target).reshape(-1)]
+        for a, t in zip(axes, target):
+            a %= rank
+            plan = _interp_axis_plan(x.shape[a], t, mode, align)
+            if mode == "nearest":
+                x = take(x, plan[0], a)
+            else:
+                lo, hi, w = plan
+                shape = [1] * rank
+                shape[a] = t
+                w = asarray(w.reshape(shape))
+                x = take(x, lo, a) * (1 - w) + take(x, hi, a) * w
+        return x
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        out = self._resample(
+            inputs[0], node, inputs[1],
+            take=lambda x, i, a: np.take(x, i, axis=a),
+            asarray=np.asarray,
+        )
+        return {node.out_port: out.astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        out = self._resample(
+            x, node, ctx.static_value(node, 1),
+            take=lambda x, i, a: jnp.take(x, jnp.asarray(i), axis=a),
+            asarray=jnp.asarray,
+        )
+        return {node.out_port: TValue(out.astype(x.dtype), "L")}

@@ -145,3 +145,85 @@ def test_extended_ops_survive_writer_parser_round_trip(tmp_path):
     c = compile_model(m2, Config()).infer({"in": blob})
     np.testing.assert_allclose(c["out"], a["out"], rtol=1e-5, atol=1e-6)
     assert c["out"].shape == (2, 8, 8)
+
+class TestInterpolate:
+    def _run(self, in_hw, sizes, mode, align=False, blob=None):
+        b = GraphBuilder("interp")
+        x = b.parameter("in", (1, 2) + in_hw)
+        b.result(b.interpolate(x, sizes, mode=mode, align_corners=align),
+                 name="out")
+        m = b.build()
+        if blob is None:
+            blob = np.random.default_rng(0).normal(
+                0, 1, (1, 2) + in_hw).astype(np.float32)
+        ref = _parity(m, {"in": blob})
+        return ref["out"], blob
+
+    def test_nearest_2x_upsample_repeats(self):
+        out, blob = self._run((4, 4), (8, 8), "nearest")
+        np.testing.assert_array_equal(out, blob.repeat(2, 2).repeat(2, 3))
+
+    def test_linear_known_values(self):
+        # half-pixel linear 2→4 of [0, 1] → [0, 0.25, 0.75, 1]
+        blob = np.array([0.0, 1.0], np.float32).reshape(1, 1, 1, 2)
+        b = GraphBuilder("lin")
+        x = b.parameter("in", (1, 1, 1, 2))
+        b.result(b.interpolate(x, (1, 4), mode="linear"), name="out")
+        ref = _parity(b.build(), {"in": blob})
+        np.testing.assert_allclose(
+            ref["out"].reshape(-1), [0, 0.25, 0.75, 1], rtol=1e-6)
+
+    def test_linear_align_corners(self):
+        blob = np.array([0.0, 1.0], np.float32).reshape(1, 1, 1, 2)
+        b = GraphBuilder("linac")
+        x = b.parameter("in", (1, 1, 1, 2))
+        b.result(b.interpolate(x, (1, 4), mode="linear",
+                               align_corners=True), name="out")
+        ref = _parity(b.build(), {"in": blob})
+        np.testing.assert_allclose(
+            ref["out"].reshape(-1), [0, 1 / 3, 2 / 3, 1], rtol=1e-5)
+
+    def test_downsample_parity(self):
+        out, _ = self._run((9, 9), (4, 5), "linear")
+        assert out.shape == (1, 2, 4, 5)
+
+    def test_nearest_downsample_parity(self):
+        out, _ = self._run((7, 7), (3, 3), "nearest")
+        assert out.shape == (1, 2, 3, 3)
+
+
+def test_unet_style_segmentation_topology():
+    """Encoder–decoder with Interpolate 2× upsampling and skip concats —
+    the segmentation/FPN shape none of the six classifier/detector
+    families exercise; ties Interpolate + Concat + the preprocessing ops
+    together in one compiled graph (fp32 parity + int8w runnable)."""
+    rng = np.random.default_rng(6)
+    b = GraphBuilder("unet")
+
+    def conv(x, co, k=3):
+        w = rng.normal(0, np.sqrt(2.0 / (x.shape[1] * k * k)),
+                       (co, x.shape[1], k, k)).astype(np.float32)
+        return b.relu(b.conv2d(x, b.const(w), pads=((k // 2,) * 2,) * 2))
+
+    x = b.parameter("in", (1, 3, 16, 16))
+    x = b.divide(b.subtract(x, b.const(
+        np.full((1, 3, 1, 1), 127.5, np.float32))),
+        b.const(np.full((1, 3, 1, 1), 127.5, np.float32)))
+    e1 = conv(x, 8)                                    # 16×16
+    e2 = conv(b.max_pool(e1, (2, 2), (2, 2)), 16)      # 8×8
+    bott = conv(b.max_pool(e2, (2, 2), (2, 2)), 32)    # 4×4
+    d2 = conv(b.concat([b.interpolate(bott, (8, 8), mode="linear"), e2]),
+              16)                                      # 8×8
+    d1 = conv(b.concat([b.interpolate(d2, (16, 16), mode="nearest"), e1]),
+              8)                                       # 16×16
+    logits = conv(d1, 2, k=1)
+    b.result(b.sigmoid(logits), name="mask")
+    m = b.build()
+
+    blob = rng.uniform(0, 255, (1, 3, 16, 16)).astype(np.float32)
+    ref = _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
+    assert ref["mask"].shape == (1, 2, 16, 16)
+
+    q = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))
+    got = q.infer({"in": blob})
+    assert np.all(np.isfinite(got["mask"]))
