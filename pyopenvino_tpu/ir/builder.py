@@ -225,6 +225,13 @@ class GraphBuilder:
             "align_corners": "1" if align_corners else "0",
         }, name)
 
+    def reduce(self, kind, x, axes, keep_dims=True, name=None) -> Port:
+        """kind ∈ {mean, max, sum} → Reduce{Mean,Max,Sum}."""
+        a = self.const(np.asarray(axes, np.int64))
+        return self._add_node(f"Reduce{kind.capitalize()}", [x, a], {
+            "keep_dims": "true" if keep_dims else "false",
+        }, name)
+
     def relu(self, x, name=None) -> Port:
         return self._add_node("ReLU", [x], {}, name)
 

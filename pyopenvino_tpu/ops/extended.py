@@ -340,3 +340,73 @@ class Interpolate(Op):
             asarray=jnp.asarray,
         )
         return {node.out_port: TValue(out.astype(x.dtype), "L")}
+
+
+class _Reduce(Op):
+    """opset1 reductions over constant axes (input 1), keep_dims attr.
+    MO exports global average pooling as ReduceMean over (2, 3)."""
+
+    np_fn = None      # e.g. np.mean
+    jnp_name = ""     # e.g. "mean"
+
+    @staticmethod
+    def _keep(node) -> bool:
+        return str(node.attrs.get("keep_dims", "true")).lower() in (
+            "1", "true")
+
+    @staticmethod
+    def _axes(source, rank):
+        if source is None:
+            raise ValueError("Reduce: axes are not constant")
+        return tuple(sorted(
+            int(a) % rank for a in np.asarray(source).reshape(-1)))
+
+    def _out_shape(self, node, in_shape, axes):
+        if self._keep(node):
+            return tuple(1 if i in axes else d
+                         for i, d in enumerate(in_shape))
+        return tuple(d for i, d in enumerate(in_shape) if i not in axes)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        axes = self._axes(in_values.get(1), len(in_shapes[0]))
+        res = ShapeResult({node.out_port: self._out_shape(
+            node, in_shapes[0], axes)})
+        if in_values.get(0) is not None:
+            res.values[node.out_port] = self.np_fn(
+                in_values[0], axis=axes, keepdims=self._keep(node))
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axes = self._axes(inputs[1], inputs[0].ndim)
+        out = self.np_fn(inputs[0], axis=axes, keepdims=self._keep(node))
+        return {node.out_port: np.asarray(out, dtype=inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        axes = self._axes(ctx.static_value(node, 1), x.ndim)
+        out = getattr(jnp, self.jnp_name)(
+            x, axis=axes, keepdims=self._keep(node))
+        return {node.out_port: TValue(out.astype(x.dtype), "L")}
+
+
+@register
+class ReduceMean(_Reduce):
+    type_name = "ReduceMean"
+    np_fn = staticmethod(np.mean)
+    jnp_name = "mean"
+
+
+@register
+class ReduceMax(_Reduce):
+    type_name = "ReduceMax"
+    np_fn = staticmethod(np.max)
+    jnp_name = "max"
+
+
+@register
+class ReduceSum(_Reduce):
+    type_name = "ReduceSum"
+    np_fn = staticmethod(np.sum)
+    jnp_name = "sum"

@@ -227,3 +227,36 @@ def test_unet_style_segmentation_topology():
     q = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))
     got = q.infer({"in": blob})
     assert np.all(np.isfinite(got["mask"]))
+
+
+@pytest.mark.parametrize("kind,fn", [("mean", np.mean), ("max", np.max),
+                                     ("sum", np.sum)])
+@pytest.mark.parametrize("keep", [True, False])
+def test_reduce_ops(kind, fn, keep):
+    rng = np.random.default_rng(8)
+    b = GraphBuilder(f"red_{kind}")
+    x = b.parameter("in", (2, 4, 5, 5))
+    b.result(b.reduce(kind, x, (2, 3), keep_dims=keep), name="out")
+    m = b.build()
+    blob = rng.normal(0, 1, (2, 4, 5, 5)).astype(np.float32)
+    ref = _parity(m, {"in": blob})
+    want = fn(blob, axis=(2, 3), keepdims=keep)
+    np.testing.assert_allclose(ref["out"], want, rtol=1e-5, atol=1e-6)
+    assert ref["out"].shape == ((2, 4, 1, 1) if keep else (2, 4))
+
+
+def test_reduce_mean_as_global_pool_head():
+    """MO exports global average pooling as ReduceMean(axes=(2,3)) —
+    a classifier head built that way must compile and match."""
+    rng = np.random.default_rng(9)
+    b = GraphBuilder("gap")
+    x = b.parameter("in", (1, 3, 8, 8))
+    w = rng.normal(0, 0.3, (16, 3, 3, 3)).astype(np.float32)
+    y = b.relu(b.conv2d(x, b.const(w), pads=((1, 1), (1, 1))))
+    y = b.reduce("mean", y, (2, 3), keep_dims=False)   # (1, 16)
+    wf = rng.normal(0, 0.3, (16, 10)).astype(np.float32)
+    b.result(b.softmax(b.matmul(y, b.const(wf)), axis=1), name="prob")
+    m = b.build()
+    blob = rng.uniform(0, 255, (1, 3, 8, 8)).astype(np.float32)
+    ref = _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
+    assert abs(float(ref["prob"].sum()) - 1.0) < 1e-4
