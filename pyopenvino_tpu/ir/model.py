@@ -178,6 +178,22 @@ class Model:
         return Model(self.name, self.nodes, self.edges)
 
 
+def ancestors(model: Model, target_ids) -> set:
+    """Transitive input closure of ``target_ids`` (inclusive) — the one
+    reach-from-targets walk shared by extract_subgraph and the
+    dead-branch elimination pass (passes/util.py)."""
+    keep = set()
+    stack = list(target_ids)
+    while stack:
+        nid = stack.pop()
+        if nid in keep:
+            continue
+        keep.add(nid)
+        for src, _ in model.in_edges[nid].values():
+            stack.append(src)
+    return keep
+
+
 def extract_subgraph(model: Model, output_names: List[str]) -> Model:
     """Cut a sub-model producing the named nodes' primary outputs.
 
@@ -192,16 +208,7 @@ def extract_subgraph(model: Model, output_names: List[str]) -> Model:
             raise KeyError(f"no node named {name!r}")
         targets.append(node)
 
-    keep = set()
-    stack = [t.id for t in targets]
-    while stack:
-        nid = stack.pop()
-        if nid in keep:
-            continue
-        keep.add(nid)
-        for src, _ in model.in_edges[nid].values():
-            stack.append(src)
-
+    keep = ancestors(model, [t.id for t in targets])
     nodes = {nid: model.nodes[nid] for nid in keep}
     edges = [e for e in model.edges if e.src in keep and e.dst in keep]
     next_id = max(model.nodes) + 1

@@ -205,14 +205,23 @@ class Pad(Op):
             raise ValueError(f"Pad: {what} is not constant")
         return tuple(int(v) for v in np.asarray(arr).reshape(-1))
 
+    @staticmethod
+    def _check_rank(b, e, rank):
+        if len(b) != rank or len(e) != rank:
+            raise ValueError(
+                f"Pad: pads_begin/pads_end have {len(b)}/{len(e)} entries "
+                f"for a rank-{rank} input"
+            )
+
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         b = self._pads(in_values.get(1), "pads_begin")
         e = self._pads(in_values.get(2), "pads_end")
+        self._check_rank(b, e, len(in_shapes[0]))
         out = tuple(d + pb + pe for d, pb, pe in zip(in_shapes[0], b, e))
         self._mode(node)  # validate early
         return ShapeResult({node.out_port: out})
 
-    def _np_kwargs(self, node, inputs_or_values, get):
+    def _np_kwargs(self, node, get):
         mode = self._mode(node)
         kw = {"mode": mode}
         if mode == "constant":
@@ -225,7 +234,8 @@ class Pad(Op):
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
         b = self._pads(inputs.get(1), "pads_begin")
         e = self._pads(inputs.get(2), "pads_end")
-        kw = self._np_kwargs(node, inputs, inputs.get)
+        self._check_rank(b, e, inputs[0].ndim)
+        kw = self._np_kwargs(node, inputs.get)
         return {node.out_port: np.pad(
             inputs[0], tuple(zip(b, e)), **kw)}
 
@@ -234,13 +244,14 @@ class Pad(Op):
 
         b = self._pads(ctx.static_value(node, 1), "pads_begin")
         e = self._pads(ctx.static_value(node, 2), "pads_end")
+        x = inputs[0].nchw()
+        self._check_rank(b, e, x.ndim)
 
         def get(port):
             return (ctx.static_value(node, port)
                     if port in node.inputs else None)
 
-        kw = self._np_kwargs(node, None, get)
-        x = inputs[0].nchw()
+        kw = self._np_kwargs(node, get)
         return {node.out_port: TValue(
             jnp.pad(x, tuple(zip(b, e)), **kw), "L")}
 
@@ -271,7 +282,10 @@ def _interp_axis_plan(in_len: int, out_len: int, mode: str,
 @register
 class Interpolate(Op):
     """opset1 Interpolate, nearest/linear over constant target dims
-    (input 1).  attrs: axes (e.g. "2,3"), mode, align_corners."""
+    (input 1).  attrs: axes (e.g. "2,3"), mode, align_corners (spec
+    DEFAULT 1 — omitted attr means corner-aligned), pads_begin/pads_end
+    (zero-pad the input per axis before resampling), antialias
+    (unsupported → fail fast)."""
 
     type_name = "Interpolate"
 
@@ -283,12 +297,35 @@ class Interpolate(Op):
         mode = node.attrs.get("mode", "nearest")
         if mode not in ("nearest", "linear"):
             raise ValueError(f"Interpolate: unsupported mode {mode!r}")
-        align = str(node.attrs.get("align_corners", "0")).lower() in (
+        # opset1 default is align_corners=1, unlike the modern
+        # half-pixel-default opsets — an omitted attr must match OpenVINO.
+        align = str(node.attrs.get("align_corners", "1")).lower() in (
             "1", "true")
-        return axes, mode, align
+        if str(node.attrs.get("antialias", "0")).lower() in ("1", "true"):
+            raise ValueError("Interpolate: antialias is not supported")
+        pads_b = A.get_int_tuple(node.attrs, "pads_begin", (0,))
+        pads_e = A.get_int_tuple(node.attrs, "pads_end", (0,))
+        return axes, mode, align, pads_b, pads_e
+
+    @staticmethod
+    def _axis_pads(pads, rank):
+        """Spec pads are per-tensor-axis (broadcast a single value)."""
+        pads = tuple(int(p) for p in pads)
+        if len(pads) == 1:
+            pads = pads * rank
+        if len(pads) != rank:
+            raise ValueError(
+                f"Interpolate: {len(pads)} pad entries for rank {rank}")
+        return pads
+
+    def _padded_shape(self, node, in_shape):
+        _, _, _, pads_b, pads_e = self._cfg(node)
+        b = self._axis_pads(pads_b, len(in_shape))
+        e = self._axis_pads(pads_e, len(in_shape))
+        return tuple(d + pb + pe for d, pb, pe in zip(in_shape, b, e)), b, e
 
     def _out_shape(self, node, in_shape, target):
-        axes, _, _ = self._cfg(node)
+        axes = self._cfg(node)[0]
         if target is None:
             raise ValueError(
                 f"Interpolate {node.name}: target shape is not constant")
@@ -296,7 +333,7 @@ class Interpolate(Op):
         if len(target) != len(axes):
             raise ValueError(
                 f"Interpolate: {len(axes)} axes but {len(target)} target dims")
-        out = list(in_shape)
+        out = list(self._padded_shape(node, in_shape)[0])
         for a, t in zip(axes, target):
             out[a % len(in_shape)] = t
         return tuple(out)
@@ -305,9 +342,12 @@ class Interpolate(Op):
         return ShapeResult({node.out_port: self._out_shape(
             node, in_shapes[0], in_values.get(1))})
 
-    def _resample(self, x, node, target, take, asarray):
-        axes, mode, align = self._cfg(node)
+    def _resample(self, x, node, target, take, pad, asarray):
+        axes, mode, align, _, _ = self._cfg(node)
         rank = x.ndim
+        _, b, e = self._padded_shape(node, x.shape)
+        if any(b) or any(e):
+            x = pad(x, tuple(zip(b, e)))
         target = [int(t) for t in np.asarray(target).reshape(-1)]
         for a, t in zip(axes, target):
             a %= rank
@@ -326,6 +366,7 @@ class Interpolate(Op):
         out = self._resample(
             inputs[0], node, inputs[1],
             take=lambda x, i, a: np.take(x, i, axis=a),
+            pad=np.pad,
             asarray=np.asarray,
         )
         return {node.out_port: out.astype(inputs[0].dtype)}
@@ -337,6 +378,7 @@ class Interpolate(Op):
         out = self._resample(
             x, node, ctx.static_value(node, 1),
             take=lambda x, i, a: jnp.take(x, jnp.asarray(i), axis=a),
+            pad=jnp.pad,
             asarray=jnp.asarray,
         )
         return {node.out_port: TValue(out.astype(x.dtype), "L")}

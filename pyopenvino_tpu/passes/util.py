@@ -53,15 +53,9 @@ def prune_dead_nodes(model: Model) -> Tuple[Model, int]:
 
     Returns (model, dropped_count); the input model is returned
     unchanged when nothing is dead."""
-    keep = set()
-    stack = [n.id for n in model.results]
-    while stack:
-        nid = stack.pop()
-        if nid in keep:
-            continue
-        keep.add(nid)
-        for src, _ in model.in_edges[nid].values():
-            stack.append(src)
+    from pyopenvino_tpu.ir.model import ancestors
+
+    keep = ancestors(model, [n.id for n in model.results])
     keep |= {n.id for n in model.parameters}
     dropped = len(model.nodes) - len(keep)
     if not dropped:

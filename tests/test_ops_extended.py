@@ -260,3 +260,38 @@ def test_reduce_mean_as_global_pool_head():
     blob = rng.uniform(0, 255, (1, 3, 8, 8)).astype(np.float32)
     ref = _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
     assert abs(float(ref["prob"].sum()) - 1.0) < 1e-4
+
+
+def test_interpolate_opset1_defaults_and_pads():
+    """Attr-omitted align_corners must follow the opset1 default (1 —
+    corner-aligned), pads_begin/pads_end zero-pad before resampling, and
+    antialias fails fast."""
+    blob = np.array([0.0, 1.0], np.float32).reshape(1, 1, 1, 2)
+
+    def build(mutate):
+        b = GraphBuilder("d")
+        x = b.parameter("in", (1, 1, 1, 2))
+        p = b.interpolate(x, (1, 4), mode="linear")
+        mutate(b._nodes[p.nid].attrs)
+        b.result(p, name="out")
+        return b.build()
+
+    # omitted attr → align_corners=1 → [0, 1/3, 2/3, 1]
+    m = build(lambda a: a.pop("align_corners"))
+    ref = _parity(m, {"in": blob})
+    np.testing.assert_allclose(
+        ref["out"].reshape(-1), [0, 1 / 3, 2 / 3, 1], rtol=1e-5)
+
+    # pads_end pads a zero column before resampling: last output == 0
+    m = build(lambda a: a.update(pads_end="0,0,0,1"))
+    # padded input is [0, 1, 0] (W=3); declared out shape unchanged (1,4)
+    ref = _parity(m, {"in": blob})
+    out = ref["out"].reshape(-1)
+    assert out.shape == (4,)
+    assert out[0] == 0.0 and out[-1] == 0.0 and out.max() > 0.5
+
+    # antialias fails fast at execution (the mutation lands after the
+    # builder's eager shape inference)
+    m = build(lambda a: a.update(antialias="1"))
+    with pytest.raises(ValueError, match="antialias"):
+        Interpreter(m).run({"in": blob})

@@ -348,29 +348,30 @@ def main():
                 val, delta = score_cls(ref, out, labels)
                 metric, gate = "top-1 %", GATE_CLS_PCT
             else:
-                if not gt_boxes:
-                    # floor = the larger of two intrinsic-churn bounds:
-                    # (a) fp32 under input noise matched to the mode's
-                    #     measured score noise (metric sensitivity), and
-                    # (b) an alternative equally-valid int8 rounding of
-                    #     the same weights (representation churn — weight
-                    #     rounding is systematic across inputs, which
-                    #     input wiggle cannot emulate)
-                    wig = det_floor(round(noise_matched_amp(
-                        model_name, images, calibration, mode), 2))
-                    alt = score_det(ref, run_model_weight_dithered(
-                        model_name, mode, images, calibration), None)[1]
-                    floor = max(wig, alt)
                 val, delta = score_det(ref, out, gt_boxes)
                 metric, gate = "mAP", GATE_MAP
             if np.isnan(delta):
                 # FP32 produced zero detections (or empty GT): there is
                 # nothing to gate — a degenerate-model condition, not a
-                # quantization failure.
+                # quantization failure.  Checked BEFORE the floors, which
+                # would burn three full-model eval sweeps on NaN.
                 print(f"{model_name:<24} {mode:<9} {metric:<14} "
-                      f"{'n/a':>8} {'n/a':>10} {floor:>7.2f}  "
+                      f"{'n/a':>8} {'n/a':>10} {'n/a':>7}  "
                       f"n/a (fp32 produced no detections)")
                 continue
+            if kind == "det" and not gt_boxes:
+                # floor = the larger of two intrinsic-churn bounds:
+                # (a) fp32 under input noise matched to the mode's
+                #     measured score noise (metric sensitivity), and
+                # (b) an alternative equally-valid int8 rounding of
+                #     the same weights (representation churn — weight
+                #     rounding is systematic across inputs, which
+                #     input wiggle cannot emulate)
+                wig = det_floor(round(noise_matched_amp(
+                    model_name, images, calibration, mode), 2))
+                alt = score_det(ref, run_model_weight_dithered(
+                    model_name, mode, images, calibration), None)[1]
+                floor = max(wig, alt)
             ok = (delta - floor) <= gate
             if not ok:
                 failed.append((model_name, mode, metric, delta))

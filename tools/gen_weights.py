@@ -96,11 +96,9 @@ def _int_const_value(model: Model, nodes, shape) -> np.ndarray:
             in_shape = consumer.inputs[0].shape
             if dport == 3:
                 return np.ones(n_elem, dtype=np.int64)  # strides
-            # per-axis extent being sliced: a 1-D operand is the SSD
-            # shape-vector pattern (its length is the extent); otherwise
-            # slice the tensor's own dims
-            extents = (list(in_shape) if len(in_shape) != 1
-                       else [in_shape[0]])[:n_elem]
+            # per-axis extent being sliced (for a 1-D shape vector — the
+            # SSD pattern — this is just its length)
+            extents = list(in_shape)[:n_elem]
             extents += [1] * (n_elem - len(extents))
             if dport == 2:  # end: up to each axis extent
                 return np.asarray(extents, dtype=np.int64)
