@@ -88,14 +88,15 @@ class GraphBuilder:
         }
         res = get_op(op_type).infer_shapes(node, in_shapes, in_values)
         out_dtype = inputs[0].dtype if inputs else np.float32
-        ports = {}
-        for k, shape in res.shapes.items():
-            ports[out_port] = TensorInfo(
-                shape=tuple(int(d) for d in shape), dtype=out_dtype
-            )
-            break  # single-output ops
+        ports = {
+            k: TensorInfo(shape=tuple(int(d) for d in shape),
+                          dtype=out_dtype)
+            for k, shape in res.shapes.items()
+        }
         node.outputs = ports
-        return Port(nid, out_port, ports[out_port].shape, out_dtype)
+        out = [Port(nid, k, ports[k].shape, out_dtype)
+               for k in sorted(ports)]
+        return out[0] if len(out) == 1 else out
 
     # -- graph sources/sinks ----------------------------------------------
 
@@ -231,6 +232,12 @@ class GraphBuilder:
         return self._add_node(f"Reduce{kind.capitalize()}", [x, a], {
             "keep_dims": "true" if keep_dims else "false",
         }, name)
+
+    def split(self, x, axis=1, num_splits=2, name=None):
+        """Returns a list of num_splits Ports (equal parts along axis)."""
+        ax = self.const(np.asarray(axis, np.int64))
+        return self._add_node("Split", [x, ax],
+                              {"num_splits": num_splits}, name)
 
     def relu(self, x, name=None) -> Port:
         return self._add_node("ReLU", [x], {}, name)

@@ -452,3 +452,63 @@ class ReduceSum(_Reduce):
     type_name = "ReduceSum"
     np_fn = staticmethod(np.sum)
     jnp_name = "sum"
+
+
+@register
+class Split(Op):
+    """opset1 Split: cut `data` into num_splits equal parts along a
+    constant axis (input 1) — one output port per part.  The first true
+    multi-output op in the library (the runtime stores every (node,
+    port) pair generically, so nothing else special-cases it)."""
+
+    type_name = "Split"
+
+    @staticmethod
+    def _num(node) -> int:
+        return int(node.attrs["num_splits"])
+
+    def _ports(self, node, n):
+        """Output port ids: the declared ones when the node carries all n
+        (parsed IR), else consecutive from the first output port (builder
+        placeholder during eager shape inference)."""
+        ports = sorted(node.outputs)
+        if len(ports) == n:
+            return ports
+        return [node.out_port + i for i in range(n)]
+
+    @staticmethod
+    def _axis(source, rank):
+        if source is None:
+            raise ValueError("Split: axis is not constant")
+        return int(np.asarray(source).reshape(())) % rank
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        axis = self._axis(in_values.get(1), len(in_shapes[0]))
+        n = self._num(node)
+        d = in_shapes[0][axis]
+        if d % n:
+            raise ValueError(
+                f"Split: axis extent {d} not divisible by num_splits {n}")
+        piece = list(in_shapes[0])
+        piece[axis] = d // n
+        ports = self._ports(node, n)
+        res = ShapeResult({p: tuple(piece) for p in ports})
+        if in_values.get(0) is not None:
+            for p, part in zip(ports, np.split(in_values[0], n, axis=axis)):
+                res.values[p] = part
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axis = self._axis(inputs.get(1), inputs[0].ndim)
+        n = self._num(node)
+        return dict(zip(self._ports(node, n),
+                        np.split(inputs[0], n, axis=axis)))
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        axis = self._axis(ctx.static_value(node, 1), x.ndim)
+        n = self._num(node)
+        return {p: TValue(part, "L") for p, part in zip(
+            self._ports(node, n), jnp.split(x, n, axis=axis))}

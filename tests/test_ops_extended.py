@@ -295,3 +295,83 @@ def test_interpolate_opset1_defaults_and_pads():
     m = build(lambda a: a.update(antialias="1"))
     with pytest.raises(ValueError, match="antialias"):
         Interpreter(m).run({"in": blob})
+
+
+class TestSplit:
+    def test_split_parity_and_identity(self):
+        rng = np.random.default_rng(10)
+        b = GraphBuilder("split")
+        x = b.parameter("in", (1, 8, 4, 4))
+        lo, hi = b.split(x, axis=1, num_splits=2)
+        b.result(lo, name="lo")
+        b.result(hi, name="hi")
+        b.result(b.concat([lo, hi], axis=1), name="roundtrip")
+        m = b.build()
+        blob = rng.normal(0, 1, (1, 8, 4, 4)).astype(np.float32)
+        ref = _parity(m, {"in": blob})
+        np.testing.assert_array_equal(ref["lo"], blob[:, :4])
+        np.testing.assert_array_equal(ref["hi"], blob[:, 4:])
+        np.testing.assert_array_equal(ref["roundtrip"], blob)
+
+    def test_split_indivisible_rejected(self):
+        b = GraphBuilder("bad")
+        x = b.parameter("in", (1, 6, 4, 4))
+        with pytest.raises(ValueError, match="divisible"):
+            b.split(x, axis=1, num_splits=4)
+
+    def test_split_writer_round_trip(self, tmp_path):
+        from pyopenvino_tpu.ir import read_ir_model
+        from pyopenvino_tpu.ir.writer import write_ir_model
+
+        rng = np.random.default_rng(11)
+        b = GraphBuilder("sw")
+        x = b.parameter("in", (1, 4, 4, 4))
+        a, c = b.split(x, axis=1, num_splits=2)
+        b.result(b.add(a, c), name="sum")
+        m = b.build()
+        xml = tmp_path / "split.xml"
+        write_ir_model(m, str(xml))
+        m2 = read_ir_model(str(xml))
+        blob = rng.normal(0, 1, (1, 4, 4, 4)).astype(np.float32)
+        want = Interpreter(m).run({"in": blob})["sum"]
+        got = compile_model(m2, Config()).infer({"in": blob})["sum"]
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_shufflenet_v2_unit(self):
+        """A ShuffleNetV2 basic unit: channel split → (identity ‖ 1×1 →
+        3×3 depthwise → 1×1) → concat → channel shuffle
+        (reshape/transpose) — Split + depthwise + the shuffle pattern in
+        one compiled graph, fp32 parity + int8w runnable."""
+        rng = np.random.default_rng(12)
+        C, HW = 16, 8
+        b = GraphBuilder("shuffle_unit")
+        x = b.parameter("in", (1, C, HW, HW))
+        keep, branch = b.split(x, axis=1, num_splits=2)
+        half = C // 2
+
+        def conv1x1(t, co):
+            w = rng.normal(0, np.sqrt(2.0 / t.shape[1]),
+                           (co, t.shape[1], 1, 1)).astype(np.float32)
+            return b.relu(b.conv2d(t, b.const(w)))
+
+        y = conv1x1(branch, half)
+        wd = rng.normal(0, 0.4, (half, 1, 1, 3, 3)).astype(np.float32)
+        y = b.group_conv2d(y, b.const(wd), pads=((1, 1), (1, 1)))
+        y = conv1x1(y, half)
+        cat = b.concat([keep, y], axis=1)                # (1, C, H, W)
+        # channel shuffle g=2: (1,2,C/2,H,W) → transpose → flatten back
+        s = b.reshape(cat, (1, 2, half, HW, HW))
+        s = b.transpose(s, (0, 2, 1, 3, 4))
+        s = b.reshape(s, (1, C, HW, HW))
+        b.result(s, name="out")
+        m = b.build()
+
+        blob = rng.normal(0, 1, (1, C, HW, HW)).astype(np.float32)
+        ref = _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
+        assert ref["out"].shape == (1, C, HW, HW)
+        # the kept half must appear, shuffled, among the output channels
+        np.testing.assert_array_equal(ref["out"][:, 0], blob[:, 0])
+
+        q = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))
+        got = q.infer({"in": blob})
+        assert np.all(np.isfinite(got["out"]))
