@@ -40,6 +40,7 @@ MODELS = {
     "ssd_mobilenet_v1_coco": ("image_tensor", (1, 3, 300, 300), "det"),
     "resnet18": ("data", (1, 3, 224, 224), "cls"),  # programmatic 5th family
     "mobilenet-v2": ("data", (1, 3, 224, 224), "cls"),  # programmatic 6th
+    "shufflenet-v2": ("data", (1, 3, 224, 224), "cls"),  # programmatic 7th
 }
 
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)
