@@ -40,7 +40,7 @@ def _random_graph(seed):
         kind = rng.choice(
             ["conv", "pool", "relu", "clamp", "sigmoid", "biasadd", "scale",
              "residual", "dwconv", "lrn", "concat", "transpose2",
-             "meansub", "stddiv", "minmax", "pad"]
+             "meansub", "stddiv", "minmax", "pad", "chansplit", "resize"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -118,6 +118,15 @@ def _random_graph(seed):
             mode = str(rng.choice(["constant", "edge"]))
             out = b.pad(src, pb, pe, mode=mode,
                         value=0.0 if mode == "constant" else None)
+        elif kind == "chansplit" and c % 2 == 0 and c >= 4:
+            # split → touch one half → concat back (multi-output op path)
+            lo_, hi_ = b.split(src, axis=1, num_splits=2)
+            out = b.concat([lo_, b.relu(hi_)], axis=1)
+        elif kind == "resize" and h >= 3:
+            mode = str(rng.choice(["nearest", "linear"]))
+            t = int(rng.choice([h // 2, h * 2])) or 1
+            out = b.interpolate(src, (t, t), mode=mode,
+                                align_corners=bool(rng.random() < 0.5))
         else:
             continue
         live.append(out)
