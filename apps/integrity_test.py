@@ -28,8 +28,8 @@ import numpy as np
 from __graft_entry__ import _model_paths
 
 # Input name/shape come from each parsed IR (net.inputs) — only the model
-# list lives here.  resnet18 / mobilenet-v2 are the programmatic families
-# (tools/gen_resnet.py, tools/gen_mobilenet.py): no reference XML exists.
+# list lives here.  resnet18 / mobilenet-v2 / shufflenet-v2 are the
+# programmatic families (tools/gen_*.py): no reference XML exists.
 MODELS = ["mnist", "mnist_bn", "googlenet-v1", "ssd_mobilenet_v1_coco",
           "resnet18", "mobilenet-v2", "shufflenet-v2"]
 BACKENDS = ["interpreter", "xla", "pallas"]

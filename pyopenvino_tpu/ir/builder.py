@@ -72,8 +72,10 @@ class GraphBuilder:
             id=nid, name=name, op_type=op_type,
             attrs={k: str(v) for k, v in attrs.items()},
             inputs=in_infos,
-            # placeholder so op shape inference can read node.out_port
-            outputs={out_port: TensorInfo(shape=(), dtype=out_dtype0)},
+            # placeholders so op shape inference can read node.out_port
+            # and, for multi-output ops, the full declared port set
+            outputs={out_port + i: TensorInfo(shape=(), dtype=out_dtype0)
+                     for i in range(n_outputs)},
         )
         self._nodes[nid] = node
 
@@ -236,8 +238,9 @@ class GraphBuilder:
     def split(self, x, axis=1, num_splits=2, name=None):
         """Returns a list of num_splits Ports (equal parts along axis)."""
         ax = self.const(np.asarray(axis, np.int64))
-        return self._add_node("Split", [x, ax],
-                              {"num_splits": num_splits}, name)
+        out = self._add_node("Split", [x, ax], {"num_splits": num_splits},
+                             name, n_outputs=num_splits)
+        return out if isinstance(out, list) else [out]
 
     def relu(self, x, name=None) -> Port:
         return self._add_node("ReLU", [x], {}, name)

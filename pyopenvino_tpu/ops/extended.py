@@ -21,6 +21,17 @@ from pyopenvino_tpu.ops.elementwise import _Binary, _Unary
 from pyopenvino_tpu.ops.spec import Op, ShapeResult, TValue, register
 
 
+def _norm_axis(value, rank, op):
+    """Negative-axis normalization with fail-fast range validation —
+    `% rank` alone would silently wrap an out-of-range positive axis
+    onto the batch dim (wrong outputs the differential twins cannot
+    catch, since both would agree)."""
+    axis = int(np.asarray(value).reshape(()))
+    if not -rank <= axis < rank:
+        raise ValueError(f"{op}: axis {axis} out of range for rank {rank}")
+    return axis % rank
+
+
 @register
 class Subtract(_Binary):
     type_name = "Subtract"
@@ -160,9 +171,8 @@ class Gather(Op):
         axis_v = in_values.get(2)
         if axis_v is None:
             raise ValueError(f"Gather {node.name}: axis is not constant")
-        axis = int(np.asarray(axis_v).reshape(()))
         data, idx = in_shapes[0], in_shapes[1]
-        axis %= len(data)
+        axis = _norm_axis(axis_v, len(data), "Gather")
         out = tuple(data[:axis]) + tuple(idx) + tuple(data[axis + 1:])
         res = ShapeResult({node.out_port: out})
         if in_values.get(0) is not None and in_values.get(1) is not None:
@@ -171,15 +181,15 @@ class Gather(Op):
         return res
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
-        axis = int(np.asarray(inputs[2]).reshape(()))
+        axis = _norm_axis(inputs[2], inputs[0].ndim, "Gather")
         return {node.out_port: np.take(
             inputs[0], inputs[1].astype(np.int64), axis=axis)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         import jax.numpy as jnp
 
-        axis = int(np.asarray(ctx.static_value(node, 2)).reshape(()))
         x = inputs[0].nchw()
+        axis = _norm_axis(ctx.static_value(node, 2), x.ndim, "Gather")
         idx = inputs[1].nchw().astype(jnp.int32)
         return {node.out_port: TValue(jnp.take(x, idx, axis=axis), "L")}
 
@@ -335,7 +345,7 @@ class Interpolate(Op):
                 f"Interpolate: {len(axes)} axes but {len(target)} target dims")
         out = list(self._padded_shape(node, in_shape)[0])
         for a, t in zip(axes, target):
-            out[a % len(in_shape)] = t
+            out[_norm_axis(a, len(in_shape), "Interpolate")] = t
         return tuple(out)
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
@@ -350,7 +360,7 @@ class Interpolate(Op):
             x = pad(x, tuple(zip(b, e)))
         target = [int(t) for t in np.asarray(target).reshape(-1)]
         for a, t in zip(axes, target):
-            a %= rank
+            a = _norm_axis(a, rank, "Interpolate")
             plan = _interp_axis_plan(x.shape[a], t, mode, align)
             if mode == "nearest":
                 x = take(x, plan[0], a)
@@ -401,7 +411,8 @@ class _Reduce(Op):
         if source is None:
             raise ValueError("Reduce: axes are not constant")
         return tuple(sorted(
-            int(a) % rank for a in np.asarray(source).reshape(-1)))
+            _norm_axis(a, rank, "Reduce")
+            for a in np.asarray(source).reshape(-1)))
 
     def _out_shape(self, node, in_shape, axes):
         if self._keep(node):
@@ -480,7 +491,7 @@ class Split(Op):
     def _axis(source, rank):
         if source is None:
             raise ValueError("Split: axis is not constant")
-        return int(np.asarray(source).reshape(())) % rank
+        return _norm_axis(source, rank, "Split")
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         axis = self._axis(in_values.get(1), len(in_shapes[0]))
