@@ -242,6 +242,40 @@ class GraphBuilder:
                              name, n_outputs=num_splits)
         return out if isinstance(out, list) else [out]
 
+    def elu(self, x, alpha=1.0, name=None) -> Port:
+        return self._add_node("Elu", [x], {"alpha": alpha}, name)
+
+    def gelu(self, x, mode="erf", name=None) -> Port:
+        return self._add_node("Gelu", [x],
+                              {"approximation_mode": mode}, name)
+
+    def softplus(self, x, name=None) -> Port:
+        return self._add_node("SoftPlus", [x], {}, name)
+
+    def swish(self, x, beta=1.0, name=None) -> Port:
+        return self._add_node("Swish", [x], {"beta": beta}, name)
+
+    def hswish(self, x, name=None) -> Port:
+        return self._add_node("HSwish", [x], {}, name)
+
+    def hsigmoid(self, x, name=None) -> Port:
+        return self._add_node("HSigmoid", [x], {}, name)
+
+    def mish(self, x, name=None) -> Port:
+        return self._add_node("Mish", [x], {}, name)
+
+    def prelu(self, x, slope, name=None) -> Port:
+        return self._add_node("PReLU", [x, self.const(
+            np.asarray(slope, np.float32))], {}, name)
+
+    def mvn(self, x, across_channels=False, normalize_variance=True,
+            eps=1e-9, name=None) -> Port:
+        return self._add_node("MVN", [x], {
+            "across_channels": "1" if across_channels else "0",
+            "normalize_variance": "1" if normalize_variance else "0",
+            "eps": eps,
+        }, name)
+
     def relu(self, x, name=None) -> Port:
         return self._add_node("ReLU", [x], {}, name)
 

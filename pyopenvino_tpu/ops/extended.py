@@ -523,3 +523,163 @@ class Split(Op):
         n = self._num(node)
         return {p: TValue(part, "L") for p, part in zip(
             self._ports(node, n), jnp.split(x, n, axis=axis))}
+
+
+class _UnaryAttr(_Unary):
+    """Unary activation defined once as a dual numpy/jnp formula."""
+
+    def _formula(self, node, x, m):
+        raise NotImplementedError
+
+    def _apply_np(self, node, x):
+        return self._formula(node, x, np).astype(x.dtype)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return self._formula(node, x, jnp).astype(x.dtype)
+
+
+def _sigmoid(x, m):
+    return 1.0 / (1.0 + m.exp(-x))
+
+
+@register
+class Elu(_UnaryAttr):
+    """opset1 Elu: x>0 → x, else alpha·(e^x − 1)."""
+
+    type_name = "Elu"
+
+    def _formula(self, node, x, m):
+        alpha = float(node.attrs.get("alpha", 1.0))
+        return m.where(x > 0, x, alpha * (m.exp(m.minimum(x, 0.0)) - 1.0))
+
+
+@register
+class Gelu(_UnaryAttr):
+    """Gelu (erf form — opset2/opset7 default approximation_mode=ERF)."""
+
+    type_name = "Gelu"
+
+    def _formula(self, node, x, m):
+        mode = node.attrs.get("approximation_mode", "erf").lower()
+        if mode == "tanh":
+            c = 0.7978845608028654  # sqrt(2/pi)
+            return 0.5 * x * (1.0 + m.tanh(c * (x + 0.044715 * x ** 3)))
+        if m is np:
+            from scipy.special import erf as _erf  # scipy ships in-image
+            return 0.5 * x * (1.0 + _erf(x / np.sqrt(2.0)))
+        import jax
+
+        return jax.nn.gelu(x, approximate=False)
+
+
+@register
+class SoftPlus(_UnaryAttr):
+    """opset4 SoftPlus: ln(1 + e^x), computed stably."""
+
+    type_name = "SoftPlus"
+
+    def _formula(self, node, x, m):
+        return m.maximum(x, 0.0) + m.log1p(m.exp(-m.abs(x)))
+
+
+@register
+class Swish(_UnaryAttr):
+    """opset4 Swish: x·sigmoid(beta·x) (beta attr, default 1)."""
+
+    type_name = "Swish"
+
+    def _formula(self, node, x, m):
+        beta = float(node.attrs.get("beta", 1.0))
+        return x * _sigmoid(beta * x, m)
+
+
+@register
+class HSwish(_UnaryAttr):
+    """opset4 HSwish: x·min(max(x+3,0),6)/6."""
+
+    type_name = "HSwish"
+
+    def _formula(self, node, x, m):
+        return x * m.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+@register
+class HSigmoid(_UnaryAttr):
+    """opset5 HSigmoid: min(max(x+3,0),6)/6."""
+
+    type_name = "HSigmoid"
+
+    def _formula(self, node, x, m):
+        return m.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+@register
+class Mish(_UnaryAttr):
+    """opset4 Mish: x·tanh(softplus(x))."""
+
+    type_name = "Mish"
+
+    def _formula(self, node, x, m):
+        sp = m.maximum(x, 0.0) + m.log1p(m.exp(-m.abs(x)))
+        return x * m.tanh(sp)
+
+
+@register
+class PReLU(_Binary):
+    """opset1 PReLU: x>0 → x, else slope·x (slope input 1, broadcastable
+    per-channel like the reference models' bias constants)."""
+
+    type_name = "PReLU"
+
+    @staticmethod
+    def np_fn(x, slope):
+        if isinstance(x, np.ndarray) and isinstance(slope, np.ndarray):
+            return np.where(x > 0, x, slope * x)
+        import jax.numpy as jnp
+
+        return jnp.where(x > 0, x, slope * x)
+
+
+@register
+class MVN(Op):
+    """opset1 MVN: per-example mean (and optionally variance)
+    normalization.  across_channels selects the reduce span (C,H,W vs
+    H,W per channel); eps stabilizes the variance divide."""
+
+    type_name = "MVN"
+
+    @staticmethod
+    def _cfg(node):
+        across = str(node.attrs.get("across_channels", "0")).lower() in (
+            "1", "true")
+        normalize = str(node.attrs.get("normalize_variance", "1")).lower() in (
+            "1", "true")
+        eps = float(node.attrs.get("eps", 1e-9))
+        return across, normalize, eps
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def _apply(self, node, x, m):
+        across, normalize, eps = self._cfg(node)
+        axes = tuple(range(1, x.ndim)) if across else tuple(
+            range(2, x.ndim))
+        mean = m.mean(x, axis=axes, keepdims=True)
+        out = x - mean
+        if normalize:
+            var = m.mean(out * out, axis=axes, keepdims=True)
+            out = out / m.sqrt(var + eps)
+        return out
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: self._apply(
+            node, inputs[0], np).astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        return {node.out_port: TValue(
+            self._apply(node, x, jnp).astype(x.dtype), "L")}

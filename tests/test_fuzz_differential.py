@@ -40,7 +40,8 @@ def _random_graph(seed):
         kind = rng.choice(
             ["conv", "pool", "relu", "clamp", "sigmoid", "biasadd", "scale",
              "residual", "dwconv", "lrn", "concat", "transpose2",
-             "meansub", "stddiv", "minmax", "pad", "chansplit", "resize"]
+             "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
+             "act2", "mvn"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -127,6 +128,16 @@ def _random_graph(seed):
             t = int(rng.choice([h // 2, h * 2])) or 1
             out = b.interpolate(src, (t, t), mode=mode,
                                 align_corners=bool(rng.random() < 0.5))
+        elif kind == "act2":
+            which = str(rng.choice(["swish", "hswish", "mish", "elu",
+                                    "gelu", "prelu"]))
+            if which == "prelu":
+                slope = rng.uniform(0, 0.5, (1, c, 1, 1)).astype(np.float32)
+                out = b.prelu(src, slope)
+            else:
+                out = getattr(b, which)(src)
+        elif kind == "mvn":
+            out = b.mvn(src, across_channels=bool(rng.random() < 0.5))
         else:
             continue
         live.append(out)

@@ -375,3 +375,90 @@ class TestSplit:
         q = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))
         got = q.infer({"in": blob})
         assert np.all(np.isfinite(got["out"]))
+
+
+class TestActivations:
+    """The activation extension set (Elu/Gelu/SoftPlus/Swish/HSwish/
+    HSigmoid/Mish/PReLU) — parity + closed-form semantic checks."""
+
+    def _run(self, build_fn, blob):
+        b = GraphBuilder("act")
+        x = b.parameter("in", blob.shape)
+        b.result(build_fn(b, x), name="out")
+        return _parity(b.build(), {"in": blob}, rtol=1e-5,
+                       atol=1e-6)["out"]
+
+    @pytest.fixture(scope="class")
+    def blob(self):
+        # spans negative/positive and large-|x| (overflow-stability check)
+        return np.linspace(-30, 30, 4 * 5 * 5).reshape(
+            1, 4, 5, 5).astype(np.float32)
+
+    def test_elu(self, blob):
+        out = self._run(lambda b, x: b.elu(x, alpha=0.5), blob)
+        want = np.where(blob > 0, blob, 0.5 * np.expm1(blob))
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+
+    def test_gelu_erf_and_tanh(self, blob):
+        from scipy.special import erf
+
+        out = self._run(lambda b, x: b.gelu(x), blob)
+        want = 0.5 * blob * (1 + erf(blob / np.sqrt(2)))
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+        out_t = self._run(lambda b, x: b.gelu(x, mode="tanh"), blob)
+        np.testing.assert_allclose(out_t, want, rtol=1e-2, atol=2e-2)
+
+    def test_softplus_stable(self, blob):
+        out = self._run(lambda b, x: b.softplus(x), blob)
+        want = np.logaddexp(0, blob)
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
+        assert np.all(np.isfinite(out))
+
+    def test_swish_beta(self, blob):
+        out = self._run(lambda b, x: b.swish(x, beta=0.75), blob)
+        want = blob / (1 + np.exp(np.clip(-0.75 * blob, -60, 60)))
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+    def test_hswish_hsigmoid(self, blob):
+        hsig = np.clip(blob + 3, 0, 6) / 6
+        out = self._run(lambda b, x: b.hsigmoid(x), blob)
+        np.testing.assert_allclose(out, hsig, rtol=1e-6)
+        out = self._run(lambda b, x: b.hswish(x), blob)
+        np.testing.assert_allclose(out, blob * hsig, rtol=1e-5, atol=1e-5)
+
+    def test_mish(self, blob):
+        out = self._run(lambda b, x: b.mish(x), blob)
+        want = blob * np.tanh(np.logaddexp(0, blob))
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+    def test_prelu_per_channel(self, blob):
+        slope = np.array([0.0, 0.1, 0.25, 1.0], np.float32).reshape(
+            1, 4, 1, 1)
+        out = self._run(lambda b, x: b.prelu(x, slope), blob)
+        want = np.where(blob > 0, blob, slope * blob)
+        np.testing.assert_allclose(out, want, rtol=1e-6)
+
+
+class TestMVN:
+    @pytest.mark.parametrize("across", [False, True])
+    @pytest.mark.parametrize("normalize", [False, True])
+    def test_mvn_semantics(self, across, normalize):
+        rng = np.random.default_rng(13)
+        blob = (rng.normal(3, 5, (2, 4, 6, 6))).astype(np.float32)
+        b = GraphBuilder("mvn")
+        x = b.parameter("in", blob.shape)
+        b.result(b.mvn(x, across_channels=across,
+                       normalize_variance=normalize, eps=1e-6),
+                 name="out")
+        out = _parity(b.build(), {"in": blob}, rtol=1e-4,
+                      atol=1e-5)["out"]
+        axes = (1, 2, 3) if across else (2, 3)
+        centered = blob - blob.mean(axis=axes, keepdims=True)
+        want = centered
+        if normalize:
+            want = centered / np.sqrt(
+                (centered ** 2).mean(axis=axes, keepdims=True) + 1e-6)
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-5)
+        # normalized output has ~zero mean (and ~unit variance) per span
+        np.testing.assert_allclose(
+            out.mean(axis=axes), 0.0, atol=1e-4)
