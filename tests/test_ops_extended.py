@@ -462,3 +462,34 @@ class TestMVN:
         # normalized output has ~zero mean (and ~unit variance) per span
         np.testing.assert_allclose(
             out.mean(axis=axes), 0.0, atol=1e-4)
+
+
+def test_squeeze_excitation_block():
+    """A full Squeeze-and-Excitation block — ReduceMean(keep_dims) →
+    1×1 conv → Swish → 1×1 conv → Sigmoid → channel-wise Multiply —
+    composed entirely from the extension + reference op sets (the
+    EfficientNet building block).  fp32 parity + int8w runnable."""
+    rng = np.random.default_rng(14)
+    C, r = 16, 4
+    b = GraphBuilder("se")
+    x = b.parameter("in", (1, C, 8, 8))
+    s = b.reduce("mean", x, (2, 3), keep_dims=True)        # (1, C, 1, 1)
+    w1 = rng.normal(0, np.sqrt(2.0 / C), (C // r, C, 1, 1)).astype(
+        np.float32)
+    s = b.swish(b.conv2d(s, b.const(w1)))
+    w2 = rng.normal(0, np.sqrt(2.0 / (C // r)), (C, C // r, 1, 1)).astype(
+        np.float32)
+    gate = b.sigmoid(b.conv2d(s, b.const(w2)))             # (1, C, 1, 1)
+    b.result(b.multiply(x, gate), name="out")
+    m = b.build()
+
+    blob = rng.normal(0, 1, (1, C, 8, 8)).astype(np.float32)
+    ref = _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
+    assert ref["out"].shape == (1, C, 8, 8)
+    # gate is in (0,1): |out| <= |x| elementwise
+    assert np.all(np.abs(ref["out"]) <= np.abs(blob) + 1e-6)
+
+    q = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))
+    got = q.infer({"in": blob})
+    np.testing.assert_allclose(got["out"], ref["out"], rtol=0.25,
+                               atol=0.05)
