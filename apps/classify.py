@@ -30,6 +30,7 @@ DEFAULT_IMAGES = {
     "resnet18": "/root/reference/resources/guinea-pig.jpg",
     "mobilenet-v2": "/root/reference/resources/guinea-pig.jpg",
     "shufflenet-v2": "/root/reference/resources/guinea-pig.jpg",
+    "efficientnet-b0": "/root/reference/resources/guinea-pig.jpg",
 }
 
 
@@ -55,7 +56,8 @@ def main():
                     help="cpu pins the process to the CPU backend")
     ap.add_argument("--model", default="mnist",
                     choices=["mnist", "mnist_bn", "googlenet-v1", "resnet18",
-                             "mobilenet-v2", "shufflenet-v2"])
+                             "mobilenet-v2", "shufflenet-v2",
+                             "efficientnet-b0"])
     ap.add_argument("--image", default=None)
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])

@@ -141,7 +141,8 @@ def main():
     ap.add_argument("--model", default="mnist",
                     choices=["mnist", "mnist_bn", "googlenet-v1",
                              "ssd_mobilenet_v1_coco", "resnet18",
-                             "mobilenet-v2", "shufflenet-v2"])
+                             "mobilenet-v2", "shufflenet-v2",
+                             "efficientnet-b0"])
     ap.add_argument("--batch-per", type=int, default=16,
                     help="per-device batch (weak scaling)")
     ap.add_argument("--quant", default="none", choices=["none", "int8w"])

@@ -41,6 +41,7 @@ MODELS = {
     "resnet18": ("data", (1, 3, 224, 224), "cls"),  # programmatic 5th family
     "mobilenet-v2": ("data", (1, 3, 224, 224), "cls"),  # programmatic 6th
     "shufflenet-v2": ("data", (1, 3, 224, 224), "cls"),  # programmatic 7th
+    "efficientnet-b0": ("data", (1, 3, 224, 224), "cls"),  # programmatic 8th
 }
 
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)

@@ -45,7 +45,8 @@ def main():
     ap.add_argument("--model", default="googlenet-v1",
                     choices=["mnist", "mnist_bn", "googlenet-v1",
                              "ssd_mobilenet_v1_coco", "resnet18",
-                             "mobilenet-v2", "shufflenet-v2"])
+                             "mobilenet-v2", "shufflenet-v2",
+                             "efficientnet-b0"])
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
     ap.add_argument("--quant", default="none",
