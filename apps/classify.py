@@ -31,6 +31,7 @@ DEFAULT_IMAGES = {
     "mobilenet-v2": "/root/reference/resources/guinea-pig.jpg",
     "shufflenet-v2": "/root/reference/resources/guinea-pig.jpg",
     "efficientnet-b0": "/root/reference/resources/guinea-pig.jpg",
+    "squeezenet-1.1": "/root/reference/resources/guinea-pig.jpg",
 }
 
 
@@ -57,7 +58,7 @@ def main():
     ap.add_argument("--model", default="mnist",
                     choices=["mnist", "mnist_bn", "googlenet-v1", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
-                             "efficientnet-b0"])
+                             "efficientnet-b0", "squeezenet-1.1"])
     ap.add_argument("--image", default=None)
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])

@@ -31,7 +31,8 @@ from __graft_entry__ import _model_paths
 # list lives here.  resnet18 / mobilenet-v2 / shufflenet-v2 are the
 # programmatic families (tools/gen_*.py): no reference XML exists.
 MODELS = ["mnist", "mnist_bn", "googlenet-v1", "ssd_mobilenet_v1_coco",
-          "resnet18", "mobilenet-v2", "shufflenet-v2", "efficientnet-b0"]
+          "resnet18", "mobilenet-v2", "shufflenet-v2", "efficientnet-b0",
+          "squeezenet-1.1"]
 BACKENDS = ["interpreter", "xla", "pallas"]
 
 

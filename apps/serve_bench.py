@@ -37,7 +37,7 @@ def main():
                     choices=["mnist", "mnist_bn", "googlenet-v1",
                              "ssd_mobilenet_v1_coco", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
-                             "efficientnet-b0"])
+                             "efficientnet-b0", "squeezenet-1.1"])
     ap.add_argument("--clients", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--quant", default="none", choices=["none", "int8w"])

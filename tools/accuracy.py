@@ -42,6 +42,7 @@ MODELS = {
     "mobilenet-v2": ("data", (1, 3, 224, 224), "cls"),  # programmatic 6th
     "shufflenet-v2": ("data", (1, 3, 224, 224), "cls"),  # programmatic 7th
     "efficientnet-b0": ("data", (1, 3, 224, 224), "cls"),  # programmatic 8th
+    "squeezenet-1.1": ("data", (1, 3, 224, 224), "cls"),  # programmatic 9th
 }
 
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)

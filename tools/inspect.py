@@ -46,7 +46,7 @@ def main():
                     choices=["mnist", "mnist_bn", "googlenet-v1",
                              "ssd_mobilenet_v1_coco", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
-                             "efficientnet-b0"])
+                             "efficientnet-b0", "squeezenet-1.1"])
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
     ap.add_argument("--quant", default="none",
