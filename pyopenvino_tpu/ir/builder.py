@@ -319,6 +319,19 @@ class GraphBuilder:
             "auto_pad": "explicit",
         }, name)
 
+    def conv_transpose2d(self, x, w, strides=(1, 1), pads=((0, 0), (0, 0)),
+                         dilations=(1, 1), output_padding=(0, 0),
+                         name=None) -> Port:
+        """w: (Ci, Co, Kh, Kw) — transposed relative to conv2d's weight."""
+        (pt, pb), (pl, pr) = pads
+        return self._add_node("ConvolutionBackpropData", [x, w], {
+            "strides": f"{strides[0]},{strides[1]}",
+            "dilations": f"{dilations[0]},{dilations[1]}",
+            "pads_begin": f"{pt},{pl}", "pads_end": f"{pb},{pr}",
+            "output_padding": f"{output_padding[0]},{output_padding[1]}",
+            "auto_pad": "explicit",
+        }, name)
+
     def lrn(self, x, size=5, alpha=1e-4, beta=0.75, bias=1.0,
             name=None) -> Port:
         axes = self.const(np.asarray([1], np.int64))

@@ -683,3 +683,124 @@ class MVN(Op):
         x = inputs[0].nchw()
         return {node.out_port: TValue(
             self._apply(node, x, jnp).astype(x.dtype), "L")}
+
+
+@register
+class ConvolutionBackpropData(Op):
+    """opset1 ConvolutionBackpropData (transposed convolution) — the
+    decoder op of segmentation/super-resolution IRs (U-Net, FCN,
+    ESPCN upsampling heads).  Weights arrive as (Ci, Co, kH, kW) —
+    TRANSPOSED relative to Convolution's (Co, Ci, kH, kW).
+
+    out[h] covers (H-1)·stride + dilation·(k-1) + 1 positions, cropped
+    by pads and extended by output_padding at the bottom/right:
+    out_h = (H-1)·s − pb − pe + d·(k−1) + 1 + output_padding.
+
+    The optional constant input 2 (spatial output_shape) is validated
+    against the attr-derived shape; the auto_pad solve it implies in
+    OpenVINO is not supported (explicit pads only — fail fast).
+
+    TPU mapping: a fractionally-strided forward conv —
+    lax.conv_general_dilated with lhs_dilation=strides and the kernel
+    spatially flipped — so XLA lowers it onto the MXU exactly like a
+    normal conv instead of a scatter (the numpy twin IS the scatter
+    formulation, keeping the two implementations independent)."""
+
+    type_name = "ConvolutionBackpropData"
+
+    @staticmethod
+    def _cfg(node):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return (
+            A.get_int_tuple(node.attrs, "strides", (1, 1)),
+            A.get_int_tuple(node.attrs, "dilations", (1, 1)),
+            A.get_int_tuple(node.attrs, "pads_begin", (0, 0)),
+            A.get_int_tuple(node.attrs, "pads_end", (0, 0)),
+            A.get_int_tuple(node.attrs, "output_padding", (0, 0)),
+        )
+
+    def _out_hw(self, node, in_hw, k_hw):
+        (sh, sw), (dh, dw), pb, pe, op = self._cfg(node)
+        oh = (in_hw[0] - 1) * sh - pb[0] - pe[0] + dh * (k_hw[0] - 1) + 1 + op[0]
+        ow = (in_hw[1] - 1) * sw - pb[1] - pe[1] + dw * (k_hw[1] - 1) + 1 + op[1]
+        if oh <= 0 or ow <= 0:
+            raise ValueError(
+                f"ConvolutionBackpropData {node.name}: non-positive output "
+                f"{oh}x{ow} (pads exceed the dilated kernel span)")
+        return oh, ow
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        n, _, h, w = in_shapes[0]
+        ci_w, co, kh, kw = in_shapes[1]
+        if ci_w != in_shapes[0][1]:
+            raise ValueError(
+                f"ConvolutionBackpropData {node.name}: weight Ci {ci_w} != "
+                f"input C {in_shapes[0][1]} (weights must be (Ci,Co,kH,kW))")
+        oh, ow = self._out_hw(node, (h, w), (kh, kw))
+        if 2 in in_shapes:
+            tgt = in_values.get(2)
+            if tgt is None:
+                raise ValueError(
+                    f"ConvolutionBackpropData {node.name}: output_shape "
+                    "input must be constant")
+            tgt = tuple(int(t) for t in np.asarray(tgt).reshape(-1))
+            if tgt != (oh, ow):
+                raise ValueError(
+                    f"ConvolutionBackpropData {node.name}: output_shape "
+                    f"{tgt} inconsistent with attrs-derived ({oh}, {ow}); "
+                    "auto_pad solving is not supported")
+        return ShapeResult({node.out_port: (n, co, oh, ow)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        x, wgt = inputs[0], inputs[1]
+        (sh, sw), (dh, dw), pb, pe, opad = self._cfg(node)
+        n, ci, h, w = x.shape
+        _, co, kh, kw = wgt.shape
+        # Scatter formulation: full un-cropped canvas, one (Ci→Co)
+        # contraction per kernel tap added at its dilated offset.
+        fh = (h - 1) * sh + dh * (kh - 1) + 1
+        fw = (w - 1) * sw + dw * (kw - 1) + 1
+        # output_padding does NOT append zeros — it reduces the end-crop
+        # (ONNX/torch semantics); the extra rows are computed values
+        # wherever they still overlap the canvas, zeros only beyond it.
+        buf = np.zeros((n, co, fh + opad[0], fw + opad[1]), np.float32)
+        for i in range(kh):
+            for j in range(kw):
+                tap = np.einsum("nchw,co->nohw", x, wgt[:, :, i, j],
+                                optimize=True)
+                buf[:, :, i * dh: i * dh + (h - 1) * sh + 1: sh,
+                    j * dw: j * dw + (w - 1) * sw + 1: sw] += tap
+        out = buf[:, :, pb[0]: fh - pe[0] + opad[0],
+                  pb[1]: fw - pe[1] + opad[1]]
+        return {node.out_port: out.astype(x.dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+        from jax import lax
+
+        x = inputs[0].nhwc()
+        (sh, sw), (dh, dw), pb, pe, opad = self._cfg(node)
+        wgt = inputs[1].arr  # (Ci, Co, kh, kw), fp32 (not a quant target)
+        kh, kw = wgt.shape[2], wgt.shape[3]
+        # Flip spatial taps → HWIO (I=Ci, O=Co): the transposed conv is a
+        # stride-1 conv over the lhs-dilated input with mirrored kernel.
+        w_hwio = jnp.flip(wgt, axis=(2, 3)).transpose(2, 3, 0, 1)
+        pad_h = (dh * (kh - 1) - pb[0], dh * (kh - 1) - pe[0] + opad[0])
+        pad_w = (dw * (kw - 1) - pb[1], dw * (kw - 1) - pe[1] + opad[1])
+        out = lax.conv_general_dilated(
+            x,
+            w_hwio.astype(x.dtype),
+            window_strides=(1, 1),
+            padding=(pad_h, pad_w),
+            lhs_dilation=(sh, sw),
+            rhs_dilation=(dh, dw),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+            # Same f32 MXU rule as Convolution.emit_fused: without
+            # HIGHEST the TPU multiplies f32 in bf16.
+            precision=(lax.Precision.HIGHEST
+                       if x.dtype == jnp.float32
+                       else lax.Precision.DEFAULT),
+        )
+        return {node.out_port: TValue(out.astype(x.dtype), "CL")}

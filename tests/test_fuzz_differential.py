@@ -41,7 +41,7 @@ def _random_graph(seed):
             ["conv", "pool", "relu", "clamp", "sigmoid", "biasadd", "scale",
              "residual", "dwconv", "lrn", "concat", "transpose2",
              "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
-             "act2", "mvn"]
+             "act2", "mvn", "deconv"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -138,6 +138,18 @@ def _random_graph(seed):
                 out = getattr(b, which)(src)
         elif kind == "mvn":
             out = b.mvn(src, across_channels=bool(rng.random() < 0.5))
+        elif kind == "deconv" and h <= 16:
+            k = int(rng.choice([2, 3]))
+            s = int(rng.choice([1, 2]))
+            # pad ≤ (k-1)//2 keeps out = (h-1)s + k - 2·pad + opad positive
+            # for every surviving h (pools can shrink h to 1)
+            pad = int(rng.integers(0, (k + 1) // 2))
+            opad = int(rng.integers(0, s))
+            co = int(rng.choice([4, 8]))
+            wd = rng.normal(0, 0.4, (c, co, k, k)).astype(np.float32)
+            out = b.conv_transpose2d(src, b.const(wd), strides=(s, s),
+                                     pads=((pad, pad), (pad, pad)),
+                                     output_padding=(opad, opad))
         else:
             continue
         live.append(out)

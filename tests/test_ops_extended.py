@@ -493,3 +493,102 @@ def test_squeeze_excitation_block():
     got = q.infer({"in": blob})
     np.testing.assert_allclose(got["out"], ref["out"], rtol=0.25,
                                atol=0.05)
+
+
+class TestConvTranspose:
+    """ConvolutionBackpropData — the transposed-conv decoder op."""
+
+    @pytest.mark.parametrize("stride,dil,pad,opad", [
+        (1, 1, 0, 0), (2, 1, 0, 0), (2, 1, 1, 1), (3, 2, 1, 2), (2, 2, 0, 1),
+    ])
+    def test_parity_and_torch_truth(self, stride, dil, pad, opad):
+        rng = np.random.default_rng(9)
+        b = GraphBuilder("deconv")
+        x = b.parameter("in", (2, 3, 7, 6))
+        w = rng.normal(0, 0.5, (3, 5, 3, 3)).astype(np.float32)
+        b.result(b.conv_transpose2d(
+            x, b.const(w), strides=(stride, stride),
+            pads=((pad, pad), (pad, pad)), dilations=(dil, dil),
+            output_padding=(opad, opad)), name="out")
+        m = b.build()
+        blob = rng.normal(0, 1, (2, 3, 7, 6)).astype(np.float32)
+        ref = _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
+
+        import torch
+        truth = torch.nn.functional.conv_transpose2d(
+            torch.from_numpy(blob), torch.from_numpy(w), stride=stride,
+            padding=pad, output_padding=opad, dilation=dil).numpy()
+        np.testing.assert_allclose(ref["out"], truth, rtol=1e-4, atol=1e-4)
+
+    def test_weight_ci_mismatch_rejected(self):
+        b = GraphBuilder("deconv_bad")
+        x = b.parameter("in", (1, 4, 5, 5))
+        w = np.zeros((3, 5, 2, 2), np.float32)  # Ci 3 != input C 4
+        # GraphBuilder shape inference is eager — the mismatch fails at
+        # graph-construction time, before any compile.
+        with pytest.raises(ValueError, match="weight Ci"):
+            b.conv_transpose2d(x, b.const(w))
+
+    def test_output_shape_input_validated(self):
+        # Consistent constant output_shape input (port 2) is accepted;
+        # an inconsistent one fails fast (auto_pad solving unsupported).
+        rng = np.random.default_rng(3)
+        w = rng.normal(0, 0.5, (2, 4, 3, 3)).astype(np.float32)
+        blob = rng.normal(0, 1, (1, 2, 5, 5)).astype(np.float32)
+
+        def build(target):
+            b = GraphBuilder("deconv_os")
+            x = b.parameter("in", (1, 2, 5, 5))
+            port = b._add_node("ConvolutionBackpropData", [
+                x, b.const(w), b.const(np.asarray(target, np.int64))], {
+                "strides": "2,2", "pads_begin": "1,1", "pads_end": "1,1",
+                "output_padding": "1,1", "auto_pad": "explicit",
+            }, None)
+            b.result(port, name="out")
+            return b.build()
+
+        ok = build((10, 10))  # (5-1)*2 - 2 + 2 + 1 + 1 = 10
+        ref = _parity(ok, {"in": blob}, rtol=1e-4, atol=1e-5)
+        assert ref["out"].shape == (1, 4, 10, 10)
+        with pytest.raises(ValueError, match="output_shape"):
+            compile_model(build((12, 12)), Config())
+
+    def test_unet_with_real_deconv_decoder(self, tmp_path):
+        """U-Net whose decoder upsamples via ConvolutionBackpropData
+        (the MO-exported form) instead of Interpolate; survives the
+        writer→parser round trip and runs under int8w."""
+        from pyopenvino_tpu.ir import read_ir_model
+        from pyopenvino_tpu.ir.writer import write_ir_model
+
+        rng = np.random.default_rng(11)
+        b = GraphBuilder("unet_deconv")
+
+        def conv(x, co, k=3):
+            w = rng.normal(0, np.sqrt(2.0 / (x.shape[1] * k * k)),
+                           (co, x.shape[1], k, k)).astype(np.float32)
+            return b.relu(b.conv2d(x, b.const(w), pads=((k // 2,) * 2,) * 2))
+
+        def up(x, co):
+            # 2x2/s2 deconv: the classic U-Net "up-convolution"
+            w = rng.normal(0, np.sqrt(1.0 / x.shape[1]),
+                           (x.shape[1], co, 2, 2)).astype(np.float32)
+            return b.conv_transpose2d(x, b.const(w), strides=(2, 2))
+
+        x = b.parameter("in", (1, 3, 16, 16))
+        e1 = conv(x, 8)                                    # 16²
+        e2 = conv(b.max_pool(e1, (2, 2), (2, 2)), 16)      # 8²
+        bott = conv(b.max_pool(e2, (2, 2), (2, 2)), 32)    # 4²
+        d2 = conv(b.concat([up(bott, 16), e2]), 16)        # 8²
+        d1 = conv(b.concat([up(d2, 8), e1]), 8)            # 16²
+        b.result(b.sigmoid(conv(d1, 2, k=1)), name="mask")
+        m = b.build()
+
+        xml = tmp_path / "unet_deconv.xml"
+        write_ir_model(m, str(xml))
+        m2 = read_ir_model(str(xml))
+
+        blob = rng.uniform(0, 1, (1, 3, 16, 16)).astype(np.float32)
+        ref = _parity(m2, {"in": blob}, rtol=1e-4, atol=1e-5)
+        assert ref["mask"].shape == (1, 2, 16, 16)
+        q = compile_model(m2, Config(quant=QuantMode.INT8_WEIGHT))
+        assert np.all(np.isfinite(q.infer({"in": blob})["mask"]))
