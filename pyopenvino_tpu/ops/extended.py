@@ -781,7 +781,10 @@ class ConvolutionBackpropData(Op):
 
         x = inputs[0].nhwc()
         (sh, sw), (dh, dw), pb, pe, opad = self._cfg(node)
-        wgt = inputs[1].arr  # (Ci, Co, kh, kw), fp32 (not a quant target)
+        tv_w = inputs[1]  # (Ci, Co, kh, kw); int8 + per-Co scale under int8w
+        wgt = tv_w.arr
+        if tv_w.qscale is not None:
+            wgt = wgt.astype(jnp.float32) * tv_w.qscale
         kh, kw = wgt.shape[2], wgt.shape[3]
         # Flip spatial taps → HWIO (I=Ci, O=Co): the transposed conv is a
         # stride-1 conv over the lhs-dilated input with mirrored kernel.

@@ -22,7 +22,8 @@ from pyopenvino_tpu.ir import attrs as A
 from pyopenvino_tpu.ir.model import Model
 
 # weight ports eligible for quantization: (op_type, input_port)
-_WEIGHT_PORTS = {("Convolution", 1), ("GroupConvolution", 1), ("MatMul", 1)}
+_WEIGHT_PORTS = {("Convolution", 1), ("GroupConvolution", 1), ("MatMul", 1),
+                 ("ConvolutionBackpropData", 1)}
 
 
 def _quantize_array(
@@ -59,6 +60,8 @@ def quantize_weights(model: Model) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
                 return (0,)  # OIHW → per-O
             if consumer.op_type == "GroupConvolution":
                 return (0, 1)  # GOIHW → per-(G,O)
+            if consumer.op_type == "ConvolutionBackpropData":
+                return (1,)  # IOHW (transposed layout) → per-O
             tb = A.get_bool(consumer.attrs, "transpose_b", False)
             # MatMul: output channels are rows when transposed, cols not
             return (w.ndim - 2 if tb else w.ndim - 1,)

@@ -43,6 +43,7 @@ MODELS = {
     "shufflenet-v2": ("data", (1, 3, 224, 224), "cls"),  # programmatic 7th
     "efficientnet-b0": ("data", (1, 3, 224, 224), "cls"),  # programmatic 8th
     "squeezenet-1.1": ("data", (1, 3, 224, 224), "cls"),  # programmatic 9th
+    "unet": ("data", (1, 3, 128, 128), "seg"),  # programmatic 10th family
 }
 
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)
@@ -52,6 +53,7 @@ CAL_PERCENTILE = {"ssd_mobilenet_v1_coco": 99.9}
 
 GATE_CLS_PCT = 0.5   # top-1 delta gate, percent
 GATE_MAP = 0.5       # mAP delta gate, absolute mAP points
+GATE_SEG_PCT = 0.5   # per-pixel agreement delta gate, percent
 
 
 def eval_images(model_name: str, n: int):
@@ -231,6 +233,29 @@ def score_cls(ref_outputs, outputs, labels=None):
     return acc, ref_acc - acc
 
 
+def score_seg(ref_outputs, outputs, gt_masks=None):
+    """→ (pixel agreement %, delta).  gt_masks: {image_key: HxW class
+    map} or None (fp32-as-GT).  The per-pixel argmax map is the
+    segmentation analogue of top-1: boundary pixels between near-tied
+    classes churn under any perturbation, which the measured floors
+    (input LSB wiggle + alternative int8 realization) absorb."""
+    keys = sorted(ref_outputs)
+    if gt_masks:
+        keys = [k for k in keys if k in gt_masks]
+        if not keys:
+            raise SystemExit("--gt-masks matches none of the eval images")
+
+    def argmax_maps(outs):
+        return {k: np.argmax(next(iter(outs[k].values())), axis=1)[0]
+                for k in keys}
+
+    ref_m, got_m = argmax_maps(ref_outputs), argmax_maps(outputs)
+    truth = gt_masks if gt_masks else ref_m
+    ref_acc = float(np.mean([np.mean(ref_m[k] == truth[k]) for k in keys]))
+    acc = float(np.mean([np.mean(got_m[k] == truth[k]) for k in keys]))
+    return acc * 100, (ref_acc - acc) * 100
+
+
 def score_det(ref_outputs, outputs, gt_boxes=None, gt_conf=0.45):
     """→ (mAP, delta).  gt_boxes: {image_key: [(cls, box)]} or None.
 
@@ -350,6 +375,9 @@ def main():
             if kind == "cls":
                 val, delta = score_cls(ref, out, labels)
                 metric, gate = "top-1 %", GATE_CLS_PCT
+            elif kind == "seg":
+                val, delta = score_seg(ref, out)
+                metric, gate = "pixel agr %", GATE_SEG_PCT
             else:
                 val, delta = score_det(ref, out, gt_boxes)
                 metric, gate = "mAP", GATE_MAP
@@ -362,6 +390,27 @@ def main():
                       f"{'n/a':>8} {'n/a':>10} {'n/a':>7}  "
                       f"n/a (fp32 produced no detections)")
                 continue
+            if kind == "seg":
+                # Seg floors, same two-bound principle as det: (a) fp32
+                # under a one-input-LSB wiggle — int8 cannot resolve finer
+                # than the 8-bit input grid, so boundary-pixel churn at
+                # that amplitude is metric sensitivity, not engine error;
+                # (b) an alternative equally-valid int8 rounding of the
+                # same weights (representation churn, systematic across
+                # inputs).  Gate on the EXCESS over max(a, b).
+                if "wig" not in floors:
+                    prng = np.random.default_rng(7)
+                    wigged = {
+                        k: np.clip(
+                            v + prng.uniform(-1.0, 1.0, v.shape).astype(
+                                np.float32), 0, 255)
+                        for k, v in images.items()
+                    }
+                    floors["wig"] = score_seg(ref, run_model(
+                        model_name, "fp32", wigged, calibration))[1]
+                alt = score_seg(ref, run_model_weight_dithered(
+                    model_name, mode, images, calibration))[1]
+                floor = max(floors["wig"], alt)
             if kind == "det" and not gt_boxes:
                 # floor = the larger of two intrinsic-churn bounds:
                 # (a) fp32 under input noise matched to the mode's
