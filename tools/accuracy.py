@@ -44,6 +44,7 @@ MODELS = {
     "efficientnet-b0": ("data", (1, 3, 224, 224), "cls"),  # programmatic 8th
     "squeezenet-1.1": ("data", (1, 3, 224, 224), "cls"),  # programmatic 9th
     "unet": ("data", (1, 3, 128, 128), "seg"),  # programmatic 10th family
+    "vit-tiny": ("data", (1, 3, 64, 64), "cls"),  # programmatic 11th family
 }
 
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)
