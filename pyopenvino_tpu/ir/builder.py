@@ -268,6 +268,39 @@ class GraphBuilder:
         return self._add_node("PReLU", [x, self.const(
             np.asarray(slope, np.float32))], {}, name)
 
+    def unary(self, op_type, x, name=None) -> Port:
+        """Attr-free unary op by type name (Erf/Log/Abs/Negative/
+        Floor/Ceiling/...)."""
+        return self._add_node(op_type, [x], {}, name)
+
+    def tile(self, x, repeats, name=None) -> Port:
+        r = self.const(np.asarray(repeats, np.int64))
+        return self._add_node("Tile", [x, r], {}, name)
+
+    def normalize_l2(self, x, axes, eps=1e-10, eps_mode="add",
+                     name=None) -> Port:
+        a = self.const(np.asarray(axes, np.int64))
+        return self._add_node("NormalizeL2", [x, a], {
+            "eps": eps, "eps_mode": eps_mode,
+        }, name)
+
+    def fake_quantize(self, x, input_low, input_high, output_low,
+                      output_high, levels=256, name=None) -> Port:
+        ins = [x] + [self.const(np.asarray(v, np.float32))
+                     for v in (input_low, input_high, output_low,
+                               output_high)]
+        return self._add_node("FakeQuantize", ins, {"levels": levels}, name)
+
+    def depth_to_space(self, x, block_size, mode="blocks_first",
+                       name=None) -> Port:
+        return self._add_node("DepthToSpace", [x], {
+            "block_size": block_size, "mode": mode}, name)
+
+    def space_to_depth(self, x, block_size, mode="blocks_first",
+                       name=None) -> Port:
+        return self._add_node("SpaceToDepth", [x], {
+            "block_size": block_size, "mode": mode}, name)
+
     def mvn(self, x, across_channels=False, normalize_variance=True,
             eps=1e-9, name=None) -> Port:
         return self._add_node("MVN", [x], {

@@ -807,3 +807,316 @@ class ConvolutionBackpropData(Op):
                        else lax.Precision.DEFAULT),
         )
         return {node.out_port: TValue(out.astype(x.dtype), "CL")}
+
+
+@register
+class Erf(_Unary):
+    type_name = "Erf"
+
+    def _apply_np(self, node, x):
+        from scipy.special import erf as _erf  # scipy ships with jax stack
+
+        return _erf(x).astype(x.dtype)
+
+    def _apply_jx(self, node, x):
+        import jax
+
+        return jax.scipy.special.erf(x)
+
+
+@register
+class Log(_Unary):
+    type_name = "Log"
+
+    def _apply_np(self, node, x):
+        return np.log(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.log(x)
+
+
+@register
+class Abs(_Unary):
+    type_name = "Abs"
+
+    def _apply_np(self, node, x):
+        return np.abs(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.abs(x)
+
+
+@register
+class Negative(_Unary):
+    type_name = "Negative"
+
+    def _apply_np(self, node, x):
+        return -x
+
+    def _apply_jx(self, node, x):
+        return -x
+
+
+@register
+class Floor(_Unary):
+    type_name = "Floor"
+
+    def _apply_np(self, node, x):
+        return np.floor(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.floor(x)
+
+
+@register
+class Ceiling(_Unary):
+    type_name = "Ceiling"
+
+    def _apply_np(self, node, x):
+        return np.ceil(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.ceil(x)
+
+
+@register
+class ReduceMin(_Reduce):
+    type_name = "ReduceMin"
+    np_fn = staticmethod(np.min)
+    jnp_name = "min"
+
+
+@register
+class ReduceProd(_Reduce):
+    type_name = "ReduceProd"
+    np_fn = staticmethod(np.prod)
+    jnp_name = "prod"
+
+
+@register
+class Tile(Op):
+    """opset1 Tile: repeat `data` along each axis by the constant
+    `repeats` (input 1).  numpy/OpenVINO rank rules agree: the shorter
+    of (rank, len(repeats)) is left-padded with 1s."""
+
+    type_name = "Tile"
+
+    @staticmethod
+    def _reps(source):
+        if source is None:
+            raise ValueError("Tile: repeats are not constant")
+        reps = tuple(int(r) for r in np.asarray(source).reshape(-1))
+        if any(r < 1 for r in reps):
+            raise ValueError(f"Tile: repeats must be >= 1, got {reps}")
+        return reps
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        reps = self._reps(in_values.get(1))
+        shp = tuple(in_shapes[0])
+        n = max(len(shp), len(reps))
+        shp = (1,) * (n - len(shp)) + shp
+        reps = (1,) * (n - len(reps)) + reps
+        res = ShapeResult({node.out_port: tuple(
+            d * r for d, r in zip(shp, reps))})
+        if in_values.get(0) is not None:
+            res.values[node.out_port] = np.tile(in_values[0], reps)
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: np.tile(inputs[0], self._reps(inputs[1]))}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        return {node.out_port: TValue(
+            jnp.tile(x, self._reps(ctx.static_value(node, 1))), "L")}
+
+
+@register
+class NormalizeL2(Op):
+    """opset1 NormalizeL2: x / sqrt(reduce_sum(x^2, axes)) with eps
+    combined per eps_mode ('add' -> sum+eps, 'max' -> max(sum, eps)).
+    Axes are the constant input 1.  Common in SSD variants' feature-map
+    L2 normalization (the reference engine has no such op)."""
+
+    type_name = "NormalizeL2"
+
+    @staticmethod
+    def _cfg(node):
+        eps = float(node.attrs.get("eps", 1e-10))
+        mode = str(node.attrs.get("eps_mode", "add")).lower()
+        if mode not in ("add", "max"):
+            raise ValueError(f"NormalizeL2: unsupported eps_mode {mode!r}")
+        return eps, mode
+
+    @staticmethod
+    def _axes(source, rank):
+        if source is None:
+            raise ValueError("NormalizeL2: axes are not constant")
+        return tuple(sorted(
+            _norm_axis(a, rank, "NormalizeL2")
+            for a in np.asarray(source).reshape(-1)))
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        self._cfg(node)  # validate early
+        self._axes(in_values.get(1), len(in_shapes[0]))
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def _apply(self, node, x, axes, m):
+        eps, mode = self._cfg(node)
+        ss = m.sum(x * x, axis=axes, keepdims=True)
+        denom = m.sqrt(ss + eps) if mode == "add" else m.sqrt(
+            m.maximum(ss, eps))
+        return x / denom
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axes = self._axes(inputs[1], inputs[0].ndim)
+        return {node.out_port: self._apply(
+            node, inputs[0], axes, np).astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        axes = self._axes(ctx.static_value(node, 1), x.ndim)
+        return {node.out_port: TValue(
+            self._apply(node, x, axes, jnp).astype(x.dtype), "L")}
+
+
+@register
+class FakeQuantize(Op):
+    """opset1 FakeQuantize — the op POT/NNCF-quantized IRs are built
+    from.  Inputs: x, input_low, input_high, output_low, output_high
+    (1-4 broadcastable to x); attr `levels`.
+
+        q = round((clamp(x, il, ih) - il) / (ih - il) * (levels-1))
+        y = q / (levels-1) * (oh - ol) + ol
+
+    Round is half-to-even, matching the OpenVINO runtime's nearbyint
+    and numpy/jnp `round` exactly — the differential twins stay
+    bit-comparable through the quantization grid."""
+
+    type_name = "FakeQuantize"
+
+    @staticmethod
+    def _levels(node) -> int:
+        levels = int(node.attrs.get("levels", 256))
+        if levels < 2:
+            raise ValueError(f"FakeQuantize: levels must be >= 2, "
+                             f"got {levels}")
+        return levels
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        self._levels(node)  # validate early
+        out = tuple(np.broadcast_shapes(*in_shapes.values()))
+        if out != tuple(in_shapes[0]):
+            raise ValueError(
+                f"FakeQuantize: ranges broadcast the data from "
+                f"{tuple(in_shapes[0])} to {out}")
+        return ShapeResult({node.out_port: out})
+
+    def _apply(self, node, x, il, ih, ol, oh, m):
+        steps = self._levels(node) - 1
+        q = m.round(m.clip(x, il, ih) * (steps / (ih - il))
+                    - il * (steps / (ih - il)))
+        return q * ((oh - ol) / steps) + ol
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        out = self._apply(node, inputs[0], inputs[1], inputs[2],
+                          inputs[3], inputs[4], np)
+        return {node.out_port: out.astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        il, ih, ol, oh = (inputs[i].nchw() for i in (1, 2, 3, 4))
+        return {node.out_port: TValue(
+            self._apply(node, x, il, ih, ol, oh, jnp).astype(x.dtype),
+            "L")}
+
+
+class _BlockSpatial(Op):
+    """Shared plumbing for DepthToSpace / SpaceToDepth: rank-4 NCHW
+    reshape->transpose->reshape with a blocks_first (DCR) or
+    depth_first (CRD) element order."""
+
+    @staticmethod
+    def _cfg(node):
+        b = int(node.attrs.get("block_size", 1))
+        if b < 1:
+            raise ValueError(f"block_size must be >= 1, got {b}")
+        mode = str(node.attrs.get("mode", "blocks_first")).lower()
+        if mode not in ("blocks_first", "depth_first"):
+            raise ValueError(f"unsupported mode {mode!r}")
+        return b, mode
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: self._out_shape(
+            node, in_shapes[0])})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: self._rearrange(node, inputs[0])}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        return {node.out_port: TValue(
+            self._rearrange(node, inputs[0].nchw()), "L")}
+
+
+@register
+class DepthToSpace(_BlockSpatial):
+    """opset1 DepthToSpace: (N, C, H, W) -> (N, C/b^2, H*b, W*b)."""
+
+    type_name = "DepthToSpace"
+
+    def _out_shape(self, node, s):
+        b, _ = self._cfg(node)
+        n, c, h, w = s
+        if c % (b * b):
+            raise ValueError(
+                f"DepthToSpace: C={c} not divisible by block^2={b * b}")
+        return (n, c // (b * b), h * b, w * b)
+
+    def _rearrange(self, node, x):
+        b, mode = self._cfg(node)
+        n, c, h, w = x.shape
+        co = c // (b * b)
+        if mode == "blocks_first":  # DCR
+            t = x.reshape(n, b, b, co, h, w).transpose(0, 3, 4, 1, 5, 2)
+        else:                       # CRD
+            t = x.reshape(n, co, b, b, h, w).transpose(0, 1, 4, 2, 5, 3)
+        return t.reshape(n, co, h * b, w * b)
+
+
+@register
+class SpaceToDepth(_BlockSpatial):
+    """opset1 SpaceToDepth: (N, C, H, W) -> (N, C*b^2, H/b, W/b)."""
+
+    type_name = "SpaceToDepth"
+
+    def _out_shape(self, node, s):
+        b, _ = self._cfg(node)
+        n, c, h, w = s
+        if h % b or w % b:
+            raise ValueError(
+                f"SpaceToDepth: H={h}/W={w} not divisible by block={b}")
+        return (n, c * b * b, h // b, w // b)
+
+    def _rearrange(self, node, x):
+        b, mode = self._cfg(node)
+        n, c, h, w = x.shape
+        xr = x.reshape(n, c, h // b, b, w // b, b)
+        if mode == "blocks_first":
+            t = xr.transpose(0, 3, 5, 1, 2, 4)
+        else:
+            t = xr.transpose(0, 1, 3, 5, 2, 4)
+        return t.reshape(n, c * b * b, h // b, w // b)

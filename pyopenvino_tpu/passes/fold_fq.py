@@ -1,0 +1,80 @@
+"""Fold weight-side FakeQuantize nodes into their Const producers.
+
+POT/NNCF-quantized OpenVINO IRs wrap every conv/matmul weight in a
+Const → FakeQuantize(levels, const ranges) → consumer chain (the op the
+reference engine dies on, inference_engine.py:270-272).  The FQ of a
+constant with constant ranges is itself a constant: this pass evaluates
+it once at compile time through the op's own ref_compute (so folding
+and runtime emulation can never disagree) and rewires consumers to a
+plain Const holding the grid-snapped values.
+
+Two effects:
+- the per-inference FQ computation on a weight tensor disappears, and
+- `passes/quantize.quantize_weights` (which looks for Const→weight-port
+  edges) now sees the effective weights, so INT8 modes engage on
+  POT-quantized IRs.  A 256-level symmetric FQ grid survives the int8
+  re-quantization nearly losslessly — both live on a 255-step lattice.
+
+Activation-side FakeQuantize nodes (non-const data input) are left in
+place and run as exact elementwise emulation (ops/extended.py).
+
+Safety: the data Const and the FQ node must be single-consumer; range
+consts are dropped only when nothing else reads them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pyopenvino_tpu.ir.model import Edge, Model
+from pyopenvino_tpu.ops import get_op
+
+
+def fold_fake_quantize(model: Model) -> Model:
+    """Return a rewritten Model (original untouched) with const-input
+    FakeQuantize nodes evaluated and removed."""
+    nodes = dict(model.nodes)
+    edges = list(model.edges)
+    removed = set()
+    changed = False
+
+    for fq in model.find_by_type("FakeQuantize"):
+        ins = model.in_edges[fq.id]
+        srcs = {port: model.nodes[src] for port, (src, _) in ins.items()}
+        if any(
+            srcs[p].op_type != "Const" or srcs[p].const is None
+            for p in range(5)
+        ):
+            continue  # activation FQ (or structural parse) — leave in place
+        data_id = ins[0][0]
+        if len(model.out_edges[data_id]) != 1:
+            continue  # shared weight const: folding would affect others
+
+        op = get_op("FakeQuantize")
+        out = op.ref_compute(
+            fq, {p: np.asarray(srcs[p].const) for p in range(5)}
+        )[fq.out_port]
+        nodes[data_id] = dataclasses.replace(
+            nodes[data_id], const=np.ascontiguousarray(out))
+
+        # rewire: FQ's consumers now read the (rewritten) data Const
+        d_src, d_sport = ins[0]
+        edges = [e for e in edges if e.dst != fq.id]
+        edges = [
+            Edge(d_src, d_sport, e.dst, e.dst_port) if e.src == fq.id else e
+            for e in edges
+        ]
+        removed.add(fq.id)
+        for p in range(1, 5):
+            rid = ins[p][0]
+            if all(e.dst == fq.id for e in model.edges if e.src == rid):
+                removed.add(rid)
+        changed = True
+
+    if not changed:
+        return model
+    for nid in removed:
+        nodes.pop(nid, None)
+    return Model(model.name, nodes, edges)

@@ -850,6 +850,11 @@ def compile_model(
     from pyopenvino_tpu.passes.fold_scale import fold_scale_into_conv
 
     model = fold_scale_into_conv(model)
+    # Fold weight-side FakeQuantize (POT/NNCF IRs) into the weight
+    # consts so quantize_weights sees plain Const→weight-port edges.
+    from pyopenvino_tpu.passes.fold_fq import fold_fake_quantize
+
+    model = fold_fake_quantize(model)
     quantized = None
     act_scales = None
     if config.quant in (QuantMode.INT8_WEIGHT, QuantMode.INT8_FULL):

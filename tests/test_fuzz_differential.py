@@ -41,7 +41,8 @@ def _random_graph(seed):
             ["conv", "pool", "relu", "clamp", "sigmoid", "biasadd", "scale",
              "residual", "dwconv", "lrn", "concat", "transpose2",
              "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
-             "act2", "mvn", "deconv"]
+             "act2", "mvn", "deconv", "fq", "nl2", "blockspatial",
+             "unary3"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -138,6 +139,25 @@ def _random_graph(seed):
                 out = getattr(b, which)(src)
         elif kind == "mvn":
             out = b.mvn(src, across_channels=bool(rng.random() < 0.5))
+        elif kind == "fq":
+            # POT-style per-channel fake-quantize; wide ranges keep the
+            # grid coarse enough that interpreter/XLA f32 noise cannot
+            # straddle a rounding boundary
+            hi = rng.uniform(2.0, 6.0, (1, c, 1, 1)).astype(np.float32)
+            out = b.fake_quantize(src, -hi, hi, -hi, hi, levels=256)
+        elif kind == "nl2":
+            out = b.normalize_l2(src, axes=(1,), eps=1e-8,
+                                 eps_mode=str(rng.choice(["add", "max"])))
+        elif kind == "blockspatial":
+            mode = str(rng.choice(["blocks_first", "depth_first"]))
+            if c % 4 == 0:
+                out = b.depth_to_space(src, 2, mode=mode)
+            elif h % 2 == 0 and w % 2 == 0:
+                out = b.space_to_depth(src, 2, mode=mode)
+            else:
+                continue
+        elif kind == "unary3":
+            out = b.unary(str(rng.choice(["Abs", "Erf", "Negative"])), src)
         elif kind == "deconv" and h <= 16:
             k = int(rng.choice([2, 3]))
             s = int(rng.choice([1, 2]))

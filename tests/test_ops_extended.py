@@ -592,3 +592,268 @@ class TestConvTranspose:
         assert ref["mask"].shape == (1, 2, 16, 16)
         q = compile_model(m2, Config(quant=QuantMode.INT8_WEIGHT))
         assert np.all(np.isfinite(q.infer({"in": blob})["mask"]))
+
+
+class TestRound2Batch2Ops:
+    """FakeQuantize / NormalizeL2 / Tile / DepthToSpace / SpaceToDepth
+    / ReduceMin / ReduceProd + the unary fill-ins (Erf, Log, Abs,
+    Negative, Floor, Ceiling) — the ops POT/NNCF-quantized and
+    super-resolution IRs carry."""
+
+    @pytest.mark.parametrize("op,fn", [
+        ("Log", np.log), ("Abs", np.abs), ("Negative", np.negative),
+        ("Floor", np.floor), ("Ceiling", np.ceil),
+    ])
+    def test_unary_fillins(self, op, fn):
+        rng = np.random.default_rng(11)
+        b = GraphBuilder(op.lower())
+        x = b.parameter("in", (1, 3, 5, 5))
+        b.result(b.unary(op, x), name="out")
+        m = b.build()
+        blob = rng.uniform(0.1, 3.0, (1, 3, 5, 5)).astype(np.float32)
+        ref = _parity(m, {"in": blob})
+        np.testing.assert_allclose(next(iter(ref.values())), fn(blob),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_erf(self):
+        from scipy.special import erf
+
+        rng = np.random.default_rng(12)
+        b = GraphBuilder("erf")
+        x = b.parameter("in", (1, 2, 4, 4))
+        b.result(b.unary("Erf", x), name="out")
+        blob = rng.normal(0, 2, (1, 2, 4, 4)).astype(np.float32)
+        ref = _parity(b.build(), {"in": blob})
+        np.testing.assert_allclose(next(iter(ref.values())), erf(blob),
+                                   rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("kind,fn", [("Min", np.min),
+                                         ("Prod", np.prod)])
+    def test_reduce_min_prod(self, kind, fn):
+        rng = np.random.default_rng(13)
+        b = GraphBuilder("red")
+        x = b.parameter("in", (2, 3, 4, 5))
+        b.result(b.reduce(kind, x, axes=(1, 3), keep_dims=True),
+                 name="out")
+        blob = rng.uniform(0.5, 1.5, (2, 3, 4, 5)).astype(np.float32)
+        ref = _parity(b.build(), {"in": blob}, rtol=1e-4)
+        np.testing.assert_allclose(
+            next(iter(ref.values())),
+            fn(blob, axis=(1, 3), keepdims=True), rtol=1e-4)
+
+    def test_tile(self):
+        rng = np.random.default_rng(14)
+        b = GraphBuilder("tile")
+        x = b.parameter("in", (1, 2, 3, 4))
+        b.result(b.tile(x, (1, 2, 1, 3)), name="full")
+        b.result(b.tile(x, (2,)), name="short")  # left-padded with 1s
+        m = b.build()
+        blob = rng.normal(0, 1, (1, 2, 3, 4)).astype(np.float32)
+        ref = _parity(m, {"in": blob})
+        assert ref["full"].shape == (1, 4, 3, 12)
+        assert ref["short"].shape == (1, 2, 3, 8)
+        np.testing.assert_allclose(ref["full"], np.tile(blob, (1, 2, 1, 3)))
+
+    @pytest.mark.parametrize("eps_mode", ["add", "max"])
+    def test_normalize_l2(self, eps_mode):
+        rng = np.random.default_rng(15)
+        b = GraphBuilder("nl2")
+        x = b.parameter("in", (1, 8, 6, 6))
+        b.result(b.normalize_l2(x, axes=(1,), eps=1e-8,
+                                eps_mode=eps_mode), name="out")
+        blob = rng.normal(0, 2, (1, 8, 6, 6)).astype(np.float32)
+        ref = _parity(b.build(), {"in": blob}, rtol=1e-4)
+        out = next(iter(ref.values()))
+        ss = np.sum(blob * blob, axis=1, keepdims=True)
+        denom = np.sqrt(ss + 1e-8) if eps_mode == "add" else np.sqrt(
+            np.maximum(ss, 1e-8))
+        np.testing.assert_allclose(out, blob / denom, rtol=1e-4,
+                                   atol=1e-6)
+        # unit L2 norm per pixel across channels
+        np.testing.assert_allclose(
+            np.linalg.norm(out, axis=1), np.ones((1, 6, 6)), rtol=1e-3)
+
+    def test_fake_quantize_grid_and_per_channel(self):
+        rng = np.random.default_rng(16)
+        b = GraphBuilder("fq")
+        x = b.parameter("in", (1, 2, 4, 4))
+        # per-channel ranges — the shape POT emits for weights/acts
+        il = np.array([-1.0, -2.0], np.float32).reshape(1, 2, 1, 1)
+        ih = np.array([1.0, 2.0], np.float32).reshape(1, 2, 1, 1)
+        b.result(b.fake_quantize(x, il, ih, il, ih, levels=256),
+                 name="out")
+        blob = rng.uniform(-3, 3, (1, 2, 4, 4)).astype(np.float32)
+        ref = _parity(b.build(), {"in": blob}, rtol=1e-5, atol=1e-6)
+        out = next(iter(ref.values()))
+        # every output sits on its channel's 256-level grid within range
+        for c in range(2):
+            lo, hi = il[0, c, 0, 0], ih[0, c, 0, 0]
+            codes = (out[0, c] - lo) / (hi - lo) * 255
+            np.testing.assert_allclose(codes, np.round(codes), atol=1e-3)
+            assert out[0, c].min() >= lo and out[0, c].max() <= hi
+
+    def test_fake_quantize_vs_torch(self):
+        import torch
+
+        rng = np.random.default_rng(17)
+        s = 0.05
+        il, ih = -128 * s, 127 * s
+        b = GraphBuilder("fqt")
+        x = b.parameter("in", (1, 3, 8, 8))
+        b.result(b.fake_quantize(x, il, ih, il, ih, levels=256),
+                 name="out")
+        blob = rng.uniform(-8, 8, (1, 3, 8, 8)).astype(np.float32)
+        ref = _parity(b.build(), {"in": blob})
+        want = torch.fake_quantize_per_tensor_affine(
+            torch.from_numpy(blob), scale=s, zero_point=128,
+            quant_min=0, quant_max=255).numpy()
+        np.testing.assert_allclose(next(iter(ref.values())), want,
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fake_quantize_binarization(self):
+        b = GraphBuilder("fq2")
+        x = b.parameter("in", (1, 1, 2, 2))
+        b.result(b.fake_quantize(x, 0.0, 1.0, 0.0, 1.0, levels=2),
+                 name="out")
+        blob = np.array([[0.2, 0.6], [0.49, 0.51]],
+                        np.float32).reshape(1, 1, 2, 2)
+        ref = _parity(b.build(), {"in": blob})
+        np.testing.assert_allclose(
+            next(iter(ref.values())).reshape(-1), [0, 1, 0, 1])
+
+    @pytest.mark.parametrize("mode", ["blocks_first", "depth_first"])
+    def test_depth_space_round_trip(self, mode):
+        rng = np.random.default_rng(18)
+        b = GraphBuilder("d2s")
+        x = b.parameter("in", (1, 4, 4, 6))
+        d = b.depth_to_space(b.space_to_depth(x, 2, mode=mode), 2,
+                             mode=mode)
+        b.result(d, name="rt")
+        b.result(b.space_to_depth(x, 2, mode=mode), name="s2d")
+        m = b.build()
+        blob = rng.normal(0, 1, (1, 4, 4, 6)).astype(np.float32)
+        ref = _parity(m, {"in": blob})
+        np.testing.assert_allclose(ref["rt"], blob)  # exact inverse
+        assert ref["s2d"].shape == (1, 16, 2, 3)
+
+    def test_pixel_shuffle_matches_torch(self):
+        """torch.pixel_shuffle is DepthToSpace depth_first (CRD);
+        pixel_unshuffle is SpaceToDepth depth_first."""
+        import torch
+
+        rng = np.random.default_rng(19)
+        b = GraphBuilder("ps")
+        x = b.parameter("in", (1, 12, 4, 4))
+        b.result(b.depth_to_space(x, 2, mode="depth_first"), name="out")
+        blob = rng.normal(0, 1, (1, 12, 4, 4)).astype(np.float32)
+        ref = _parity(b.build(), {"in": blob})
+        want = torch.pixel_shuffle(torch.from_numpy(blob), 2).numpy()
+        np.testing.assert_allclose(next(iter(ref.values())), want)
+
+    def test_invalid_configs_fail_fast(self):
+        b = GraphBuilder("bad")
+        x = b.parameter("in", (1, 3, 4, 4))
+        with pytest.raises(ValueError, match="divisible"):
+            b.depth_to_space(x, 2)          # C=3 not divisible by 4
+        with pytest.raises(ValueError, match="divisible"):
+            b.space_to_depth(x, 3)          # H=4 not divisible by 3
+        with pytest.raises(ValueError, match="levels"):
+            b.fake_quantize(x, 0.0, 1.0, 0.0, 1.0, levels=1)
+        with pytest.raises(ValueError, match="repeats"):
+            b.tile(x, (0, 1, 1, 1))
+        with pytest.raises(ValueError, match="eps_mode"):
+            b.normalize_l2(x, axes=(1,), eps_mode="clip")
+
+    def test_new_ops_survive_writer_parser_round_trip(self, tmp_path):
+        from pyopenvino_tpu.ir import read_ir_model
+        from pyopenvino_tpu.ir.writer import write_ir_model
+
+        rng = np.random.default_rng(20)
+        b = GraphBuilder("rt2")
+        x = b.parameter("in", (1, 4, 4, 4))
+        y = b.fake_quantize(x, -2.0, 2.0, -2.0, 2.0, levels=16)
+        y = b.normalize_l2(y, axes=(1,))
+        y = b.space_to_depth(y, 2)
+        y = b.tile(b.unary("Abs", y), (1, 1, 2, 2))
+        y = b.reduce("Min", y, axes=(2, 3), keep_dims=False)
+        b.result(y, name="out")
+        m = b.build()
+        path = str(tmp_path / "rt2.xml")
+        write_ir_model(m, path)
+        m2 = read_ir_model(path, path[:-4] + ".bin")
+        blob = rng.normal(0, 1.5, (1, 4, 4, 4)).astype(np.float32)
+        ref = Interpreter(m).run({"in": blob})
+        got = Interpreter(m2).run({"in": blob})
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-6)
+        _parity(m2, {"in": blob}, rtol=1e-4)
+
+
+class TestFoldFakeQuantize:
+    """passes/fold_fq.py — POT-style weight-FQ chains collapse to plain
+    Consts at compile time; activation FQ stays as exact emulation."""
+
+    def _pot_graph(self):
+        rng = np.random.default_rng(21)
+        b = GraphBuilder("pot")
+        x = b.parameter("in", (1, 4, 8, 8))
+        w = rng.normal(0, 0.3, (8, 4, 3, 3)).astype(np.float32)
+        hi = np.abs(w).max(axis=(1, 2, 3), keepdims=True).astype(np.float32)
+        wq = b.fake_quantize(b.const(w), -hi, hi, -hi, hi, levels=256)
+        # activation-side FQ in front of the conv stays in the graph
+        xq = b.fake_quantize(x, -4.0, 4.0, -4.0, 4.0, levels=256)
+        y = b.conv2d(xq, wq, pads=((1, 1), (1, 1)))
+        b.result(b.relu(y), name="out")
+        return b.build(), rng
+
+    def test_weight_fq_folds_and_matches_interpreter(self):
+        from pyopenvino_tpu.passes.fold_fq import fold_fake_quantize
+
+        m, rng = self._pot_graph()
+        assert len(m.find_by_type("FakeQuantize")) == 2
+        folded = fold_fake_quantize(m)
+        # weight FQ gone (plus its range consts), activation FQ kept
+        assert len(folded.find_by_type("FakeQuantize")) == 1
+        assert len(folded.find_by_type("Const")) < len(
+            m.find_by_type("Const"))
+        blob = rng.uniform(-3, 3, (1, 4, 8, 8)).astype(np.float32)
+        ref = Interpreter(m).run({"in": blob})         # unfolded
+        got = Interpreter(folded).run({"in": blob})    # folded
+        for k in ref:
+            np.testing.assert_allclose(got[k], ref[k], rtol=1e-6)
+        # and through the compiled path (compile_model folds internally)
+        _parity(m, {"in": blob}, rtol=1e-4, atol=1e-5)
+
+    def test_int8_weight_quant_engages_on_pot_ir(self):
+        m, rng = self._pot_graph()
+        blob = rng.uniform(-3, 3, (1, 4, 8, 8)).astype(np.float32)
+        ref = compile_model(m, Config()).infer({"in": blob})
+        net = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))
+        # the conv weight IS quantized (folding exposed the Const)
+        assert net._quantized, "weight-FQ fold did not expose the weight"
+        out = net.infer({"in": blob})
+        k = next(iter(ref))
+        # the 256-level FQ grid and the 255-code int8 grid do not
+        # coincide, so requantization re-rounds by up to half an int8
+        # step per weight — near-lossless at feature-map scale
+        err = np.abs(out[k] - ref[k])
+        assert float(err.mean()) < 0.01 * float(
+            np.abs(ref[k]).mean() + 1e-6), err.mean()
+        assert float(err.max()) < 0.15, err.max()
+
+    def test_shared_weight_const_not_folded(self):
+        rng = np.random.default_rng(22)
+        b = GraphBuilder("shared")
+        x = b.parameter("in", (1, 2, 4, 4))
+        w = b.const(rng.normal(0, 0.3, (2, 2, 1, 1)).astype(np.float32))
+        wq = b.fake_quantize(w, -1.0, 1.0, -1.0, 1.0, levels=16)
+        y1 = b.conv2d(x, wq)
+        y2 = b.conv2d(x, w)  # raw weight reused elsewhere
+        b.result(b.add(y1, y2), name="out")
+        m = b.build()
+        from pyopenvino_tpu.passes.fold_fq import fold_fake_quantize
+
+        folded = fold_fake_quantize(m)
+        assert len(folded.find_by_type("FakeQuantize")) == 1  # kept
+        blob = rng.normal(0, 1, (1, 2, 4, 4)).astype(np.float32)
+        _parity(m, {"in": blob})
