@@ -857,22 +857,47 @@ def compile_model(
     model = fold_fake_quantize(model)
     quantized = None
     act_scales = None
+    fq_scales = {}
+    if config.quant == QuantMode.INT8_FULL:
+        # Activation-side FQ nodes with the symmetric zero-exact grid
+        # ARE calibration data: convert them to native scales and drop
+        # the emulation nodes (POT IRs run full-INT8 sample-free).
+        from pyopenvino_tpu.passes.calibrate import QUANTIZABLE
+        from pyopenvino_tpu.passes.fold_fq import extract_act_scales
+
+        model, fq_scales = extract_act_scales(model, QUANTIZABLE)
     if config.quant in (QuantMode.INT8_WEIGHT, QuantMode.INT8_FULL):
         from pyopenvino_tpu.passes.quantize import quantize_weights
 
         quantized = quantize_weights(model)
     if config.quant == QuantMode.INT8_FULL:
-        if not calibration_samples:
+        covered = set(fq_scales)
+        needs_cal = [
+            n.id for n in model
+            if n.op_type in ("Convolution", "GroupConvolution", "MatMul")
+            and n.id not in covered
+        ]
+        if needs_cal and not calibration_samples:
             raise ValueError(
                 "QuantMode.INT8_FULL needs calibration_samples "
-                "(representative {input_name: blob} dicts)"
+                "(representative {input_name: blob} dicts) — the model "
+                f"carries FakeQuantize scales for {len(covered)} "
+                f"consumers but {len(needs_cal)} quantizable ops have "
+                "none"
             )
-        from pyopenvino_tpu.passes.calibrate import calibrate_activations
+        if needs_cal:
+            from pyopenvino_tpu.passes.calibrate import (
+                calibrate_activations,
+            )
 
-        act_scales = calibrate_activations(
-            model, calibration_samples,
-            percentile=config.calibration_percentile,
-        )
+            act_scales = calibrate_activations(
+                model, calibration_samples,
+                percentile=config.calibration_percentile,
+            )
+            # IR-carried scales are authoritative where present
+            act_scales.update(fq_scales)
+        else:
+            act_scales = fq_scales
     net = CompiledNetwork(
         model, config, mesh=mesh, quantized=quantized, act_scales=act_scales
     )

@@ -97,3 +97,52 @@ def test_requantizing_a_pot_ir_is_stable(mnist):
     n1 = len(q1.find_by_type("FakeQuantize"))
     n2 = len(q2.find_by_type("FakeQuantize"))
     assert n2 == n1
+
+
+def test_zero_sits_exactly_on_the_grid(mnist, blob):
+    """The symmetric grid convention (il = -128/127*hi) keeps exact
+    zeros — everything post-ReLU — untouched by activation FQ."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    b = GraphBuilder("z")
+    x = b.parameter("in", (1, 1, 2, 2))
+    from tools.pot_quantize import _sym_ranges
+
+    lo, hi = _sym_ranges(np.array([2.0], np.float32), 256)
+    b.result(b.fake_quantize(x, lo, hi, lo, hi, levels=256), name="out")
+    m = b.build()
+    data = np.array([0.0, 2.0, -2.0, 1.0], np.float32).reshape(1, 1, 2, 2)
+    out = next(iter(Interpreter(m).run({"in": data}).values()))
+    assert out.reshape(-1)[0] == 0.0          # zero exact
+    np.testing.assert_allclose(out.reshape(-1)[1], 2.0)  # hi exact
+
+
+def test_int8_full_without_calibration(mnist, blob, tmp_path):
+    """A POT IR carries its own activation scales: INT8_FULL compiles
+    with NO calibration samples, extracting scales from the symmetric
+    activation FQs (passes/fold_fq.extract_act_scales)."""
+    q = quantize_ir(mnist, samples=gen_samples(mnist, 4))
+    path = str(tmp_path / "mnist_q.xml")
+    write_ir_model(q, path)
+    q2 = read_ir_model(path, path[:-4] + ".bin")
+    pname = mnist.parameters[0].name
+
+    net = compile_model(q2, Config(quant=QuantMode.INT8_FULL))
+    assert len(net.act_scales or {}) == 5     # all from the IR
+    ref = compile_model(mnist, Config()).infer({pname: blob})
+    out = net.infer({pname: blob})
+    assert list(_top3(out)) == list(_top3(ref))
+    # the plain model still demands samples
+    with pytest.raises(ValueError, match="calibration_samples"):
+        compile_model(mnist, Config(quant=QuantMode.INT8_FULL))
+
+
+def test_weight_only_pot_ir_still_needs_samples(mnist, tmp_path):
+    """--no-activations IRs carry weight FQs only: INT8_FULL must
+    still ask for calibration rather than silently running unscaled."""
+    q = quantize_ir(mnist, activations=False)
+    path = str(tmp_path / "mnist_w.xml")
+    write_ir_model(q, path)
+    q2 = read_ir_model(path, path[:-4] + ".bin")
+    with pytest.raises(ValueError, match="calibration_samples"):
+        compile_model(q2, Config(quant=QuantMode.INT8_FULL))

@@ -19,6 +19,15 @@ Scheme (symmetric, the engine's native grid):
   samples (passes/calibrate.calibrate_activations, percentile-clipped
   like POT's default calibrator).
 
+Ranges use the standard symmetric-int8 convention (what OpenVINO
+POT/NNCF emit for signed symmetric quantization): for absmax `hi`,
+il = -(L/2)/(L/2-1) * hi and ih = hi with L levels — i.e. step =
+hi/127 at L=256, so ZERO sits exactly on the grid (k = 128) and the
+lattice coincides with the engine's own ±127-code int8 grid.  Two
+consequences: exact-zero activations (everything post-ReLU) survive
+untouched, and fold_fq -> quantize_weights requantization is LOSSLESS
+(same lattice, no half-step re-rounding).
+
 Usage:
     python tools/pot_quantize.py in.xml out.xml [--samples 8]
         [--percentile 100] [--levels 256] [--no-activations]
@@ -57,6 +66,14 @@ def _per_channel_hi(w: np.ndarray, axes) -> np.ndarray:
     reduce_axes = tuple(i for i in range(w.ndim) if i not in axes)
     hi = np.abs(w).max(axis=reduce_axes, keepdims=True)
     return np.maximum(hi, 1e-12).astype(np.float32)
+
+
+def _sym_ranges(hi: np.ndarray, levels: int):
+    """(lo, hi) of the zero-exact symmetric grid: step = hi/(L/2-1),
+    lo = -(L/2)*step."""
+    half = levels // 2
+    step = hi / (half - 1)
+    return (-half * step).astype(np.float32), hi.astype(np.float32)
 
 
 class _Surgeon:
@@ -134,7 +151,8 @@ def quantize_ir(
         hi = (_per_channel_hi(w, axes) if axes is not None
               else np.array([max(float(np.abs(w).max()), 1e-12)],
                             np.float32))
-        s.insert_fq(const.id, 0, group, -hi, hi, levels,
+        lo, hi = _sym_ranges(hi, levels)
+        s.insert_fq(const.id, 0, group, lo, hi, levels,
                     f"{const.name}/fq")
 
     # --- activations: per-tensor FQ on quantizable data inputs
@@ -159,9 +177,9 @@ def quantize_ir(
             by_src.setdefault((src, sport), []).append(node.id)
         for (src, sport), consumers in by_src.items():
             hi_v = max(scales[c] for c in consumers) * ((levels // 2) - 1)
-            hi = np.array([hi_v], np.float32)
+            lo, hi = _sym_ranges(np.array([hi_v], np.float32), levels)
             s.insert_fq(src, sport, [(c, 0) for c in consumers],
-                        -hi, hi, levels,
+                        lo, hi, levels,
                         f"{model.nodes[src].name}/act_fq")
 
     return s.build()
