@@ -32,7 +32,9 @@ from __graft_entry__ import _model_paths
 # programmatic families (tools/gen_*.py): no reference XML exists.
 MODELS = ["mnist", "mnist_bn", "googlenet-v1", "ssd_mobilenet_v1_coco",
           "resnet18", "mobilenet-v2", "shufflenet-v2", "efficientnet-b0",
-          "squeezenet-1.1", "unet", "vit-tiny"]
+          "squeezenet-1.1", "unet", "vit-tiny", "resnet18-pot"]
+# models whose IR carries FakeQuantize nodes (step-function outputs)
+FQ_MODELS = {"resnet18-pot"}
 BACKENDS = ["interpreter", "xla", "pallas"]
 
 
@@ -100,9 +102,14 @@ def check(model_name, out, declared, reference_out):
         if not (live >= 0).all():
             failures.append("bad record ids")
     if reference_out is not None:
+        # FakeQuantize graphs are step functions: interpreter↔XLA f32
+        # drift across a rounding boundary legitimately moves isolated
+        # activations by one grid step, so FQ-bearing models compare at
+        # a few-steps-at-output-scale atol instead of the strict 1e-4.
+        atol = 2e-3 if model_name in FQ_MODELS else 1e-4
         for name in out:
             if not np.allclose(
-                out[name], reference_out[name], rtol=1e-3, atol=1e-4
+                out[name], reference_out[name], rtol=1e-3, atol=atol
             ):
                 d = float(np.abs(out[name] - reference_out[name]).max())
                 failures.append(f"disagrees with interpreter on {name} "

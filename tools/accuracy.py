@@ -45,6 +45,7 @@ MODELS = {
     "squeezenet-1.1": ("data", (1, 3, 224, 224), "cls"),  # programmatic 9th
     "unet": ("data", (1, 3, 128, 128), "seg"),  # programmatic 10th family
     "vit-tiny": ("data", (1, 3, 64, 64), "cls"),  # programmatic 11th family
+    "resnet18-pot": ("data", (1, 3, 224, 224), "cls"),  # POT-quantized IR
 }
 
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)
