@@ -18,13 +18,16 @@ Public API mirrors the reference's OpenVINO-compatible facade
     result = exenet.infer({'conv2d_input': img})
 """
 
-from pyopenvino_tpu.api import IECore, IENetwork, ExecutableNetwork
+from pyopenvino_tpu.api import (Core, CompiledModel, IECore, IENetwork,
+                                ExecutableNetwork)
 from pyopenvino_tpu.config import Config, Backend, QuantMode
 
 __version__ = "0.1.0"
 
 __all__ = [
     "IECore",
+    "Core",
+    "CompiledModel",
     "IENetwork",
     "ExecutableNetwork",
     "Config",

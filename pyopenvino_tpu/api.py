@@ -47,6 +47,18 @@ class IENetwork:
     def input_info(self) -> Dict[str, dict]:
         return {i["name"]: i for i in self.inputs}
 
+    def reshape(self, new_shapes: Dict[str, tuple]):
+        """Change input shapes before load_network — OpenVINO's
+        ``IENetwork.reshape`` (absent from the reference; its shapes are
+        frozen into the XML).  Shape inference re-derives every port;
+        ops that capture the old shape (fixed Reshape flatten targets,
+        PriorBox anchors) raise their own shape error, matching the
+        real engine's contract."""
+        from pyopenvino_tpu.passes.shape_infer import reshape_model
+
+        self.__init__(reshape_model(self.model, new_shapes))
+        return self
+
 
 class ExecutableNetwork:
     """A loaded network with a selectable backend.
@@ -281,3 +293,59 @@ class IECore:
         exe = ExecutableNetwork(network, cfg)
         exe.num_requests = num_requests  # sizes the async request pool
         return exe
+
+
+class CompiledModel:
+    """OpenVINO 2.0-API handle over an ExecutableNetwork: callable,
+    plus create_infer_request() for the async workflow."""
+
+    def __init__(self, exe: ExecutableNetwork):
+        self._exe = exe
+
+    def __call__(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        return self._exe.infer(inputs)
+
+    def infer_new_request(
+        self, inputs: Dict[str, np.ndarray]
+    ) -> Dict[str, np.ndarray]:
+        return self._exe.infer(inputs)
+
+    def create_infer_request(self) -> InferRequest:
+        return InferRequest(self._exe)
+
+    @property
+    def inputs(self):
+        return self._exe.network.inputs
+
+    @property
+    def outputs(self):
+        return self._exe.network.outputs
+
+
+class Core:
+    """The OpenVINO 2.0 entry point (`openvino.Core`), mapped onto the
+    same engine the 1.0-style IECore drives.  The reference implements
+    only the legacy API (inference_engine.py IECore/IENetwork); users
+    coming from current OpenVINO get the modern spelling here:
+
+        core = Core()
+        model = core.read_model("net.xml")          # has .reshape()
+        compiled = core.compile_model(model, "TPU")
+        out = compiled({"data": blob})              # or infer requests
+    """
+
+    def __init__(self):
+        self._ie = IECore()
+
+    def read_model(self, model: str,
+                   weights: Optional[str] = None) -> IENetwork:
+        return self._ie.read_network(model, weights)
+
+    def compile_model(
+        self,
+        model: IENetwork,
+        device_name: str = "TPU",
+        config: Optional[Config] = None,
+    ) -> CompiledModel:
+        return CompiledModel(
+            self._ie.load_network(model, device_name, config=config))

@@ -80,3 +80,55 @@ def check_against_declared(model: Model, analysis: ShapeAnalysis):
         raise AssertionError(
             f"{len(mismatches)} shape mismatches:\n" + "\n".join(lines)
         )
+
+
+def reshape_model(model: Model, new_shapes: Dict[str, Tuple[int, ...]]) -> Model:
+    """Return a new Model with Parameter shapes replaced and every
+    declared port dim re-derived by shape inference — the engine's
+    equivalent of OpenVINO's ``IENetwork.reshape`` (an API the
+    reference does not implement; its shapes are frozen into the XML).
+
+    Fully-convolutional graphs (e.g. the U-Net family) accept any
+    compatible resolution; graphs with shape-capturing constants
+    (fixed Reshape flatten targets, PriorBox anchors) raise the op's
+    own shape error — the same contract the real engine has.
+    """
+    import dataclasses
+
+    from pyopenvino_tpu.ir.model import TensorInfo
+
+    by_name = {n.name: n for n in model.parameters}
+    unknown = sorted(set(new_shapes) - set(by_name))
+    if unknown:
+        raise ValueError(
+            f"reshape: not Parameter inputs: {unknown}; "
+            f"inputs are {sorted(by_name)}"
+        )
+
+    nodes = dict(model.nodes)
+    for name, shape in new_shapes.items():
+        p = by_name[name]
+        outs = {
+            port: dataclasses.replace(info, shape=tuple(int(d) for d in shape))
+            for port, info in p.outputs.items()
+        }
+        nodes[p.id] = dataclasses.replace(p, outputs=outs)
+
+    remodel = Model(model.name, nodes, list(model.edges))
+    analysis = infer_shapes(remodel)  # raises where ops can't adapt
+
+    # rewrite every declared port dim so the model stays self-consistent
+    # (writer round-trips, inspect tools, declared-shape validation)
+    final = {}
+    for nid, node in remodel.nodes.items():
+        ins = {
+            port: dataclasses.replace(
+                info, shape=analysis.shape(*remodel.in_edges[nid][port]))
+            for port, info in node.inputs.items()
+        }
+        outs = {
+            port: dataclasses.replace(info, shape=analysis.shape(nid, port))
+            for port, info in node.outputs.items()
+        }
+        final[nid] = dataclasses.replace(node, inputs=ins, outputs=outs)
+    return Model(model.name, final, list(model.edges))
