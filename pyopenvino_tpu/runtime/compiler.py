@@ -819,14 +819,19 @@ class CompiledNetwork:
         return {f: int(getattr(ma, f)) for f in fields if hasattr(ma, f)}
 
 
-def compile_model(
+def prepare_model(
     model: Model,
     config: Optional[Config] = None,
-    mesh=None,
     calibration_samples=None,
-) -> CompiledNetwork:
-    """calibration_samples: iterable of {param_name: blob} input dicts,
-    required for QuantMode.INT8_FULL (activation scales — passes/calibrate)."""
+):
+    """Compile-time preprocessing shared by `compile_model` and the
+    pipeline partitioner (parallel/pipeline.py): dead-branch elimination,
+    BN-scale / FakeQuantize folding, INT8 weight quantization and
+    activation calibration — everything that must see the WHOLE graph
+    before it is traced (or cut into pipeline stages).
+
+    Returns (model, quantized, act_scales) ready for CompiledNetwork.
+    """
     config = config or Config()
     # Dead-branch elimination first: keeps dead weights out of the device
     # pytree and dead ops out of quantization/calibration.  (The numpy
@@ -898,6 +903,21 @@ def compile_model(
             act_scales.update(fq_scales)
         else:
             act_scales = fq_scales
+    return model, quantized, act_scales
+
+
+def compile_model(
+    model: Model,
+    config: Optional[Config] = None,
+    mesh=None,
+    calibration_samples=None,
+) -> CompiledNetwork:
+    """calibration_samples: iterable of {param_name: blob} input dicts,
+    required for QuantMode.INT8_FULL (activation scales — passes/calibrate)."""
+    config = config or Config()
+    model, quantized, act_scales = prepare_model(
+        model, config, calibration_samples
+    )
     net = CompiledNetwork(
         model, config, mesh=mesh, quantized=quantized, act_scales=act_scales
     )
