@@ -152,6 +152,10 @@ def main():
                     help="auto: virtual CPU mesh when measuring >1 device "
                     "(this rig has one chip); tpu: use real devices as-is "
                     "(pod slices)")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="K",
+                    help="measure the SPMD GPipe pipeline at K stages "
+                    "(parallel/pipeline.py) instead of the DP/TP sweep; "
+                    "remaining devices form the 'data' axis")
     ap.add_argument("--multiprocess", type=int, default=0, metavar="N",
                     help="spawn N real OS processes forming a "
                     "jax.distributed group (CPU/gloo, 2 devices each) and "
@@ -192,6 +196,43 @@ def main():
     cfg = Config(
         quant=QuantMode.INT8_WEIGHT if args.quant == "int8w" else QuantMode.NONE
     )
+
+    if args.pipeline:
+        from pyopenvino_tpu.parallel.pipeline import (
+            build_pipeline_mesh, compile_pipelined,
+        )
+
+        K = args.pipeline
+        data_ax = max(1, min(args.devices, n_dev) // K)
+        base = measure(compile_model(model, cfg), in_name, shape,
+                       args.batch_per)
+        pp = compile_pipelined(model, build_pipeline_mesh(K, data=data_ax),
+                               cfg)
+        batch = args.batch_per * data_ax * K
+        rng = np.random.default_rng(0)
+        blob = rng.uniform(0, 255, (batch,) + shape).astype(np.float32)
+        out = pp.infer_batch({in_name: blob})  # warm (compiles)
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = pp.infer_batch({in_name: blob})
+        k = next(iter(out))
+        _ = np.asarray(out[k]).ravel()[:1]
+        img_s = batch / ((time.perf_counter() - t0) / iters)
+        eff = img_s / (base * data_ax * K)
+        print(f"pipeline stages={K} data={data_ax} batch={batch} "
+              f"{img_s:>10.1f} img/s  efficiency={eff:.2%}")
+        print(json.dumps({
+            "model": args.model, "platform": platform, "quant": args.quant,
+            "mode": "pipeline", "stages": K, "data": data_ax,
+            "img_s": round(img_s, 1), "efficiency_vs_linear": round(eff, 3),
+            "note": ("virtual devices share one chip; efficiency measures "
+                     "schedule+partitioning overhead (incl. the (K-1)/"
+                     "(n_micro+K-1) pipeline bubble), not hardware scaling"
+                     if platform == "cpu" or n_dev == 1 else
+                     "real multi-device scaling"),
+        }))
+        return
 
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= min(args.devices, n_dev)]
     rows = []

@@ -265,13 +265,21 @@ class PipelinedNetwork:
     """GPipe-microbatched pipeline over `mesh`'s 'stage' axis (DP over its
     'data' axis when present).  Built by `compile_pipelined`."""
 
-    def __init__(self, stage_nets, cuts: List[CutPoint], mesh):
+    def __init__(self, stage_nets, cuts: List[CutPoint], mesh, model=None):
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         if "stage" not in mesh.shape:
             raise ValueError("pipeline mesh needs a 'stage' axis")
         self.mesh = mesh
+        # full prepared model (introspection: serving reads
+        # .model.parameters; apps read .model.results)
+        self.model = model if model is not None else stage_nets[0].model
+        # serving/server.py reads this to round buckets up to multiples of
+        # the 'data' axis — same contract as mesh.shard_compiled
+        self._batch_pspec = (
+            P("data") if "data" in mesh.shape else P(None)
+        )
         self.n_stages = mesh.shape["stage"]
         self.data_ax = mesh.shape.get("data", 1)
         if len(stage_nets) != self.n_stages:
@@ -528,7 +536,7 @@ def compile_pipelined(
         )
         for spec in specs
     ]
-    return PipelinedNetwork(nets, cuts, mesh)
+    return PipelinedNetwork(nets, cuts, mesh, model=model)
 
 
 def build_pipeline_mesh(n_stages: int, data: int = 1):

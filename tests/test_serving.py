@@ -168,3 +168,34 @@ def test_served_sharded_network():
         one = server.infer({"conv2d_input": blobs[0]})
     for k in ref[0]:
         np.testing.assert_allclose(one[k], ref[0][k], rtol=1e-4, atol=1e-5)
+
+
+def test_served_pipelined_network():
+    """Serving x pipeline parallelism: a PipelinedNetwork behind the
+    continuous-batching server — the pipeline exposes the same
+    infer_batch / model / mesh / _batch_pspec surface as a sharded
+    CompiledNetwork, so coalesced buckets ride the SPMD GPipe schedule
+    unchanged (and round up to the 'data' axis like any DP mesh)."""
+    from pyopenvino_tpu.parallel.pipeline import (
+        build_pipeline_mesh, compile_pipelined,
+    )
+
+    xml, binp = model_paths("mnist")
+    ref_net = compile_model(read_ir_model(xml, binp), Config())
+    pp = compile_pipelined(
+        read_ir_model(xml, binp), build_pipeline_mesh(2, data=2)
+    )
+
+    server = InferenceServer(pp, buckets=(1, 2, 4, 8), max_delay_ms=5.0)
+    assert server.buckets == (2, 4, 8)  # rounded to data-axis multiples
+
+    rng = np.random.default_rng(1)
+    blobs = [rng.uniform(0, 255, (1, 1, 28, 28)).astype(np.float32)
+             for _ in range(6)]
+    ref = [ref_net({"conv2d_input": b}) for b in blobs]
+    with server:
+        futs = [server.submit({"conv2d_input": b}) for b in blobs]
+        outs = [f.result(timeout=60) for f in futs]
+    for got, want in zip(outs, ref):
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-4)
