@@ -67,6 +67,11 @@ def main():
                     choices=["float32", "bfloat16"])
     ap.add_argument("--batch", type=int, default=1,
                     help="repeat the image to time batched throughput")
+    ap.add_argument("--stream", type=int, default=0, metavar="N",
+                    help="stream N raw-image batches through the native "
+                    "AsyncLoader (background C++ preprocessing overlapping "
+                    "device inference) and report end-to-end img/s vs the "
+                    "synchronous pipeline; requires --batch > 1")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--verbose", action="store_true",
                     help="per-layer timing (interpreter backend)")
@@ -132,6 +137,40 @@ def main():
         print(f"batch={args.batch}: {dt*1e3:.2f} ms/batch "
               f"= {args.batch/dt:.1f} img/s")
         scores = out[k][0].reshape(-1)
+
+        if args.stream:
+            import threading
+
+            ih, iw, ic = raw.shape
+            # synchronous pipeline: preprocess then infer, serialized
+            t0 = time.perf_counter()
+            for _ in range(args.stream):
+                bb = native.preprocess_batch(imgs, (h, w)).reshape(
+                    (args.batch,) + tuple(shape))
+                out = exe.infer_batch({in_name: bb})
+            _ = np.asarray(out[k][0, 0])
+            sync_s = time.perf_counter() - t0
+            # streamed: AsyncLoader prefetches in background C++ threads
+            with native.AsyncLoader((ih, iw, ic), (h, w),
+                                    depth=4) as loader:
+                def produce():
+                    for _ in range(args.stream):
+                        loader.submit(imgs)
+                    loader.close()
+                th = threading.Thread(target=produce)
+                th.start()
+                t0 = time.perf_counter()
+                for bb in loader:
+                    out = exe.infer_batch(
+                        {in_name: bb.reshape((args.batch,) + tuple(shape))})
+                _ = np.asarray(out[k][0, 0])
+                stream_s = time.perf_counter() - t0
+                th.join()
+            n_img = args.stream * args.batch
+            print(f"stream={args.stream} batches: sync "
+                  f"{n_img/sync_s:.1f} img/s, AsyncLoader "
+                  f"{n_img/stream_s:.1f} img/s "
+                  f"({sync_s/stream_s:.2f}x)")
     else:
         out = exe.infer({in_name: blob}, verbose=args.verbose)  # warm-up
         t0 = time.perf_counter()

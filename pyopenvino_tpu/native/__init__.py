@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import queue
 import subprocess
 import threading
 from typing import Optional
@@ -42,12 +43,14 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH) and not _build():
+        # always run make: a stale .so from an older source revision would
+        # fail the ABI check below and silently lose the native tier
+        if not _build() and not os.path.exists(_LIB_PATH):
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.ov_native_abi_version.restype = ctypes.c_int
-            if lib.ov_native_abi_version() != 1:
+            if lib.ov_native_abi_version() != 2:
                 return None
             lib.ov_fp16_to_fp32.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
@@ -61,6 +64,22 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int,
             ]
+            lib.ov_loader_create.restype = ctypes.c_void_p
+            lib.ov_loader_create.argtypes = [
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int,
+            ]
+            lib.ov_loader_submit.restype = ctypes.c_int64
+            lib.ov_loader_submit.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ]
+            lib.ov_loader_next.restype = ctypes.c_int64
+            lib.ov_loader_next.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ]
+            lib.ov_loader_close.argtypes = [ctypes.c_void_p]
+            lib.ov_loader_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
         except OSError:
             _lib = None
@@ -165,3 +184,128 @@ def stack_f32(blobs) -> np.ndarray:
     )
     lib.ov_stack_f32(ptrs, b, elems, out.ctypes.data, _nthreads())
     return out
+
+
+class AsyncLoader:
+    """Asynchronous prefetching data loader: uint8 image batches in, NCHW
+    float32 blobs out, preprocessed by a background C++ worker pool so input
+    preparation overlaps device compute (the reference prepares every input
+    synchronously inside its demo loop — draw-and-infer.py:54-76).
+
+    Results come back strictly in submission order; `depth` bounds the
+    in-flight window (submit blocks when full).  Falls back to a Python
+    thread pool (same semantics, numpy kernel) without a toolchain.
+
+        with AsyncLoader((ih, iw, c), (oh, ow)) as ld:
+            for imgs in stream: ld.submit(imgs)   # producer thread
+            ...
+            blob = ld.next()                      # consumer, in order
+    """
+
+    def __init__(self, in_shape, out_hw, scale=None, bias=None,
+                 workers: int = 0, depth: int = 4):
+        self.ih, self.iw, self.c = in_shape
+        self.oh, self.ow = out_hw
+        self._scale = (
+            np.ascontiguousarray(scale, np.float32)
+            if scale is not None else None
+        )
+        self._bias = (
+            np.ascontiguousarray(bias, np.float32)
+            if bias is not None else None
+        )
+        workers = workers or max(1, min(8, (os.cpu_count() or 2) - 1))
+        self._batches: "queue.SimpleQueue[int]" = queue.SimpleQueue()
+        self._lib = _load()
+        self._handle = None
+        self._pool = None
+        self._futs = None
+        if self._lib is not None:
+            self._handle = ctypes.c_void_p(self._lib.ov_loader_create(
+                self.ih, self.iw, self.c, self.oh, self.ow,
+                self._scale.ctypes.data if self._scale is not None else None,
+                self._bias.ctypes.data if self._bias is not None else None,
+                workers, depth,
+            ))
+        else:
+            import concurrent.futures
+
+            self._pool = concurrent.futures.ThreadPoolExecutor(workers)
+            self._futs = queue.Queue(maxsize=depth)
+        self._closed = False
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def submit(self, imgs: np.ndarray) -> None:
+        """imgs: (B, ih, iw, c) uint8.  Blocks while `depth` batches are
+        already in flight."""
+        if self._closed:
+            raise RuntimeError("loader is closed")
+        imgs = np.ascontiguousarray(imgs, np.uint8)
+        b, ih, iw, c = imgs.shape
+        if (ih, iw, c) != (self.ih, self.iw, self.c):
+            raise ValueError(
+                f"image shape {(ih, iw, c)} != loader {(self.ih, self.iw, self.c)}"
+            )
+        if self._handle is not None:
+            seq = self._lib.ov_loader_submit(self._handle, imgs.ctypes.data, b)
+            if seq < 0:
+                raise RuntimeError("loader is closed")
+        else:
+            self._futs.put(self._pool.submit(
+                _preprocess_numpy, imgs.copy(), (self.oh, self.ow),
+                self._scale, self._bias,
+            ))
+        self._batches.put(b)
+
+    def next(self):
+        """The next blob in submission order: (B, c, oh, ow) float32, or
+        None when the loader is closed and drained.  Blocks while the next
+        batch is still being preprocessed (outside the GIL on the native
+        path, so producers keep running)."""
+        b = self._batches.get()  # None = close() sentinel
+        if b is None:
+            self._batches.put(None)  # keep the drained state sticky
+            return None
+        if self._handle is not None:
+            out = np.empty((b, self.c, self.oh, self.ow), np.float32)
+            n = self._lib.ov_loader_next(self._handle, out.ctypes.data, out.size)
+            if n <= 0:
+                return None
+            assert n == b, (n, b)
+            return out
+        return self._futs.get().result()
+
+    def __iter__(self):
+        while True:
+            blob = self.next()
+            if blob is None:
+                return
+            yield blob
+
+    def close(self):
+        """No further submits; pending batches stay retrievable."""
+        self._closed = True
+        if self._handle is not None:
+            self._lib.ov_loader_close(self._handle)
+        elif self._pool is not None:
+            self._pool.shutdown(wait=False)
+        self._batches.put(None)  # wake a consumer blocked in next()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        h, self._handle = self._handle, None
+        if h is not None:
+            self._lib.ov_loader_destroy(h)
+        if self._pool is not None:
+            self._pool.shutdown(wait=True)
+
+    def __del__(self):  # safety net for non-context use
+        h, self._handle = getattr(self, "_handle", None), None
+        if h is not None:
+            self._lib.ov_loader_destroy(h)

@@ -13,10 +13,15 @@
 // XLA/Pallas where it belongs on TPU.
 
 #include <algorithm>
+#include <condition_variable>
 #include <cstdint>
 #include <cstring>
 #include <functional>
+#include <map>
+#include <mutex>
+#include <queue>
 #include <thread>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -136,6 +141,160 @@ void ov_stack_f32(const float** srcs, int batch, int64_t elems, float* dst,
   });
 }
 
-int ov_native_abi_version() { return 1; }
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Asynchronous prefetching data loader.
+//
+// A worker pool preprocesses submitted uint8 image batches into NCHW float32
+// blobs in the background so host-side input preparation overlaps device
+// compute (the reference prepares each input synchronously inside its demo
+// loop, draw-and-infer.py:54-76).  Results are handed back strictly in
+// submission order; a bounded in-flight window gives backpressure.  Blocking
+// calls run outside the Python GIL (ctypes releases it), so one Python
+// thread can keep submitting while another consumes.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Loader {
+  int ih, iw, c, oh, ow;
+  std::vector<float> scale, bias;
+  bool has_scale = false, has_bias = false;
+  size_t depth;
+
+  std::mutex mu;
+  std::condition_variable cv_in;   // workers: work available / dying
+  std::condition_variable cv_out;  // consumer: result ready; submit: room
+  std::queue<std::pair<uint64_t, std::vector<uint8_t>>> in_q;
+  std::map<uint64_t, std::pair<int, std::vector<float>>> done;
+  uint64_t next_submit = 0;
+  uint64_t next_emit = 0;
+  size_t inflight = 0;  // submitted and not yet consumed
+  bool closed = false;  // no further submits; next() drains then returns 0
+  bool dying = false;   // destroy(): unblock everyone
+  std::vector<std::thread> workers;
+};
+
+void loader_worker(Loader* L) {
+  for (;;) {
+    std::pair<uint64_t, std::vector<uint8_t>> job;
+    {
+      std::unique_lock<std::mutex> lk(L->mu);
+      L->cv_in.wait(lk, [&] { return L->dying || !L->in_q.empty(); });
+      if (L->dying) return;
+      job = std::move(L->in_q.front());
+      L->in_q.pop();
+    }
+    const size_t in_stride = (size_t)L->ih * L->iw * L->c;
+    const size_t out_stride = (size_t)L->c * L->oh * L->ow;
+    const int batch = (int)(job.second.size() / in_stride);
+    std::vector<float> out((size_t)batch * out_stride);
+    const float* sc = L->has_scale ? L->scale.data() : nullptr;
+    const float* bi = L->has_bias ? L->bias.data() : nullptr;
+    for (int b = 0; b < batch; ++b) {
+      preprocess_one(job.second.data() + (size_t)b * in_stride, L->ih, L->iw,
+                     L->c, out.data() + (size_t)b * out_stride, L->oh, L->ow,
+                     sc, bi);
+    }
+    {
+      std::lock_guard<std::mutex> lk(L->mu);
+      L->done.emplace(job.first,
+                      std::make_pair(batch, std::move(out)));
+    }
+    L->cv_out.notify_all();
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+void* ov_loader_create(int ih, int iw, int c, int oh, int ow,
+                       const float* scale, const float* bias, int workers,
+                       int depth) {
+  Loader* L = new Loader();
+  L->ih = ih; L->iw = iw; L->c = c; L->oh = oh; L->ow = ow;
+  if (scale) {
+    L->scale.assign(scale, scale + c);
+    L->has_scale = true;
+  }
+  if (bias) {
+    L->bias.assign(bias, bias + c);
+    L->has_bias = true;
+  }
+  L->depth = depth < 1 ? 1 : (size_t)depth;
+  workers = std::max(1, workers);
+  for (int i = 0; i < workers; ++i) {
+    L->workers.emplace_back(loader_worker, L);
+  }
+  return L;
+}
+
+// Copies `imgs` ((batch, ih, iw, c) uint8) and enqueues it; blocks while the
+// in-flight window is full.  Returns the sequence id, or -1 after close.
+int64_t ov_loader_submit(void* h, const uint8_t* imgs, int batch) {
+  Loader* L = (Loader*)h;
+  const size_t bytes = (size_t)batch * L->ih * L->iw * L->c;
+  std::vector<uint8_t> copy(imgs, imgs + bytes);
+  std::unique_lock<std::mutex> lk(L->mu);
+  if (L->closed || L->dying) return -1;
+  L->cv_out.wait(lk, [&] { return L->dying || L->inflight < L->depth; });
+  if (L->closed || L->dying) return -1;
+  const uint64_t seq = L->next_submit++;
+  L->inflight++;
+  L->in_q.emplace(seq, std::move(copy));
+  L->cv_in.notify_one();
+  return (int64_t)seq;
+}
+
+// Blocks for the next batch IN SUBMISSION ORDER and writes its blob
+// ((batch, c, oh, ow) float32) into `out`.  Returns the batch size,
+// 0 when the loader is closed and drained, -1 if destroyed while waiting,
+// -2 if `cap_elems` is too small.
+int64_t ov_loader_next(void* h, float* out, int64_t cap_elems) {
+  Loader* L = (Loader*)h;
+  std::unique_lock<std::mutex> lk(L->mu);
+  for (;;) {
+    auto it = L->done.find(L->next_emit);
+    if (it != L->done.end()) {
+      const int batch = it->second.first;
+      std::vector<float>& blob = it->second.second;
+      if ((int64_t)blob.size() > cap_elems) return -2;
+      std::memcpy(out, blob.data(), blob.size() * sizeof(float));
+      L->done.erase(it);
+      L->next_emit++;
+      L->inflight--;
+      L->cv_out.notify_all();  // room for blocked submitters
+      return batch;
+    }
+    if (L->dying) return -1;
+    if (L->closed && L->next_emit >= L->next_submit) return 0;
+    L->cv_out.wait(lk);
+  }
+}
+
+void ov_loader_close(void* h) {
+  Loader* L = (Loader*)h;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->closed = true;
+  }
+  L->cv_out.notify_all();
+}
+
+void ov_loader_destroy(void* h) {
+  Loader* L = (Loader*)h;
+  {
+    std::lock_guard<std::mutex> lk(L->mu);
+    L->dying = true;
+  }
+  L->cv_in.notify_all();
+  L->cv_out.notify_all();
+  for (auto& t : L->workers) t.join();
+  delete L;
+}
+
+int ov_native_abi_version() { return 2; }
 
 }  // extern "C"

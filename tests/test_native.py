@@ -74,3 +74,102 @@ def test_fp16_const_roundtrip_through_parser():
     const = model.nodes[0].const
     assert const.dtype == np.float32
     np.testing.assert_array_equal(const, vals.astype(np.float32))
+
+
+# ---------------------------------------------------------------------------
+# AsyncLoader — the prefetching native data-loader tier
+# ---------------------------------------------------------------------------
+
+
+def _loader_batches(n=8, batch=4, shape=(32, 24, 3), seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (batch,) + shape, dtype=np.uint8)
+            for _ in range(n)]
+
+
+def test_async_loader_order_and_parity():
+    """Blobs come back strictly in submission order and bit-identical to
+    the synchronous preprocess path."""
+    import threading
+
+    scale = np.full(3, 1 / 255, np.float32)
+    batches = _loader_batches()
+    with native.AsyncLoader((32, 24, 3), (56, 56), scale=scale,
+                            depth=3) as ld:
+        t = threading.Thread(target=lambda: (
+            [ld.submit(b) for b in batches], ld.close()))
+        t.start()
+        outs = list(ld)
+        t.join()
+        assert ld.next() is None  # drained state is sticky
+    assert len(outs) == len(batches)
+    for got, imgs in zip(outs, batches):
+        want = native.preprocess_batch(imgs, (56, 56), scale=scale)
+        assert got.shape == want.shape
+        np.testing.assert_array_equal(got, want)
+
+
+def test_async_loader_variable_batch_sizes():
+    with native.AsyncLoader((16, 16, 1), (8, 8)) as ld:
+        rng = np.random.default_rng(1)
+        sizes = [1, 3, 2, 5]
+        for b in sizes:
+            ld.submit(rng.integers(0, 256, (b, 16, 16, 1), dtype=np.uint8))
+        ld.close()
+        got = [blob.shape[0] for blob in ld]
+    assert got == sizes
+
+
+def test_async_loader_backpressure_then_drain():
+    """depth=1: the producer can never get more than one batch ahead, and
+    everything submitted is still retrievable after close()."""
+    import threading
+
+    batches = _loader_batches(n=6, batch=2)
+    with native.AsyncLoader((32, 24, 3), (16, 16), depth=1) as ld:
+        done = []
+
+        def producer():
+            for b in batches:
+                ld.submit(b)
+                done.append(1)
+            ld.close()
+
+        t = threading.Thread(target=producer)
+        t.start()
+        outs = list(ld)
+        t.join()
+    assert len(outs) == 6 and len(done) == 6
+
+
+def test_async_loader_rejects_after_close_and_bad_shape():
+    ld = native.AsyncLoader((8, 8, 3), (4, 4))
+    with pytest.raises(ValueError, match="shape"):
+        ld.submit(np.zeros((1, 9, 8, 3), np.uint8))
+    ld.close()
+    with pytest.raises(RuntimeError):
+        ld.submit(np.zeros((1, 8, 8, 3), np.uint8))
+    ld.__exit__()
+
+
+def test_async_loader_python_fallback_parity():
+    """The pure-Python fallback (no .so) has identical semantics."""
+    import threading
+    from unittest import mock
+
+    scale = np.full(3, 2.0, np.float32)
+    bias = np.full(3, -1.0, np.float32)
+    batches = _loader_batches(n=4, batch=3, seed=2)
+    with mock.patch.object(native, "_load", return_value=None):
+        ld = native.AsyncLoader((32, 24, 3), (48, 48), scale=scale,
+                                bias=bias, depth=2)
+        assert not ld.native
+        with ld:
+            t = threading.Thread(target=lambda: (
+                [ld.submit(b) for b in batches], ld.close()))
+            t.start()
+            outs = list(ld)
+            t.join()
+    for got, imgs in zip(outs, batches):
+        want = native.preprocess_batch(imgs, (48, 48), scale=scale, bias=bias)
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
