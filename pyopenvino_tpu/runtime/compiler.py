@@ -549,6 +549,7 @@ class CompiledNetwork:
 
     _w_shardings = None   # {weight_key: NamedSharding} or None
     _batch_pspec = None   # PartitionSpec for the leading batch axis
+    _spatial_axis = None  # mesh axis name for H-axis spatial partitioning
 
     def batched_fn(self, batch_size: int):
         """jit-compiled function over a leading batch axis, cached per size."""
@@ -569,7 +570,30 @@ class CompiledNetwork:
             }
             return fn(weights, ins)
 
+        spatial_axis = self._spatial_axis
+        mesh = self.mesh
+
         def batched(weights, batch):
+            if spatial_axis is not None:
+                # SP: constrain each (B, ..., H, W) input's H axis to the
+                # 'spatial' mesh axis — GSPMD propagates the sharding
+                # through the traced graph and inserts halo exchanges at
+                # every window op (parallel/mesh.py module docstring)
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                def constrain(v):
+                    if v.ndim < 4:
+                        return v
+                    spec = [None] * v.ndim
+                    spec[0] = self._batch_pspec[0] if len(
+                        self._batch_pspec
+                    ) else None
+                    spec[v.ndim - 2] = spatial_axis
+                    return jax.lax.with_sharding_constraint(
+                        v, NamedSharding(mesh, PartitionSpec(*spec))
+                    )
+
+                batch = {k: constrain(v) for k, v in batch.items()}
             out = jax.vmap(single, in_axes=(None, 0))(weights, batch)
             # each output is (B, 1, ...) — collapse the declared unit batch
             return {k: v.reshape((v.shape[0],) + v.shape[2:]) for k, v in out.items()}

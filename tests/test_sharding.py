@@ -23,7 +23,9 @@ def test_mesh_build():
 
     assert len(jax.devices()) >= 8
     mesh = build_mesh(MeshConfig(data=4, model=2))
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "model": 2, "spatial": 1}
+    mesh = build_mesh(MeshConfig(data=2, spatial=4))
+    assert mesh.shape == {"data": 2, "model": 1, "spatial": 4}
 
 
 def test_data_parallel_batch(mnist_exe, mnist_image):
@@ -113,3 +115,68 @@ def test_flagship_dp_x_tp_int8w():
         np.testing.assert_allclose(
             out[name][b], ref[name][0], rtol=1e-4, atol=1e-6
         )
+
+
+def test_spatial_parallel_halo_exchange():
+    """SP — spatial partitioning, the CNN analogue of sequence/context
+    parallelism (SURVEY §5): activations sharded on the image-row axis over
+    'spatial', GSPMD inserting the halo exchanges every conv/pool window
+    needs.  GoogLeNet on (data=2, spatial=4): output parity per example AND
+    the compiled program must actually contain halo collective-permutes
+    (otherwise "spatial sharding" silently degraded to all-gathers)."""
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = model_paths("googlenet-v1")
+    compiled = compile_model(read_ir_model(xml, binp))
+
+    rng = np.random.default_rng(0)
+    blob = rng.uniform(0, 255, (4, 3, 224, 224)).astype(np.float32)
+    ref = compiled.infer_batch({"data": blob})
+
+    mesh = build_mesh(MeshConfig(data=2, spatial=4))
+    shard_compiled(compiled, mesh, spatial_parallel=True)
+    out = compiled.infer_batch({"data": blob})
+    name = next(iter(ref))
+    np.testing.assert_allclose(out[name], ref[name], rtol=1e-4, atol=1e-6)
+
+    hlo = compiled.batched_fn(4).lower(
+        compiled.weights, {"data": blob}
+    ).compile().as_text()
+    assert hlo.count("collective-permute") >= 1, "no halo exchange in HLO"
+
+
+def test_spatial_x_data_combined_distinct_rows():
+    """DP x SP on a (2, 1, 2) mesh with DISTINCT batch rows — identical
+    rows would mask any cross-example/cross-shard mixing (that is exactly
+    how the TP x SP miscompilation below first slipped past a test)."""
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = model_paths("mnist")
+    compiled = compile_model(read_ir_model(xml, binp))
+    rng = np.random.default_rng(5)
+    blob = rng.uniform(0, 255, (4, 1, 1, 28, 28)).astype(np.float32)
+    ref = compiled.infer_batch({"conv2d_input": blob})
+
+    mesh = build_mesh(MeshConfig(data=2, model=1, spatial=2))
+    shard_compiled(compiled, mesh, spatial_parallel=True)
+    out = compiled.infer_batch({"conv2d_input": blob})
+    name = next(iter(ref))
+    np.testing.assert_allclose(out[name], ref[name], rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_x_tensor_rejected():
+    """TP x SP is MISCOMPILED by this stack's SPMD partitioner (a conv
+    with spatially-sharded input and channel-sharded kernel returns wrong
+    values — minimal repro in docs/MEASUREMENTS.md).  shard_compiled must
+    refuse the combination instead of silently returning wrong numbers."""
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = model_paths("mnist")
+    compiled = compile_model(read_ir_model(xml, binp))
+    mesh = build_mesh(MeshConfig(data=2, model=2, spatial=2))
+    with pytest.raises(ValueError, match="cannot be combined"):
+        shard_compiled(compiled, mesh, tensor_parallel=True,
+                       spatial_parallel=True)

@@ -46,6 +46,7 @@ MODELS = {
     "unet": ("data", (1, 3, 128, 128), "seg"),  # programmatic 10th family
     "vit-tiny": ("data", (1, 3, 64, 64), "cls"),  # programmatic 11th family
     "resnet18-pot": ("data", (1, 3, 224, 224), "cls"),  # POT-quantized IR
+    "moe-mlp": ("input", (1, 3, 32, 32), "cls"),  # programmatic 12th (EP)
 }
 
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)
