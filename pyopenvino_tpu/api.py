@@ -189,6 +189,78 @@ class ExecutableNetwork:
             }
         return self._get_compiled().infer_batch(inputs)
 
+    def get_perf_counts(self, inputs=None) -> Dict[str, dict]:
+        """Per-layer performance counters — OpenVINO's
+        ``InferRequest.get_perf_counters`` surface; the reference prints the
+        same numbers from its dispatch loop (inference_engine.py:273-283).
+
+        Returns {layer_name: {status, layer_type, exec_type, real_time_us}}.
+        Interpreter backend: the measured per-node wall-clock of the LAST
+        ``infer``.  Compiled backends: one measured ``jax.profiler`` pass
+        over ``inputs`` (required) — per-node device time attributed via
+        the emission named scopes (fusion-approximate,
+        runtime/profiling.py); layers folded at compile time or absorbed
+        into a fused epilogue report status NOT_RUN, like OpenVINO's
+        optimized-out layers.  Needs a TPU device plane; the numpy twin is
+        the off-device profile (``kernel_type='numpy'`` + infer)."""
+        if self.config.backend == Backend.INTERPRETER:
+            it = self._get_interpreter()
+            if not it.last_timings:
+                raise RuntimeError(
+                    "no interpreter run recorded — call infer() first"
+                )
+            return {
+                name: {
+                    "status": "EXECUTED",
+                    "layer_type": op_type,
+                    "exec_type": "numpy_ref",
+                    "real_time_us": round(dt * 1e6, 2),
+                }
+                for _, op_type, name, dt in it.last_timings
+            }
+        if inputs is None:
+            raise ValueError(
+                "compiled-path perf counts profile a real execution — "
+                "pass inputs"
+            )
+        from pyopenvino_tpu.runtime import profiling
+
+        compiled = self._get_compiled()
+        rows = compiled.profile(inputs)
+        if not rows:
+            # hlo_stats has no device plane off-TPU — an empty profile
+            # must not masquerade as "every layer NOT_RUN"
+            raise RuntimeError(
+                "device profile came back empty (no TPU device plane?) — "
+                "use kernel_type='numpy' + infer() for host-side counts"
+            )
+        agg = profiling.aggregate(rows, by="node")
+        by_id = {}
+        for row in agg:
+            scope = row["node"]
+            if "_" in scope and scope.rsplit("_", 1)[1].isdigit():
+                by_id[int(scope.rsplit("_", 1)[1])] = row
+        out = {}
+        for node in self.ienet.model:
+            if node.op_type in ("Const", "Parameter", "Result"):
+                continue
+            row = by_id.get(node.id)
+            if row is None:
+                out[node.name] = {
+                    "status": "NOT_RUN",  # folded / fused into a neighbor
+                    "layer_type": node.op_type,
+                    "exec_type": "",
+                    "real_time_us": 0.0,
+                }
+            else:
+                out[node.name] = {
+                    "status": "EXECUTED",
+                    "layer_type": node.op_type,
+                    "exec_type": row.get("bound_by") or "device",
+                    "real_time_us": row["self_us"],
+                }
+        return out
+
     # -- async request API (OpenVINO ExecutableNetwork.requests parity) ------
     # The reference accepts num_requests and ignores it
     # (inference_engine.py:86); real OpenVINO exposes a pool of InferRequest
@@ -258,6 +330,11 @@ class InferRequest:
         self.output_blobs = self._future.result(timeout=timeout)
         return 0  # OK status, like openvino's StatusCode.OK
 
+    def get_perf_counts(self, inputs=None) -> Dict[str, dict]:
+        """OpenVINO InferRequest.get_perf_counters parity — see
+        ExecutableNetwork.get_perf_counts."""
+        return self._exe.get_perf_counts(inputs)
+
 
 class IECore:
     def __init__(self):
@@ -278,6 +355,21 @@ class IECore:
         }
         if unsupported:
             raise ValueError(f"unsupported node types: {sorted(unsupported)}")
+
+    def query_network(
+        self, network: IENetwork, device_name: str = "TPU"
+    ) -> Dict[str, str]:
+        """OpenVINO IECore.query_network parity: {layer_name: device} for
+        every layer the device supports (unsupported layers are omitted —
+        callers diff against the network's layer list, exactly how
+        OpenVINO's QueryNetworkResult.supportedLayersMap is consumed).
+        The reference's closest surface is the warn-only check_nodes
+        (inference_engine.py:62-71)."""
+        return {
+            n.name: device_name
+            for n in network.model.nodes.values()
+            if n.op_type in self.supported
+        }
 
     def load_network(
         self,

@@ -140,3 +140,64 @@ def test_infer_batch_honors_interpreter_backend(mnist_image):
     for k in a:
         assert a[k].shape == b[k].shape
         np.testing.assert_allclose(a[k], b[k], rtol=1e-3, atol=1e-5)
+
+
+def test_perf_counts_interpreter(mnist_image):
+    """OpenVINO get_perf_counters parity on the interpreter backend: per-
+    layer measured wall-clock of the last infer (the reference prints the
+    same from its dispatch loop, inference_engine.py:273-283)."""
+    ie = IECore()
+    xml, binp = model_paths("mnist")
+    exe = ie.load_network(ie.read_network(xml, binp), "CPU")
+    with pytest.raises(RuntimeError, match="infer"):
+        exe.get_perf_counts()  # nothing ran yet
+    exe.infer({"conv2d_input": mnist_image})
+    counts = exe.get_perf_counts()
+    # the interpreter times every task incl. Const/Parameter/Result — the
+    # same coverage as the reference's dispatch-loop printout
+    runtime_layers = [
+        n for n in exe.ienet.model
+        if n.op_type not in ("Const", "Parameter", "Result")
+    ]
+    assert {n.name for n in runtime_layers} <= set(counts)
+    for name, row in counts.items():
+        assert row["status"] == "EXECUTED"
+        assert row["real_time_us"] >= 0.0
+        assert row["layer_type"]
+    total = sum(r["real_time_us"] for r in counts.values())
+    assert total > 0.0
+
+
+def test_perf_counts_compiled_contract(mnist_image):
+    """Compiled-path perf counts require inputs (they profile a real
+    execution) and refuse to fabricate numbers off-TPU (the CPU backend
+    has no device plane — an empty profile must raise, not report every
+    layer NOT_RUN)."""
+    ie = IECore()
+    xml, binp = model_paths("mnist")
+    exe = ie.load_network(ie.read_network(xml, binp), "TPU")
+    with pytest.raises(ValueError, match="inputs"):
+        exe.get_perf_counts()
+    with pytest.raises(RuntimeError, match="device plane|empty"):
+        exe.get_perf_counts({"conv2d_input": mnist_image})
+
+
+def test_query_network():
+    """IECore.query_network parity: supported layers map to the device;
+    unsupported ones are omitted (how QueryNetworkResult is consumed)."""
+    from pyopenvino_tpu.ir.model import Model, Node
+
+    ie = IECore()
+    xml, binp = model_paths("mnist")
+    net = ie.read_network(xml, binp)
+    supported = ie.query_network(net, "TPU")
+    assert set(supported.values()) == {"TPU"}
+    all_names = {n.name for n in net.model.nodes.values()}
+    assert set(supported) == all_names  # every mnist layer is supported
+
+    bogus = Node(id=0, name="alien", op_type="FancyNewOp", attrs={},
+                 inputs={}, outputs={})
+    holey = ie.read_network(xml, binp)
+    holey.model.nodes[max(holey.model.nodes) + 1] = bogus
+    res = ie.query_network(holey, "TPU")
+    assert "alien" not in res
