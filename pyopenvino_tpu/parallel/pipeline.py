@@ -261,6 +261,21 @@ def partition(model: Model, rt: List[int], cuts: List[CutPoint]) -> List[StageSp
 # ---------------------------------------------------------------------------
 
 
+def _put(host: np.ndarray, sharding):
+    """device_put, or a callback-built global array in a multi-process
+    (multi-controller) group where some mesh devices are not addressable —
+    every process holds the full host value, so the callback serves any
+    requested index locally (same pattern as mesh.shard_compiled)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(host, sharding)
+    host = np.asarray(host)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 class PipelinedNetwork:
     """GPipe-microbatched pipeline over `mesh`'s 'stage' axis (DP over its
     'data' axis when present).  Built by `compile_pipelined`."""
@@ -323,9 +338,7 @@ class PipelinedNetwork:
                         buf[s, o:o + size] = np.asarray(
                             net.weights[key]
                         ).reshape(-1)
-            self._wbufs[dt] = jax.device_put(
-                buf, NamedSharding(mesh, P("stage", None))
-            )
+            self._wbufs[dt] = _put(buf, NamedSharding(mesh, P("stage", None)))
         self._jit_cache: Dict[Tuple[int, int], object] = {}
 
     # -- program construction ------------------------------------------------
@@ -498,6 +511,22 @@ class PipelinedNetwork:
             name: np.asarray(v).reshape((n_micro, m) + v.shape[1:])
             for name, v in inputs.items()
         }
+        import jax
+
+        if jax.process_count() > 1:
+            # multi-controller: jit needs committed global arrays.  Every
+            # process passes the SAME full batch (the pipeline contract in
+            # a multi-process group — the 'stage' axis crosses processes,
+            # inputs are replicated along it).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = (
+                P(None, "data") if "data" in self.mesh.shape else P()
+            )
+            x = {
+                name: _put(v, NamedSharding(self.mesh, spec))
+                for name, v in x.items()
+            }
         flat = np.asarray(self._jit_cache[key](self._wbufs, x))
         flat = flat.reshape(batch, -1)
         out = {}

@@ -73,3 +73,40 @@ def test_two_process_distributed_inference(tmp_path, tp):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"MP_OK {pid}" in out, out
+
+
+def test_two_process_pipeline(tmp_path):
+    """Pipeline parallelism across a REAL process boundary: 2 OS processes
+    x 2 devices form a ('data'=1, 'stage'=4) mesh whose stage axis crosses
+    the processes — microbatch activations ride lax.ppermute over gloo and
+    every process's full output must match the single-process reference."""
+    nproc, batch_per = 2, 4
+    ref = _reference_outputs(nproc * batch_per)
+    ref_npz = str(tmp_path / "ref.npz")
+    np.savez(ref_npz, **ref)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    args = [sys.executable, "tools/mp_worker.py"]
+    tail = ["mnist", str(batch_per), ref_npz, "--pipeline"]
+    procs = [
+        subprocess.Popen(
+            args + [str(pid), str(nproc), str(port)] + tail,
+            cwd=ROOT, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"MP_OK {pid}" in out, out

@@ -10,8 +10,14 @@ than one process (VERDICT r1).
 
 Usage:
     python tools/mp_worker.py PID NPROC PORT MODEL BATCH_PER_PROC REF_NPZ \
-        [--tp] [--bench ITERS]
+        [--tp] [--pipeline] [--bench ITERS]
 Prints "MP_OK <pid>" and exits 0 on success.
+
+--pipeline: instead of the DP(/TP) mesh, build a ('data'=1, 'stage'=NPROC*2)
+pipeline whose STAGE axis crosses the process boundary — every process owns
+two pipeline stages, activations ride ppermute across processes, and every
+process feeds the same full batch (the multi-controller pipeline contract,
+parallel/pipeline.py infer_batch) and checks the full output.
 """
 
 import os
@@ -29,6 +35,7 @@ def main():
     batch_per = int(sys.argv[5])
     ref_npz = sys.argv[6]
     tp = "--tp" in sys.argv
+    pipeline = "--pipeline" in sys.argv
     bench_iters = 0
     if "--bench" in sys.argv:
         bench_iters = int(sys.argv[sys.argv.index("--bench") + 1])
@@ -60,6 +67,27 @@ def main():
 
     xml, binp = _model_paths(model_name)
     model = read_ir_model(xml, binp)
+
+    if pipeline:
+        from pyopenvino_tpu.parallel.pipeline import (
+            build_pipeline_mesh, compile_pipelined,
+        )
+
+        pp = compile_pipelined(
+            model, build_pipeline_mesh(nproc * 2, data=1)
+        )
+        param = model.parameters[0]
+        shape = param.outputs[param.out_port].shape
+        b_global = batch_per * nproc
+        rng = np.random.default_rng(0)  # same stream in every process
+        blob = rng.uniform(0, 255, (b_global,) + shape).astype(np.float32)
+        out = pp.infer_batch({param.name: blob})
+        ref = np.load(ref_npz)
+        for k, v in out.items():
+            np.testing.assert_allclose(v, ref[k], rtol=1e-4, atol=1e-5)
+        print(f"MP_OK {pid}", flush=True)
+        return
+
     compiled = compile_model(model, Config(backend=Backend.XLA))
 
     model_ax = 2 if tp else 1
