@@ -42,7 +42,7 @@ def _random_graph(seed):
              "residual", "dwconv", "lrn", "concat", "transpose2",
              "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
              "act2", "mvn", "deconv", "fq", "nl2", "blockspatial",
-             "unary3"]
+             "unary3", "moe"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -158,6 +158,26 @@ def _random_graph(seed):
                 continue
         elif kind == "unary3":
             out = b.unary(str(rng.choice(["Abs", "Erf", "Negative"])), src)
+        elif kind == "moe":
+            # dense-gated expert mixture on the GAP vector, re-applied to
+            # the feature map as an SE-style gate — exercises Tile,
+            # stacked rank-3 Const MatMul (the EP weight shape,
+            # tools/gen_moe.py), rank-2 softmax and ReduceSum over the
+            # expert axis
+            E = int(rng.choice([2, 4]))
+            ch = int(rng.choice([4, 8]))
+            gapv = b.reduce("Mean", src, axes=(2, 3), keep_dims=False)
+            wr = rng.normal(0, 0.4, (c, E)).astype(np.float32)
+            gate = b.softmax(b.matmul(gapv, b.const(wr)), axis=1)
+            xt = b.tile(b.reshape(gapv, (1, 1, c)), (E, 1, 1))
+            w_in = rng.normal(0, 0.4, (E, c, ch)).astype(np.float32)
+            w_out = rng.normal(0, 0.4, (E, ch, c)).astype(np.float32)
+            y = b.matmul(b.gelu(b.matmul(xt, b.const(w_in))),
+                         b.const(w_out))
+            gt = b.reshape(b.transpose(gate, (1, 0)), (E, 1, 1))
+            mix = b.reduce("Sum", b.multiply(y, gt), axes=(0,),
+                           keep_dims=False)
+            out = b.multiply(src, b.reshape(b.sigmoid(mix), (1, c, 1, 1)))
         elif kind == "deconv" and h <= 16:
             k = int(rng.choice([2, 3]))
             s = int(rng.choice([1, 2]))

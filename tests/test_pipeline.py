@@ -206,3 +206,28 @@ def test_microbatch_order_preserved():
         np.testing.assert_allclose(
             out[i], one[pp.output_names[0]][0], rtol=1e-4, atol=1e-4
         )
+
+
+def test_vit_pp4():
+    """Transformer pipelining — the classic PP workload: the tiny ViT cuts
+    between attention blocks (15 articulation points) onto 4 stages."""
+    _parity("vit-tiny", build_pipeline_mesh(4), batch=8, atol=1e-3)
+
+
+def test_unet_pp2_segmentation():
+    """Non-classifier pipeline: U-Net's skip connections leave exactly one
+    articulation tensor; the 2-stage cut must carry the full-resolution
+    segmentation output through the flat activation ring."""
+    pp = _parity("unet", build_pipeline_mesh(2), batch=4, atol=1e-4)
+    assert len(pp.cuts) == 1
+
+
+def test_ssd_has_no_cut_is_a_clear_error():
+    """SSD's parallel prior-box/class/loc heads mean no single-tensor
+    articulation point exists — compile_pipelined must say so, not
+    produce a wrong partition."""
+    xml, binp = model_paths("ssd_mobilenet_v1_coco")
+    with pytest.raises(ValueError, match="cut points"):
+        compile_pipelined(
+            read_ir_model(xml, binp), build_pipeline_mesh(2)
+        )
