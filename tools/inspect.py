@@ -59,6 +59,9 @@ def main():
                     "(device time, bound-by) — runtime/profiling.py")
     ap.add_argument("--batch", type=int, default=None,
                     help="profile at this batch size (default: single)")
+    ap.add_argument("--pipeline", type=int, default=0, metavar="K",
+                    help="show the K-stage pipeline partition (cut tensors, "
+                    "per-stage FLOP share — parallel/pipeline.py)")
     args = ap.parse_args()
 
     from pyopenvino_tpu.utils import select_device
@@ -119,6 +122,37 @@ def main():
     total = sum(fl.values())
     print(f"  FLOPs/inference: {total/1e9:.3f} G "
           f"({ {k: round(v/1e9, 3) for k, v in fl.items()} })")
+
+    if args.pipeline:
+        from pyopenvino_tpu.parallel.pipeline import (
+            _node_cost, choose_cuts, find_cut_candidates, partition,
+        )
+
+        rt, cands = find_cut_candidates(c.model, c.analysis)
+        print(f"\npipeline partition ({args.pipeline} stages, "
+              f"{len(cands)} candidate cut points):")
+        rt2, cuts = choose_cuts(c.model, c.analysis, args.pipeline)
+        specs = partition(c.model, rt2, cuts)
+        all_cost = sum(
+            _node_cost(c.model, c.analysis, c.model.nodes[nid])
+            for nid in rt2
+        ) or 1.0
+        bounds = [-1] + [cut.pos for cut in cuts] + [len(rt2) - 1]
+        for s, spec in enumerate(specs):
+            seg = rt2[bounds[s] + 1: bounds[s + 1] + 1]
+            cost = sum(
+                _node_cost(c.model, c.analysis, c.model.nodes[nid])
+                for nid in seg
+            )
+            cut_desc = ""
+            if s < len(cuts):
+                cut = cuts[s]
+                node = c.model.nodes[cut.node_id]
+                shape = node.outputs[cut.port].shape
+                cut_desc = (f" → cut at {node.op_type} {node.name!r} "
+                            f"{shape} ({cut.size:,} elems)")
+            print(f"  stage {s}: {len(seg)} ops, "
+                  f"{100 * cost / all_cost:5.1f}% of FLOPs{cut_desc}")
 
     try:
         ca = c.cost_analysis()
