@@ -76,6 +76,8 @@ def main():
     ap.add_argument("--verbose", action="store_true",
                     help="per-layer timing (interpreter backend)")
     args = ap.parse_args()
+    if args.stream and args.batch <= 1:
+        ap.error("--stream needs --batch > 1 (it streams image batches)")
 
     from pyopenvino_tpu.utils import select_device
 

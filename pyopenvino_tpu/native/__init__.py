@@ -28,10 +28,17 @@ _tried = False
 
 def _build() -> bool:
     try:
-        subprocess.run(
-            ["make", "-s", "libtpuov_native.so"],
-            cwd=_DIR, check=True, capture_output=True, timeout=120,
-        )
+        # serialize concurrent builders (mp_worker fleet, pytest-xdist):
+        # two g++ links writing the same .so hand a half-written file to
+        # whichever process dlopens first
+        import fcntl
+
+        with open(os.path.join(_DIR, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            subprocess.run(
+                ["make", "-s", "libtpuov_native.so"],
+                cwd=_DIR, check=True, capture_output=True, timeout=120,
+            )
         return True
     except Exception:  # noqa: BLE001 — any failure → numpy fallback
         return False
@@ -233,6 +240,9 @@ class AsyncLoader:
             self._pool = concurrent.futures.ThreadPoolExecutor(workers)
             self._futs = queue.Queue(maxsize=depth)
         self._closed = False
+        # serializes (native submit → size-queue put) so multiple producer
+        # threads cannot desynchronize sequence ids from the size queue
+        self._submit_lock = threading.Lock()
 
     @property
     def native(self) -> bool:
@@ -249,16 +259,19 @@ class AsyncLoader:
             raise ValueError(
                 f"image shape {(ih, iw, c)} != loader {(self.ih, self.iw, self.c)}"
             )
-        if self._handle is not None:
-            seq = self._lib.ov_loader_submit(self._handle, imgs.ctypes.data, b)
-            if seq < 0:
-                raise RuntimeError("loader is closed")
-        else:
-            self._futs.put(self._pool.submit(
-                _preprocess_numpy, imgs.copy(), (self.oh, self.ow),
-                self._scale, self._bias,
-            ))
-        self._batches.put(b)
+        with self._submit_lock:
+            if self._handle is not None:
+                seq = self._lib.ov_loader_submit(
+                    self._handle, imgs.ctypes.data, b
+                )
+                if seq < 0:
+                    raise RuntimeError("loader is closed")
+            else:
+                self._futs.put(self._pool.submit(
+                    _preprocess_numpy, imgs.copy(), (self.oh, self.ow),
+                    self._scale, self._bias,
+                ))
+            self._batches.put(b)
 
     def next(self):
         """The next blob in submission order: (B, c, oh, ow) float32, or

@@ -173,7 +173,21 @@ struct Loader {
   size_t inflight = 0;  // submitted and not yet consumed
   bool closed = false;  // no further submits; next() drains then returns 0
   bool dying = false;   // destroy(): unblock everyone
+  int ext_calls = 0;    // external threads inside submit()/next() —
+                        // destroy() must wait them out before `delete this`
+  std::condition_variable cv_ext;
   std::vector<std::thread> workers;
+};
+
+// RAII guard counting external callers so ov_loader_destroy never deletes
+// the Loader while another thread is blocked on its mutex/condvars.
+struct ExtGuard {
+  Loader* L;
+  explicit ExtGuard(Loader* l) : L(l) { ++L->ext_calls; }  // caller holds mu
+  ~ExtGuard() {
+    --L->ext_calls;  // caller holds mu
+    if (L->ext_calls == 0) L->cv_ext.notify_all();
+  }
 };
 
 void loader_worker(Loader* L) {
@@ -232,14 +246,18 @@ void* ov_loader_create(int ih, int iw, int c, int oh, int ow,
 }
 
 // Copies `imgs` ((batch, ih, iw, c) uint8) and enqueues it; blocks while the
-// in-flight window is full.  Returns the sequence id, or -1 after close.
+// in-flight window is full.  Returns the sequence id, or -1 after
+// close()/destroy() (a close() while blocked RELEASES the submitter).
 int64_t ov_loader_submit(void* h, const uint8_t* imgs, int batch) {
   Loader* L = (Loader*)h;
   const size_t bytes = (size_t)batch * L->ih * L->iw * L->c;
   std::vector<uint8_t> copy(imgs, imgs + bytes);
   std::unique_lock<std::mutex> lk(L->mu);
+  ExtGuard guard(L);
   if (L->closed || L->dying) return -1;
-  L->cv_out.wait(lk, [&] { return L->dying || L->inflight < L->depth; });
+  L->cv_out.wait(lk, [&] {
+    return L->dying || L->closed || L->inflight < L->depth;
+  });
   if (L->closed || L->dying) return -1;
   const uint64_t seq = L->next_submit++;
   L->inflight++;
@@ -255,6 +273,7 @@ int64_t ov_loader_submit(void* h, const uint8_t* imgs, int batch) {
 int64_t ov_loader_next(void* h, float* out, int64_t cap_elems) {
   Loader* L = (Loader*)h;
   std::unique_lock<std::mutex> lk(L->mu);
+  ExtGuard guard(L);
   for (;;) {
     auto it = L->done.find(L->next_emit);
     if (it != L->done.end()) {
@@ -286,11 +305,14 @@ void ov_loader_close(void* h) {
 void ov_loader_destroy(void* h) {
   Loader* L = (Loader*)h;
   {
-    std::lock_guard<std::mutex> lk(L->mu);
+    std::unique_lock<std::mutex> lk(L->mu);
     L->dying = true;
+    L->cv_in.notify_all();
+    L->cv_out.notify_all();
+    // wait out any thread still blocked inside submit()/next(): deleting
+    // a mutex/condvar with a live waiter is undefined behavior
+    L->cv_ext.wait(lk, [&] { return L->ext_calls == 0; });
   }
-  L->cv_in.notify_all();
-  L->cv_out.notify_all();
   for (auto& t : L->workers) t.join();
   delete L;
 }

@@ -57,6 +57,21 @@ def build_mesh(cfg: MeshConfig):
     return Mesh(dev_array, ("data", "model", "spatial"))
 
 
+def put_global(host, sharding):
+    """device_put, or a callback-built global array in a multi-process
+    (multi-controller) group where some mesh devices are not addressable —
+    every process holds the full host value, so the callback serves any
+    requested index locally.  Shared by shard_compiled and the pipeline."""
+    import jax
+
+    if jax.process_count() == 1:
+        return jax.device_put(host, sharding)
+    host = np.asarray(host)
+    return jax.make_array_from_callback(
+        host.shape, sharding, lambda idx: host[idx]
+    )
+
+
 def _weight_pspec(model, key: str, arr, model_axis_size: int):
     """PartitionSpec for one weight-pytree entry: shard the output-channel
     dim of conv/matmul weights (and their per-channel scale vectors) over
@@ -149,20 +164,8 @@ def shard_compiled(
     else:
         w_shardings = {k: NamedSharding(mesh, P()) for k in compiled.weights}
 
-    def put(v, sharding):
-        # device_put cannot target non-addressable devices; in a
-        # multi-process (multi-controller) group build the global array
-        # from the host value instead — every process holds the full
-        # weight, so the callback serves any requested index locally.
-        if jax.process_count() == 1:
-            return jax.device_put(v, sharding)
-        host = np.asarray(v)
-        return jax.make_array_from_callback(
-            host.shape, sharding, lambda idx: host[idx]
-        )
-
     compiled.weights = {
-        k: put(v, w_shardings[k]) for k, v in compiled.weights.items()
+        k: put_global(v, w_shardings[k]) for k, v in compiled.weights.items()
     }
 
     # single-sample path: everything replicated except weights

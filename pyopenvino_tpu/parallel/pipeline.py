@@ -62,8 +62,9 @@ def _node_cost(model: Model, analysis, node: Node) -> float:
         w_src = model.in_edges[node.id].get(1)
         if w_src is not None:
             w = analysis.shape(*w_src)
-            # OIHW: reduction = I*kh*kw; G-Co-Ci-kh-kw: reduction = Ci*kh*kw
-            red = float(np.prod(w[2:])) * (w[1] if len(w) == 4 else w[2])
+            # OIHW: reduction = I*kh*kw (prod(w[2:]) = kh*kw, times I);
+            # G-Co-Ci-kh-kw: prod(w[2:]) = Ci*kh*kw already
+            red = float(np.prod(w[2:])) * (w[1] if len(w) == 4 else 1)
             return 2.0 * size * red
     if node.op_type == "MatMul":
         in0 = analysis.shape(*model.in_edges[node.id][0])
@@ -262,18 +263,10 @@ def partition(model: Model, rt: List[int], cuts: List[CutPoint]) -> List[StageSp
 
 
 def _put(host: np.ndarray, sharding):
-    """device_put, or a callback-built global array in a multi-process
-    (multi-controller) group where some mesh devices are not addressable —
-    every process holds the full host value, so the callback serves any
-    requested index locally (same pattern as mesh.shard_compiled)."""
-    import jax
+    """Multi-controller-safe placement — one implementation, in mesh.py."""
+    from pyopenvino_tpu.parallel.mesh import put_global
 
-    if jax.process_count() == 1:
-        return jax.device_put(host, sharding)
-    host = np.asarray(host)
-    return jax.make_array_from_callback(
-        host.shape, sharding, lambda idx: host[idx]
-    )
+    return put_global(host, sharding)
 
 
 class PipelinedNetwork:
@@ -466,13 +459,15 @@ class PipelinedNetwork:
             return lax.psum(outbuf, "stage")
 
         w_specs = {dt: P("stage", None) for dt in self._wbufs}
-        x_specs = {name: P(None, "data") for name in self.input_names}
+        has_data = "data" in self.mesh.shape
+        x_spec = P(None, "data") if has_data else P()
+        x_specs = {name: x_spec for name in self.input_names}
         return jax.jit(
             jax.shard_map(
                 pp_fn,
                 mesh=self.mesh,
                 in_specs=(w_specs, x_specs),
-                out_specs=P(None, "data", None),
+                out_specs=P(None, "data", None) if has_data else P(),
             )
         )
 
@@ -570,7 +565,9 @@ def compile_pipelined(
 
 def build_pipeline_mesh(n_stages: int, data: int = 1):
     """Mesh(('data','stage')) over the first data*n_stages devices, 'stage'
-    minor so a stage's 'data' replicas sit on adjacent (ICI-near) chips."""
+    minor so CONSECUTIVE STAGES sit on adjacent (ICI-near) chips — the
+    ppermute activation ring is the latency-sensitive traffic; a stage's
+    'data' replicas are stride-n_stages apart and never communicate."""
     import jax
     from jax.sharding import Mesh
 

@@ -173,3 +173,37 @@ def test_async_loader_python_fallback_parity():
     for got, imgs in zip(outs, batches):
         want = native.preprocess_batch(imgs, (48, 48), scale=scale, bias=bias)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-4)
+
+
+def test_async_loader_close_releases_blocked_submitter():
+    """close() must RELEASE a producer blocked on a full in-flight window
+    (it raises 'loader is closed'), and destroying the loader right after
+    must be safe while that thread is mid-call — the C side refcounts
+    external callers before deleting its mutex/condvars."""
+    import threading
+
+    imgs = np.zeros((2, 16, 16, 1), np.uint8)
+    ld = native.AsyncLoader((16, 16, 1), (8, 8), depth=1)
+    ld.submit(imgs)  # fills the window (nobody consumes)
+    state = {}
+
+    def blocked_producer():
+        try:
+            ld.submit(imgs)  # blocks on backpressure
+            state["result"] = "submitted"
+        except RuntimeError:
+            state["result"] = "closed"
+
+    t = threading.Thread(target=blocked_producer)
+    t.start()
+    import time
+
+    time.sleep(0.2)  # let it reach the blocking wait
+    ld.close()
+    t.join(timeout=10)
+    assert not t.is_alive(), "close() did not release the blocked submit"
+    assert state["result"] == "closed"
+    # drain what made it in, then tear down while nothing waits
+    assert ld.next() is not None
+    assert ld.next() is None
+    ld.__exit__()
