@@ -63,10 +63,14 @@ class Config:
     quant: QuantMode = QuantMode.NONE
 
     # Device mesh axes.  data = batch sharding (DP), model = channel sharding
-    # (TP).  (1, 1) means single chip; the mesh layer in parallel/mesh.py
-    # builds a jax Mesh from these.
+    # (TP), spatial = image-row sharding (SP, GSPMD halo exchange).
+    # (1, 1, 1) means single chip; the mesh layer in parallel/mesh.py builds
+    # a jax Mesh from these.  model > 1 and spatial > 1 cannot be combined
+    # (this stack's SPMD partitioner miscompiles TP×SP —
+    # docs/MEASUREMENTS.md "Backend-specific findings").
     mesh_data: int = 1
     mesh_model: int = 1
+    mesh_spatial: int = 1
 
     # Batching policy for serving: pad request batches up to the nearest
     # bucket to avoid jit-cache thrash (SURVEY.md §7 hard part 5).

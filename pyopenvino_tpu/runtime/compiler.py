@@ -946,12 +946,20 @@ def compile_model(
         model, config, mesh=mesh, quantized=quantized, act_scales=act_scales
     )
     # Config-declared mesh: build it and attach shardings (DP over 'data',
-    # TP over 'model' when mesh_model > 1).
-    if mesh is None and config.mesh_data * config.mesh_model > 1:
+    # TP over 'model' when mesh_model > 1, SP over 'spatial' when
+    # mesh_spatial > 1).
+    spatial = getattr(config, "mesh_spatial", 1)
+    if mesh is None and config.mesh_data * config.mesh_model * spatial > 1:
         from pyopenvino_tpu.parallel.mesh import (
             MeshConfig, build_mesh, shard_compiled,
         )
 
-        built = build_mesh(MeshConfig(config.mesh_data, config.mesh_model))
-        shard_compiled(net, built, tensor_parallel=config.mesh_model > 1)
+        built = build_mesh(
+            MeshConfig(config.mesh_data, config.mesh_model, spatial)
+        )
+        shard_compiled(
+            net, built,
+            tensor_parallel=config.mesh_model > 1,
+            spatial_parallel=spatial > 1,
+        )
     return net

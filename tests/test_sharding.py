@@ -180,3 +180,50 @@ def test_spatial_x_tensor_rejected():
     with pytest.raises(ValueError, match="cannot be combined"):
         shard_compiled(compiled, mesh, tensor_parallel=True,
                        spatial_parallel=True)
+
+
+def test_spatial_with_int8_full():
+    """SP × INT8-FULL: int8-stored inter-layer edges shard their H axis
+    too — the quantized dataflow and halo exchange must compose (distinct
+    rows, see above)."""
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = model_paths("mnist")
+    rng = np.random.default_rng(9)
+    blob = rng.uniform(0, 255, (4, 1, 1, 28, 28)).astype(np.float32)
+    cal = [{"conv2d_input": rng.uniform(0, 255, (1, 1, 28, 28)).astype(
+        np.float32)} for _ in range(3)]
+    cfg = Config(quant=QuantMode.INT8_FULL)
+    ref = compile_model(read_ir_model(xml, binp), cfg,
+                        calibration_samples=cal).infer_batch(
+        {"conv2d_input": blob})
+
+    compiled = compile_model(read_ir_model(xml, binp), cfg,
+                             calibration_samples=cal)
+    shard_compiled(compiled, build_mesh(MeshConfig(data=2, spatial=2)),
+                   spatial_parallel=True)
+    out = compiled.infer_batch({"conv2d_input": blob})
+    name = next(iter(ref))
+    np.testing.assert_allclose(out[name], ref[name], rtol=1e-4, atol=1e-5)
+
+
+def test_config_declared_spatial_mesh():
+    """Config(mesh_data, mesh_spatial) wires SP through compile_model
+    without touching the mesh API (the config-system surface)."""
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = model_paths("mnist")
+    rng = np.random.default_rng(10)
+    blob = rng.uniform(0, 255, (4, 1, 1, 28, 28)).astype(np.float32)
+    ref = compile_model(read_ir_model(xml, binp)).infer_batch(
+        {"conv2d_input": blob})
+    net = compile_model(read_ir_model(xml, binp),
+                        Config(mesh_data=2, mesh_spatial=2))
+    assert net._spatial_axis == "spatial"
+    out = net.infer_batch({"conv2d_input": blob})
+    name = next(iter(ref))
+    np.testing.assert_allclose(out[name], ref[name], rtol=1e-4, atol=1e-5)
