@@ -32,6 +32,9 @@ DEFAULT_IMAGES = {
     "shufflenet-v2": "/root/reference/resources/guinea-pig.jpg",
     "efficientnet-b0": "/root/reference/resources/guinea-pig.jpg",
     "squeezenet-1.1": "/root/reference/resources/guinea-pig.jpg",
+    "vit-tiny": "/root/reference/resources/guinea-pig.jpg",
+    "moe-mlp": "/root/reference/resources/guinea-pig.jpg",
+    "resnet18-pot": "/root/reference/resources/guinea-pig.jpg",
 }
 
 
@@ -58,7 +61,8 @@ def main():
     ap.add_argument("--model", default="mnist",
                     choices=["mnist", "mnist_bn", "googlenet-v1", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
-                             "efficientnet-b0", "squeezenet-1.1"])
+                             "efficientnet-b0", "squeezenet-1.1",
+                             "vit-tiny", "moe-mlp", "resnet18-pot"])
     ap.add_argument("--image", default=None)
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
