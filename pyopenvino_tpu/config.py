@@ -100,6 +100,13 @@ class Config:
     # and hurt badly (37.7 / 49.0) — see passes/calibrate.py.
     calibration_percentile: float = 100.0
 
+    # Calibration method: "percentile" (max-abs / clipped percentile, the
+    # field above) or "kl" — TensorRT-style entropy calibration that picks
+    # each tensor's clip threshold by minimizing the KL divergence between
+    # the observed |activation| histogram and its 128-level quantized
+    # rendering (passes/calibrate.py _calibrate_kl).
+    calibration_method: str = "percentile"
+
     # Depthwise convolution emission.  "native" = XLA feature_group_count
     # conv (fastest: ~5x the shifted-MAC on TPU v5e, re-measured after the
     # 2026-08 stack update fixed the grouped-conv compile hang).

@@ -41,22 +41,32 @@ PortKey = Tuple[int, int]  # (consumer node id, consumer port) — always port 0
 
 def calibrate_activations(
     model: Model, samples: Iterable[Dict[str, np.ndarray]],
-    percentile: float = 100.0,
+    percentile: float = 100.0, method: str = "percentile",
 ) -> Dict[int, float]:
     """Return {consumer_node_id: scale} for every quantizable data input.
 
     `samples` is an iterable of input dicts ({param_name: blob}).
 
-    `percentile` < 100 clips the observed |activation| distribution before
-    deriving the scale (max over samples of the per-sample percentile) —
-    the standard defense against single-outlier activations blowing up the
-    per-tensor scale (what OpenVINO POT/NNCF and TensorRT calibrators
-    offer).  Default is pure max-abs: on outlier-free distributions
-    (measured on the synthetic-weight models) clipping only adds error;
-    flip to ~99.9 when calibrating real models with heavy-tailed
-    activations.
+    method="percentile" (default): `percentile` < 100 clips the observed
+    |activation| distribution before deriving the scale (max over samples
+    of the per-sample percentile) — the standard defense against
+    single-outlier activations blowing up the per-tensor scale (what
+    OpenVINO POT/NNCF calibrators offer).  percentile=100 is pure max-abs:
+    on outlier-free distributions (measured on the synthetic-weight
+    models) clipping only adds error.
+
+    method="kl": TensorRT-style entropy calibration — pick the clipping
+    threshold minimizing the KL divergence between the observed
+    |activation| histogram and its 128-level quantized rendering.  Unlike
+    a fixed percentile it adapts the clip point per tensor to the actual
+    distribution shape (two interpreter passes: absmax, then histograms).
     """
     from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    if method == "kl":
+        return _calibrate_kl(model, samples)
+    if method != "percentile":
+        raise ValueError(f"unknown calibration method {method!r}")
 
     absmax: Dict[int, float] = {}
 
@@ -80,3 +90,96 @@ def calibrate_activations(
     return {
         nid: (m / 127.0 if m > 0 else 1.0) for nid, m in absmax.items()
     }
+
+
+_KL_BINS = 2048
+_KL_LEVELS = 128  # symmetric int8: magnitudes land on 128 non-negative codes
+
+
+def _kl_threshold(hist: np.ndarray, edges: np.ndarray) -> float:
+    """The TensorRT entropy-calibration search: scan candidate clip points
+    i ∈ [LEVELS, BINS]; for each, P = the reference distribution clipped at
+    bin i (tail mass folded into the last bin), Q = P re-rendered through
+    LEVELS uniform quantization buckets; return the bin-center threshold
+    minimizing KL(P ‖ Q)."""
+    total = hist.sum()
+    if total == 0:
+        return float(edges[-1])
+    best_i, best_kl = _KL_BINS, np.inf
+    for i in range(_KL_LEVELS, _KL_BINS + 1):
+        # P: clipped reference — tail mass folded into the last kept bin
+        p = hist[:i].astype(np.float64).copy()
+        p[i - 1] += hist[i:].sum()
+        psum = p.sum()
+        if psum == 0:
+            continue
+        # Q: the UNFOLDED clipped histogram quantized to LEVELS groups and
+        # expanded back over its nonzero bins (TensorRT's formulation —
+        # folding the tail into Q too would make i=LEVELS exactly
+        # reproduce P and always win with KL=0)
+        ref = hist[:i].astype(np.float64)
+        group = np.linspace(0, i, _KL_LEVELS + 1).astype(int)
+        q = np.zeros(i, np.float64)
+        for g in range(_KL_LEVELS):
+            lo, hi = group[g], group[g + 1]
+            nz = ref[lo:hi] > 0
+            n_nz = int(nz.sum())
+            if n_nz:
+                q[lo:hi][nz] = ref[lo:hi].sum() / n_nz
+        qsum = q.sum()
+        if qsum == 0:
+            continue
+        p /= psum
+        q /= qsum
+        valid = p > 0
+        if (q[valid] == 0).any():
+            continue  # Q assigns zero mass where P has some: KL = inf
+        kl = float(np.sum(p[valid] * np.log(p[valid] / q[valid])))
+        if kl < best_kl:
+            best_kl, best_i = kl, i
+    return float(edges[best_i])
+
+
+def _calibrate_kl(model: Model, samples) -> Dict[int, float]:
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    samples = list(samples)
+    if not samples:
+        raise ValueError("calibration needs at least one sample")
+
+    # pass 1: per-node absmax fixes each histogram's range
+    absmax: Dict[int, float] = {}
+
+    def observe_max(node, ins, _outs):
+        if node.op_type in OBSERVED and 0 in ins:
+            m = float(np.abs(np.asarray(ins[0], np.float32)).max())
+            absmax[node.id] = max(absmax.get(node.id, 0.0), m)
+
+    it = Interpreter(model)
+    for inputs in samples:
+        it.run(inputs, observe=observe_max)
+
+    # pass 2: accumulate |activation| histograms
+    hists: Dict[int, np.ndarray] = {}
+
+    def observe_hist(node, ins, _outs):
+        if node.op_type in OBSERVED and 0 in ins:
+            m = absmax.get(node.id, 0.0)
+            if m <= 0:
+                return
+            a = np.abs(np.asarray(ins[0], np.float32)).ravel()
+            h, _ = np.histogram(a, bins=_KL_BINS, range=(0.0, m))
+            hists[node.id] = hists.get(node.id, 0) + h
+
+    for inputs in samples:
+        it.run(inputs, observe=observe_hist)
+
+    scales: Dict[int, float] = {}
+    for nid, m in absmax.items():
+        if m <= 0 or nid not in hists:
+            scales[nid] = 1.0
+            continue
+        edges = np.linspace(0.0, m, _KL_BINS + 1)
+        t = _kl_threshold(hists[nid], edges)
+        scales[nid] = t / 127.0 if t > 0 else 1.0
+    return scales

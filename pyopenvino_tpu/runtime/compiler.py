@@ -922,6 +922,7 @@ def prepare_model(
             act_scales = calibrate_activations(
                 model, calibration_samples,
                 percentile=config.calibration_percentile,
+                method=config.calibration_method,
             )
             # IR-carried scales are authoritative where present
             act_scales.update(fq_scales)

@@ -190,3 +190,68 @@ def test_int8_storage_mnist_golden(mnist_image):
     out = c({"conv2d_input": mnist_image})
     scores = next(iter(out.values())).reshape(-1)
     assert list(np.argsort(scores)[::-1][:3]) == [2, 0, 1]
+
+
+# ---------------------------------------------------------------------------
+# KL (entropy) calibration — passes/calibrate.py method="kl"
+# ---------------------------------------------------------------------------
+
+
+def test_kl_threshold_clips_outliers_keeps_bulk():
+    """The entropy search must clip a heavy outlier tail (threshold far
+    below absmax) yet leave an outlier-free distribution essentially
+    unclipped — the property that distinguishes it from a fixed
+    percentile."""
+    from pyopenvino_tpu.passes.calibrate import _KL_BINS, _kl_threshold
+
+    rng = np.random.default_rng(0)
+    bulk = np.abs(rng.normal(0, 1.0, 100_000))
+    tailed = np.concatenate([bulk, [40.0, 45.0, 50.0]])
+    h, edges = np.histogram(tailed, bins=_KL_BINS, range=(0.0, tailed.max()))
+    t = _kl_threshold(h, edges)
+    assert 2.0 < t < tailed.max() / 3, t
+
+    h2, edges2 = np.histogram(bulk, bins=_KL_BINS, range=(0.0, bulk.max()))
+    t2 = _kl_threshold(h2, edges2)
+    assert t2 > 0.8 * bulk.max(), t2
+
+
+def test_kl_calibrated_mnist_keeps_golden_top3(mnist_image):
+    """End-to-end INT8-FULL with method='kl' on real MNIST weights: the
+    raw-pixel input tensor must stay at its max-abs scale (its histogram
+    is legitimate signal, not outliers) and the golden top-3 holds.
+    [Regression: a Q-side tail-fold bug made the scan always pick the
+    minimum candidate (absmax/16 scales) and flipped the golden order.]"""
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from tests.conftest import model_paths
+
+    # representative calibration: the real digit plus shifted variants —
+    # entropy calibration reads the histogram SHAPE, so feeding it mostly
+    # uniform noise distorts every deep layer's distribution (round-2
+    # finding: calibration must see representative data)
+    cal = [{"conv2d_input": mnist_image}] + [
+        {"conv2d_input": np.roll(mnist_image, shift, axis=(2, 3))}
+        for shift in ((1, 0), (0, 1), (-1, -1))
+    ]
+    xml, binp = model_paths("mnist")
+    net = compile_model(
+        read_ir_model(xml, binp),
+        Config(quant=QuantMode.INT8_FULL, calibration_method="kl"),
+        calibration_samples=cal,
+    )
+    out = net({"conv2d_input": mnist_image})
+    k = next(iter(out))
+    assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+
+
+def test_unknown_calibration_method_rejected():
+    from pyopenvino_tpu.passes.calibrate import calibrate_activations
+    from pyopenvino_tpu.ir import read_ir_model
+    from tests.conftest import model_paths
+
+    xml, binp = model_paths("mnist")
+    model = read_ir_model(xml, binp)
+    with pytest.raises(ValueError, match="method"):
+        calibrate_activations(model, [], method="entropy2")

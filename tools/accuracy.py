@@ -49,6 +49,10 @@ MODELS = {
     "moe-mlp": ("input", (1, 3, 32, 32), "cls"),  # programmatic 12th (EP)
 }
 
+# INT8-FULL calibration method for this run ("percentile" or "kl" —
+# set by --cal-method; passes/calibrate.py)
+CAL_METHOD = "percentile"
+
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)
 # — measured sweep in config.py's docstring; one definition for the gated
 # run, the noise-probe runs and the dithered-realization runs alike.
@@ -94,7 +98,8 @@ def run_model(model_name: str, mode: str, images, calibration):
 
     quant = QUANT_NAME_TO_MODE["none" if mode == "fp32" else mode]
     cfg = Config(backend=Backend.XLA, quant=quant,
-                 calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0))
+                 calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0),
+                 calibration_method=CAL_METHOD)
     ie = IECore()
     xml, binp = _model_paths(model_name)
     net = ie.read_network(xml, binp)
@@ -120,7 +125,8 @@ def _conf_tensor(model_name, mode, blob, calibration, capture_node):
     in_name = MODELS[model_name][0]
     qmode = QUANT_NAME_TO_MODE["none" if mode == "fp32" else mode]
     cfg = Config(quant=qmode,
-                 calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0))
+                 calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0),
+                 calibration_method=CAL_METHOD)
     net = compile_model(
         read_ir_model(*_model_paths(model_name)), cfg,
         calibration_samples=calibration if qmode == QuantMode.INT8_FULL
@@ -200,7 +206,8 @@ def run_model_weight_dithered(model_name, mode, images, calibration,
     net = compile_model(
         model,
         Config(quant=qmode,
-               calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0)),
+               calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0),
+               calibration_method=CAL_METHOD),
         calibration_samples=calibration if qmode == QuantMode.INT8_FULL
         else None,
     )
@@ -313,9 +320,15 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "auto", "tpu"])
     ap.add_argument("--labels", help="JSON {image_key: class} real labels")
     ap.add_argument("--gt-boxes", help="JSON {image_key: [[cls, x0, y0, x1, y1]]}")
+    ap.add_argument("--cal-method", default="percentile",
+                    choices=["percentile", "kl"],
+                    help="INT8-FULL activation calibration method "
+                    "(kl = TensorRT-style entropy calibration)")
     ap.add_argument("--enforce", action="store_true",
                     help="exit nonzero if a gate fails (default: report)")
     args = ap.parse_args()
+    global CAL_METHOD
+    CAL_METHOD = args.cal_method
 
     from pyopenvino_tpu.utils import select_device
 
