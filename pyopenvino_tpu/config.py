@@ -107,6 +107,13 @@ class Config:
     # rendering (passes/calibrate.py _calibrate_kl).
     calibration_method: str = "percentile"
 
+    # Analytic bias correction for int8 weight quantization (OpenVINO
+    # POT's BiasCorrection): fold the expected output shift of weight
+    # rounding, E[(W − deq(W_q))·x] over calibration samples, into each
+    # fused layer's bias (passes/bias_correct.py).  Needs calibration
+    # samples (works for both INT8_WEIGHT and INT8_FULL when provided).
+    bias_correction: bool = False
+
     # Depthwise convolution emission.  "native" = XLA feature_group_count
     # conv (fastest: ~5x the shifted-MAC on TPU v5e, re-measured after the
     # 2026-08 stack update fixed the grouped-conv compile hang).

@@ -547,7 +547,7 @@ def compile_pipelined(
     from pyopenvino_tpu.runtime.compiler import CompiledNetwork, prepare_model
 
     config = config or Config()
-    model, quantized, act_scales = prepare_model(
+    model, quantized, act_scales, bias_corr = prepare_model(
         model, config, calibration_samples
     )
     analysis = infer_shapes(model)
@@ -556,7 +556,8 @@ def compile_pipelined(
     specs = partition(model, rt, cuts)
     nets = [
         CompiledNetwork(
-            spec.model, config, quantized=quantized, act_scales=act_scales
+            spec.model, config, quantized=quantized,
+            act_scales=act_scales, bias_corr=bias_corr,
         )
         for spec in specs
     ]

@@ -127,6 +127,7 @@ class CompiledNetwork:
         mesh=None,
         quantized: Optional[Dict[int, Tuple[np.ndarray, np.ndarray]]] = None,
         act_scales: Optional[Dict[int, float]] = None,
+        bias_corr: Optional[Dict[int, np.ndarray]] = None,
     ):
         import jax
 
@@ -137,6 +138,9 @@ class CompiledNetwork:
         self._quantized = quantized or {}
         # {consumer node id: activation scale} for INT8_FULL (calibrate.py)
         self.act_scales = act_scales or {}
+        # {bias const id: per-channel delta} (passes/bias_correct.py) —
+        # applied when the weight pytree materializes, never to the Nodes
+        self._bias_corr = bias_corr or {}
 
         self._folded_nodes = self._find_folded_nodes()
         self._runtime_consts = self._find_runtime_consts()
@@ -344,6 +348,11 @@ class CompiledNetwork:
                 weights[str(nid)] = jnp.asarray(qvals)
                 weights[f"{nid}.scale"] = jnp.asarray(
                     scales, dtype=compute_dtype
+                )
+            elif nid in self._bias_corr:
+                corr = self._bias_corr[nid].reshape(node.const.shape)
+                weights[str(nid)] = jnp.asarray(
+                    node.const + corr, dtype=compute_dtype
                 )
             elif np.issubdtype(node.const.dtype, np.floating):
                 weights[str(nid)] = jnp.asarray(node.const, dtype=compute_dtype)
@@ -854,7 +863,8 @@ def prepare_model(
     activation calibration — everything that must see the WHOLE graph
     before it is traced (or cut into pipeline stages).
 
-    Returns (model, quantized, act_scales) ready for CompiledNetwork.
+    Returns (model, quantized, act_scales, bias_corr) ready for
+    CompiledNetwork.
     """
     config = config or Config()
     # Dead-branch elimination first: keeps dead weights out of the device
@@ -928,7 +938,21 @@ def prepare_model(
             act_scales.update(fq_scales)
         else:
             act_scales = fq_scales
-    return model, quantized, act_scales
+    bias_corr = None
+    if config.bias_correction and quantized:
+        if not calibration_samples:
+            raise ValueError(
+                "Config.bias_correction needs calibration_samples (the "
+                "correction is E[(W - deq(Wq))*x] over representative "
+                "inputs — passes/bias_correct.py)"
+            )
+        from pyopenvino_tpu.passes.bias_correct import bias_corrections
+        from pyopenvino_tpu.passes.shape_infer import infer_shapes
+
+        bias_corr = bias_corrections(
+            model, infer_shapes(model), quantized, calibration_samples
+        )
+    return model, quantized, act_scales, bias_corr
 
 
 def compile_model(
@@ -940,11 +964,12 @@ def compile_model(
     """calibration_samples: iterable of {param_name: blob} input dicts,
     required for QuantMode.INT8_FULL (activation scales — passes/calibrate)."""
     config = config or Config()
-    model, quantized, act_scales = prepare_model(
+    model, quantized, act_scales, bias_corr = prepare_model(
         model, config, calibration_samples
     )
     net = CompiledNetwork(
-        model, config, mesh=mesh, quantized=quantized, act_scales=act_scales
+        model, config, mesh=mesh, quantized=quantized,
+        act_scales=act_scales, bias_corr=bias_corr,
     )
     # Config-declared mesh: build it and attach shardings (DP over 'data',
     # TP over 'model' when mesh_model > 1, SP over 'spatial' when

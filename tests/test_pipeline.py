@@ -47,7 +47,7 @@ def test_cut_candidates_single_tensor_and_unfused():
     never the inside of a conv+bias+act fusion group."""
     from pyopenvino_tpu.passes.fuse import find_fusions
 
-    model, _, _ = prepare_model(_mnist(), Config())
+    model, _, _, _ = prepare_model(_mnist(), Config())
     analysis = infer_shapes(model)
     rt, cands = find_cut_candidates(model, analysis)
     assert cands, "MNIST must have at least one cut point"
@@ -67,7 +67,7 @@ def test_cut_candidates_single_tensor_and_unfused():
 def test_partition_is_a_cover():
     """Stage runtime nodes tile the full runtime node set exactly once;
     boundary stages carry the synthetic Parameter/Result pairs."""
-    model, _, _ = prepare_model(_mnist(), Config())
+    model, _, _, _ = prepare_model(_mnist(), Config())
     analysis = infer_shapes(model)
     rt, cuts = choose_cuts(model, analysis, 3)
     specs = partition(model, rt, cuts)
@@ -94,7 +94,7 @@ def test_googlenet_cuts_land_on_block_boundaries():
     """The balanced DP picks articulation tensors between inception blocks
     (Concat outputs) / stem ops — not mid-block."""
     xml, binp = model_paths("googlenet-v1")
-    model, _, _ = prepare_model(read_ir_model(xml, binp), Config())
+    model, _, _, _ = prepare_model(read_ir_model(xml, binp), Config())
     analysis = infer_shapes(model)
     _, cuts = choose_cuts(model, analysis, 4)
     assert len(cuts) == 3
@@ -103,7 +103,7 @@ def test_googlenet_cuts_land_on_block_boundaries():
 
 
 def test_too_many_stages_is_a_clear_error():
-    model, _, _ = prepare_model(_mnist(), Config())
+    model, _, _, _ = prepare_model(_mnist(), Config())
     analysis = infer_shapes(model)
     with pytest.raises(ValueError, match="cut points"):
         choose_cuts(model, analysis, 64)

@@ -255,3 +255,82 @@ def test_unknown_calibration_method_rejected():
     model = read_ir_model(xml, binp)
     with pytest.raises(ValueError, match="method"):
         calibrate_activations(model, [], method="entropy2")
+
+
+# ---------------------------------------------------------------------------
+# Analytic bias correction (passes/bias_correct.py, Config.bias_correction)
+# ---------------------------------------------------------------------------
+
+
+def _skewed_conv_net():
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    rng = np.random.default_rng(0)
+    b = GraphBuilder("bc")
+    x = b.parameter("in", (1, 8, 16, 16))
+    w = rng.normal(0, 0.3, (16, 8, 3, 3)).astype(np.float32)
+    bias = rng.normal(0, 0.1, (1, 16, 1, 1)).astype(np.float32)
+    y = b.relu(b.add(b.conv2d(x, b.const(w), pads=((1, 1), (1, 1))),
+                     b.const(bias)))
+    w2 = rng.normal(0, 0.3, (16, 16, 3, 3)).astype(np.float32)
+    bias2 = rng.normal(0, 0.1, (1, 16, 1, 1)).astype(np.float32)
+    y = b.add(b.conv2d(y, b.const(w2), pads=((1, 1), (1, 1))),
+              b.const(bias2))
+    b.result(y, name="out")
+    return b.build(), rng
+
+
+def test_bias_correction_shrinks_mean_shift():
+    """On positive-mean inputs (every post-ReLU tensor), int8 weight
+    rounding shifts each layer's mean output; the analytic correction
+    must remove most of it (measured on this testbed: 24x) and reduce
+    the overall MAE vs fp32."""
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    model, rng = _skewed_conv_net()
+    samples = [
+        {"in": np.abs(rng.normal(2, 1, (1, 8, 16, 16))).astype(np.float32)}
+        for _ in range(6)
+    ]
+    test = np.abs(rng.normal(2, 1, (1, 8, 16, 16))).astype(np.float32)
+    fp = compile_model(model)({"in": test})["out"]
+    plain = compile_model(
+        model, Config(quant=QuantMode.INT8_WEIGHT)
+    )({"in": test})["out"]
+    bc = compile_model(
+        model, Config(quant=QuantMode.INT8_WEIGHT, bias_correction=True),
+        calibration_samples=samples,
+    )({"in": test})["out"]
+    shift_plain = abs(float((plain - fp).mean()))
+    shift_bc = abs(float((bc - fp).mean()))
+    assert shift_bc < 0.25 * shift_plain, (shift_plain, shift_bc)
+    assert np.abs(bc - fp).mean() < np.abs(plain - fp).mean()
+
+
+def test_bias_correction_requires_samples():
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    model, _ = _skewed_conv_net()
+    with pytest.raises(ValueError, match="calibration_samples"):
+        compile_model(
+            model, Config(quant=QuantMode.INT8_WEIGHT, bias_correction=True)
+        )
+
+
+def test_bias_correction_keeps_mnist_golden(mnist_image):
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from tests.conftest import model_paths
+
+    xml, binp = model_paths("mnist")
+    net = compile_model(
+        read_ir_model(xml, binp),
+        Config(quant=QuantMode.INT8_WEIGHT, bias_correction=True),
+        calibration_samples=[{"conv2d_input": mnist_image}],
+    )
+    out = net({"conv2d_input": mnist_image})
+    k = next(iter(out))
+    assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]

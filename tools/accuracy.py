@@ -53,6 +53,9 @@ MODELS = {
 # set by --cal-method; passes/calibrate.py)
 CAL_METHOD = "percentile"
 
+# Analytic bias correction (Config.bias_correction — set by --bias-correction)
+BIAS_CORRECTION = False
+
 # Per-model INT8-FULL calibration percentile (Config.calibration_percentile)
 # — measured sweep in config.py's docstring; one definition for the gated
 # run, the noise-probe runs and the dithered-realization runs alike.
@@ -99,12 +102,13 @@ def run_model(model_name: str, mode: str, images, calibration):
     quant = QUANT_NAME_TO_MODE["none" if mode == "fp32" else mode]
     cfg = Config(backend=Backend.XLA, quant=quant,
                  calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0),
-                 calibration_method=CAL_METHOD)
+                 calibration_method=CAL_METHOD,
+                 bias_correction=BIAS_CORRECTION and quant != QuantMode.NONE)
     ie = IECore()
     xml, binp = _model_paths(model_name)
     net = ie.read_network(xml, binp)
     exe = ie.load_network(net, "TPU", config=cfg)
-    if quant == QuantMode.INT8_FULL:
+    if quant == QuantMode.INT8_FULL or cfg.bias_correction:
         exe.set_calibration(calibration)
     in_name = MODELS[model_name][0]
     return {key: exe.infer({in_name: blob}) for key, blob in images.items()}
@@ -126,11 +130,12 @@ def _conf_tensor(model_name, mode, blob, calibration, capture_node):
     qmode = QUANT_NAME_TO_MODE["none" if mode == "fp32" else mode]
     cfg = Config(quant=qmode,
                  calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0),
-                 calibration_method=CAL_METHOD)
+                 calibration_method=CAL_METHOD,
+                 bias_correction=BIAS_CORRECTION and qmode != QuantMode.NONE)
     net = compile_model(
         read_ir_model(*_model_paths(model_name)), cfg,
-        calibration_samples=calibration if qmode == QuantMode.INT8_FULL
-        else None,
+        calibration_samples=calibration
+        if (qmode == QuantMode.INT8_FULL or cfg.bias_correction) else None,
     )
     _, cap = net.infer_with_capture({in_name: blob}, [capture_node])
     return np.asarray(cap[capture_node], np.float64)
@@ -207,9 +212,10 @@ def run_model_weight_dithered(model_name, mode, images, calibration,
         model,
         Config(quant=qmode,
                calibration_percentile=CAL_PERCENTILE.get(model_name, 100.0),
-               calibration_method=CAL_METHOD),
-        calibration_samples=calibration if qmode == QuantMode.INT8_FULL
-        else None,
+               calibration_method=CAL_METHOD,
+               bias_correction=BIAS_CORRECTION and qmode != QuantMode.NONE),
+        calibration_samples=calibration
+        if (qmode == QuantMode.INT8_FULL or BIAS_CORRECTION) else None,
     )
     in_name = MODELS[model_name][0]
     return {k: net.infer({in_name: b}) for k, b in images.items()}
@@ -320,6 +326,9 @@ def main():
     ap.add_argument("--device", default="cpu", choices=["cpu", "auto", "tpu"])
     ap.add_argument("--labels", help="JSON {image_key: class} real labels")
     ap.add_argument("--gt-boxes", help="JSON {image_key: [[cls, x0, y0, x1, y1]]}")
+    ap.add_argument("--bias-correction", action="store_true",
+                    help="fold E[(W - deq(Wq))*x] into each layer's bias "
+                    "(passes/bias_correct.py)")
     ap.add_argument("--cal-method", default="percentile",
                     choices=["percentile", "kl"],
                     help="INT8-FULL activation calibration method "
@@ -327,8 +336,9 @@ def main():
     ap.add_argument("--enforce", action="store_true",
                     help="exit nonzero if a gate fails (default: report)")
     args = ap.parse_args()
-    global CAL_METHOD
+    global CAL_METHOD, BIAS_CORRECTION
     CAL_METHOD = args.cal_method
+    BIAS_CORRECTION = args.bias_correction
 
     from pyopenvino_tpu.utils import select_device
 
