@@ -80,6 +80,23 @@ class CutPoint:
     size: int         # flat element count of the crossing tensor (batch-1)
 
 
+def folded_nodes(model: Model, analysis) -> set:
+    """Runtime nodes whose every output is statically known (the same set
+    runtime/compiler.py never traces).  For partitioning they behave like
+    Consts: they produce no runtime tensor, so their edges never cross a
+    stage frontier — without this exclusion SSD's ShapeOf→PriorBox anchor
+    chains (live across the whole trunk) would block every cut."""
+    out = set()
+    for node in model:
+        if node.op_type in ("Const", "Parameter", "Result"):
+            continue
+        if node.outputs and all(
+            (node.id, p) in analysis.values for p in node.outputs
+        ):
+            out.add(node.id)
+    return out
+
+
 def find_cut_candidates(model: Model, analysis) -> Tuple[List[int], List[CutPoint]]:
     """Runtime topo order + every valid single-tensor cut position.
 
@@ -91,20 +108,36 @@ def find_cut_candidates(model: Model, analysis) -> Tuple[List[int], List[CutPoin
     """
     from pyopenvino_tpu.passes.fuse import find_fusions
 
-    rt = [n.id for n in model if n.op_type not in ("Const", "Result")]
+    folded = folded_nodes(model, analysis)
+    rt = [
+        n.id for n in model
+        if n.op_type not in ("Const", "Result") and n.id not in folded
+    ]
     pos = {nid: i for i, nid in enumerate(rt)}
 
     fusions = find_fusions(model, analysis)
-    fused = set(fusions) | {nid for f in fusions.values() for nid in f.skip}
+    # block cuts strictly INSIDE a fusion group (root..last-absorbed-node);
+    # a cut AT the group's chain end is fine — the whole group lies before
+    # it (MobileNet trunks are wall-to-wall conv+bias+ReLU6 groups, so
+    # blocking chain ends too would leave almost no candidates)
+    blocked = set()
+    for f in fusions.values():
+        ps = [pos[n] for n in (f.root,) + f.skip if n in pos]
+        blocked.update(range(min(ps), max(ps)))
 
-    # runtime→runtime edges only (Const feeds are stage-local; Result
-    # consumers are pinned to their producer's stage)
+    # runtime→runtime edges only (Const feeds are stage-local, folded
+    # nodes produce compile-time values, Result consumers are pinned to
+    # their producer's stage)
     redges = [
         e for e in model.edges
         if e.src in pos and e.dst in pos
     ]
     result_floor = min(
-        (pos[model.in_edges[r.id][0][0]] for r in model.results),
+        (
+            pos[model.in_edges[r.id][0][0]]
+            for r in model.results
+            if model.in_edges[r.id][0][0] in pos
+        ),
         default=len(rt),
     )
 
@@ -114,7 +147,7 @@ def find_cut_candidates(model: Model, analysis) -> Tuple[List[int], List[CutPoin
             break
         nid = rt[p]
         node = model.nodes[nid]
-        if node.op_type == "Parameter" or nid in fused:
+        if node.op_type == "Parameter" or p in blocked:
             continue
         crossing = {
             (e.src, e.src_port)
@@ -192,13 +225,27 @@ class StageSpec:
     cut_out: Optional[CutPoint]   # tensor this stage produces (None = last)
 
 
-def partition(model: Model, rt: List[int], cuts: List[CutPoint]) -> List[StageSpec]:
+def partition(
+    model: Model, rt: List[int], cuts: List[CutPoint], analysis=None
+) -> List[StageSpec]:
     """Cut the full model into len(cuts)+1 stage sub-models.  Node objects
     are shared with the full model (same ids — per-stage quantization
     subsets index by node id); each boundary gets a synthetic `__pp_in__`
-    Parameter / `__pp_out__` Result carrying the cut tensor's TensorInfo."""
+    Parameter / `__pp_out__` Result carrying the cut tensor's TensorInfo.
+
+    Compile-time-folded subtrees (ShapeOf→…→PriorBox chains) are copied
+    into every stage that consumes them, like Consts.  Where such a
+    subtree reads a runtime tensor from another stage, the read is
+    through ShapeOf by construction (value propagation cannot see a
+    runtime VALUE any other way), so a zero-Const with the declared
+    TensorInfo is an EXACT stand-in — the stage's own shape inference
+    reproduces the folded values from it."""
+    if analysis is None:
+        from pyopenvino_tpu.passes.shape_infer import infer_shapes
+
+        analysis = infer_shapes(model)
+    folded = folded_nodes(model, analysis)
     bounds = [-1] + [c.pos for c in cuts] + [len(rt) - 1]
-    pos = {nid: i for i, nid in enumerate(rt)}
     # Result nodes ride with their producer (validated into the last stage
     # by find_cut_candidates' result_floor).
     results_by_prod = {}
@@ -210,7 +257,6 @@ def partition(model: Model, rt: List[int], cuts: List[CutPoint]) -> List[StageSp
     stages: List[StageSpec] = []
     for s in range(len(bounds) - 1):
         seg_ids = rt[bounds[s] + 1: bounds[s + 1] + 1]
-        seg = set(seg_ids)
         nodes: Dict[int, Node] = {nid: model.nodes[nid] for nid in seg_ids}
         for nid in seg_ids:
             for r in results_by_prod.get(nid, ()):
@@ -220,23 +266,53 @@ def partition(model: Model, rt: List[int], cuts: List[CutPoint]) -> List[StageSp
 
         edges: List[Edge] = []
         pp_in_id = fresh
-        for e in model.edges:
-            if e.dst not in nodes:
-                continue
+        shape_stub_id = [fresh + 2]  # pp_in/pp_out take fresh, fresh+1
+
+        def close_over(e: Edge, s=s, cut_in=cut_in, nodes=nodes,
+                       edges=edges, shape_stub_id=shape_stub_id):
+            """Resolve one edge whose dst is in the stage."""
             if e.src in nodes:
                 edges.append(e)
-                continue
+                return
             src_node = model.nodes[e.src]
             if src_node.op_type == "Const":
                 nodes[e.src] = src_node
                 edges.append(e)
-            elif cut_in and (e.src, e.src_port) == (cut_in.node_id, cut_in.port):
+            elif e.src in folded:
+                nodes[e.src] = src_node
+                edges.append(e)
+                for port, (up, uport) in sorted(
+                    model.in_edges[e.src].items()
+                ):
+                    close_over(Edge(up, uport, e.src, port))
+            elif cut_in and (e.src, e.src_port) == (
+                cut_in.node_id, cut_in.port
+            ):
                 edges.append(Edge(pp_in_id, 0, e.dst, e.dst_port))
+            elif e.dst in folded:
+                # a folded consumer reading an out-of-stage runtime
+                # tensor: shape-only use (see docstring) → zero-Const
+                # stand-in with the declared TensorInfo
+                info = src_node.outputs[e.src_port]
+                sid = shape_stub_id[0]
+                shape_stub_id[0] += 1
+                nodes[sid] = Node(
+                    id=sid, name=f"__pp_shape_{e.src}_{e.src_port}__",
+                    op_type="Const", attrs={},
+                    inputs={}, outputs={0: info},
+                    const=np.zeros(info.shape, info.dtype),
+                )
+                edges.append(Edge(sid, 0, e.dst, e.dst_port))
             else:
                 raise AssertionError(
                     f"stage {s}: edge {e} crosses the cut from a "
                     f"non-articulation node — partition bug"
                 )
+
+        initial = set(nodes)  # closure grows `nodes`; folded additions
+        for e in model.edges:  # handle their own in-edges recursively
+            if e.dst in initial:
+                close_over(e)
         if cut_in is not None:
             info = model.nodes[cut_in.node_id].outputs[cut_in.port]
             nodes[pp_in_id] = Node(
@@ -553,7 +629,7 @@ def compile_pipelined(
     analysis = infer_shapes(model)
     n_stages = mesh.shape["stage"]
     rt, cuts = choose_cuts(model, analysis, n_stages)
-    specs = partition(model, rt, cuts)
+    specs = partition(model, rt, cuts, analysis=analysis)
     nets = [
         CompiledNetwork(
             spec.model, config, quantized=quantized,
