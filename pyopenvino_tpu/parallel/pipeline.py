@@ -45,6 +45,12 @@ import numpy as np
 
 from pyopenvino_tpu.config import Config
 from pyopenvino_tpu.ir.model import Edge, Model, Node
+# Runtime nodes with statically-known outputs behave like Consts for
+# partitioning: they produce no runtime tensor, so their edges never cross
+# a stage frontier — without the exclusion SSD's ShapeOf→PriorBox anchor
+# chains (live across the whole trunk) would block every cut.  ONE shared
+# definition with the compiler (passes/util.py).
+from pyopenvino_tpu.passes.util import folded_nodes
 
 # ---------------------------------------------------------------------------
 # Cost model + cut-point selection
@@ -80,21 +86,6 @@ class CutPoint:
     size: int         # flat element count of the crossing tensor (batch-1)
 
 
-def folded_nodes(model: Model, analysis) -> set:
-    """Runtime nodes whose every output is statically known (the same set
-    runtime/compiler.py never traces).  For partitioning they behave like
-    Consts: they produce no runtime tensor, so their edges never cross a
-    stage frontier — without this exclusion SSD's ShapeOf→PriorBox anchor
-    chains (live across the whole trunk) would block every cut."""
-    out = set()
-    for node in model:
-        if node.op_type in ("Const", "Parameter", "Result"):
-            continue
-        if node.outputs and all(
-            (node.id, p) in analysis.values for p in node.outputs
-        ):
-            out.add(node.id)
-    return out
 
 
 def find_cut_candidates(model: Model, analysis) -> Tuple[List[int], List[CutPoint]]:
@@ -247,11 +238,21 @@ def partition(
     folded = folded_nodes(model, analysis)
     bounds = [-1] + [c.pos for c in cuts] + [len(rt) - 1]
     # Result nodes ride with their producer (validated into the last stage
-    # by find_cut_candidates' result_floor).
+    # by find_cut_candidates' result_floor); a Result fed by a FOLDED
+    # producer (a statically-known output, e.g. ShapeOf → Result) has no
+    # runtime producer stage — it lands in the last stage, whose closure
+    # pulls the folded chain in, so the pipelined network returns every
+    # output the single-device program does.
     results_by_prod = {}
+    folded_results = []
     for r in model.results:
         src, _ = model.in_edges[r.id][0]
-        results_by_prod.setdefault(src, []).append(r)
+        if src in folded:
+            folded_results.append(r)
+        else:
+            results_by_prod.setdefault(src, []).append(r)
+    if folded_results and rt:
+        results_by_prod.setdefault(rt[-1], []).extend(folded_results)
 
     fresh = max(model.nodes) + 1
     stages: List[StageSpec] = []
@@ -605,7 +606,15 @@ class PipelinedNetwork:
         for name in self.output_names:
             info = self._out_infos[name]
             size = int(np.prod(info.shape))
-            arr = flat[:, off:off + size].reshape((batch,) + info.shape[1:])
+            # collapse the declared unit batch dim like batched_fn does;
+            # outputs with no unit batch (ShapeOf → Result) keep their
+            # declared shape per example
+            per = (
+                info.shape[1:]
+                if len(info.shape) > 0 and info.shape[0] == 1
+                else tuple(info.shape)
+            )
+            arr = flat[:, off:off + size].reshape((batch,) + per)
             out[name] = arr.astype(info.dtype)
             off += size
         return out

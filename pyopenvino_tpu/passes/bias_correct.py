@@ -100,7 +100,11 @@ def bias_corrections(
             delta = np.einsum(
                 "gcikl,gi->gc", dw, xbar.reshape(g, ci)
             ).reshape(g * co)
-        elif node.op_type == "MatMul" and dw.ndim == 2:
+        elif node.op_type == "MatMul" and dw.ndim == 2 and not A.get_bool(
+            node.attrs, "transpose_a", False
+        ):
+            # (transpose_a layers would need the mean over the OTHER input
+            # axis — rare enough that skipping beats correcting wrongly)
             tb = A.get_bool(node.attrs, "transpose_b", False)
             delta = (dw @ xbar) if tb else (xbar @ dw)
         else:

@@ -63,3 +63,19 @@ def prune_dead_nodes(model: Model) -> Tuple[Model, int]:
     nodes = {nid: model.nodes[nid] for nid in keep}
     edges = [e for e in model.edges if e.src in keep and e.dst in keep]
     return Model(model.name, nodes, edges), dropped
+
+
+def folded_nodes(model: Model, analysis) -> set:
+    """Runtime nodes whose every output is statically known — the set the
+    compiler never traces (runtime/compiler.py) and the pipeline
+    partitioner treats like Consts (parallel/pipeline.py).  ONE definition
+    so the two can never disagree about what produces a runtime tensor."""
+    out = set()
+    for node in model:
+        if node.op_type in ("Const", "Parameter", "Result"):
+            continue
+        if node.outputs and all(
+            (node.id, p) in analysis.values for p in node.outputs
+        ):
+            out.add(node.id)
+    return out

@@ -172,16 +172,11 @@ class CompiledNetwork:
     # -- graph partitioning -------------------------------------------------
 
     def _find_folded_nodes(self):
-        """Runtime nodes whose every output is statically known → not traced."""
-        folded = set()
-        for node in self.model:
-            if node.op_type in ("Const", "Parameter", "Result"):
-                continue
-            if node.outputs and all(
-                (node.id, p) in self.analysis.values for p in node.outputs
-            ):
-                folded.add(node.id)
-        return folded
+        """Runtime nodes whose every output is statically known → not traced
+        (shared definition — the pipeline partitioner must agree)."""
+        from pyopenvino_tpu.passes.util import folded_nodes
+
+        return folded_nodes(self.model, self.analysis)
 
     def _find_runtime_consts(self):
         """Const nodes with at least one traced consumer."""
@@ -570,6 +565,10 @@ class CompiledNetwork:
         param_infos = {
             n.name: n.outputs[n.out_port] for n in self.model.parameters
         }
+        collapse = {
+            n.name: (len(n.inputs[0].shape) > 0 and n.inputs[0].shape[0] == 1)
+            for n in self.model.results
+        }
         fn = self._fn
 
         def single(weights, example):
@@ -604,8 +603,14 @@ class CompiledNetwork:
 
                 batch = {k: constrain(v) for k, v in batch.items()}
             out = jax.vmap(single, in_axes=(None, 0))(weights, batch)
-            # each output is (B, 1, ...) — collapse the declared unit batch
-            return {k: v.reshape((v.shape[0],) + v.shape[2:]) for k, v in out.items()}
+            # each output is (B, 1, ...) — collapse the declared unit
+            # batch dim.  Outputs whose declared shape has NO unit batch
+            # (a ShapeOf → Result vector) pass through as (B, ...).
+            return {
+                k: v.reshape((v.shape[0],) + v.shape[2:])
+                if collapse.get(k, True) else v
+                for k, v in out.items()
+            }
 
         if self._w_shardings is not None:
             from jax.sharding import NamedSharding
@@ -873,6 +878,10 @@ def prepare_model(
     from pyopenvino_tpu.passes.util import prune_dead_nodes
 
     model, _ = prune_dead_nodes(model)
+    if calibration_samples is not None:
+        # calibration and bias correction both iterate the samples — a
+        # one-shot generator would be exhausted by the first pass
+        calibration_samples = list(calibration_samples)
     # A weightless structural parse (no .bin found — ir/xml_parser.py
     # read_ir_model) is fine for inspection/weight-synthesis but cannot
     # compile; fail here with the cause instead of deep inside a pass.
@@ -974,7 +983,7 @@ def compile_model(
     # Config-declared mesh: build it and attach shardings (DP over 'data',
     # TP over 'model' when mesh_model > 1, SP over 'spatial' when
     # mesh_spatial > 1).
-    spatial = getattr(config, "mesh_spatial", 1)
+    spatial = config.mesh_spatial
     if mesh is None and config.mesh_data * config.mesh_model * spatial > 1:
         from pyopenvino_tpu.parallel.mesh import (
             MeshConfig, build_mesh, shard_compiled,

@@ -235,3 +235,54 @@ def test_ssd_pp2_detection():
     detection record table must match the single-device program."""
     _parity("ssd_mobilenet_v1_coco", build_pipeline_mesh(2), batch=4,
             atol=1e-4)
+
+
+def test_folded_producer_result_survives_partition():
+    """A Result fed by a compile-time-folded producer (ShapeOf → Result)
+    must still come out of the pipelined network — it has no runtime
+    producer stage, so it rides the last stage with its folded chain.
+    [Review regression: it used to be silently dropped.]"""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    rng = np.random.default_rng(0)
+    b = GraphBuilder("shape_out")
+    x = b.parameter("in", (1, 4, 16, 16))
+    w1 = rng.normal(0, 0.3, (8, 4, 3, 3)).astype(np.float32)
+    y = b.relu(b.conv2d(x, b.const(w1), pads=((1, 1), (1, 1))))
+    w2 = rng.normal(0, 0.3, (8, 8, 3, 3)).astype(np.float32)
+    z = b.conv2d(y, b.const(w2), pads=((1, 1), (1, 1)))
+    b.result(z, name="act_out")
+    b.result(b.unary("ShapeOf", z), name="shape_out")
+    model = b.build()
+
+    blob = rng.normal(0, 1, (4, 4, 16, 16)).astype(np.float32)
+    ref = compile_model(model).infer_batch({"in": blob})
+    pp = compile_pipelined(model, build_pipeline_mesh(2))
+    out = pp.infer_batch({"in": blob})
+    assert set(out) == set(ref) == {"act_out", "shape_out"}
+    for k in ref:
+        np.testing.assert_allclose(out[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+def test_generator_calibration_samples_not_exhausted():
+    """calibration_samples may be a one-shot generator even when BOTH
+    calibration and bias correction iterate it (prepare_model
+    materializes it once).  [Review regression.]"""
+    from tests.conftest import model_paths
+
+    xml, binp = model_paths("mnist")
+    model = read_ir_model(xml, binp)
+    rng = np.random.default_rng(1)
+
+    def gen():
+        for _ in range(3):
+            yield {"conv2d_input": rng.uniform(
+                0, 255, (1, 1, 28, 28)).astype(np.float32)}
+
+    net = compile_model(
+        model,
+        Config(quant=QuantMode.INT8_FULL, bias_correction=True),
+        calibration_samples=gen(),
+    )
+    out = net({"conv2d_input": np.zeros((1, 1, 28, 28), np.float32)})
+    assert next(iter(out.values())).shape == (1, 10)
