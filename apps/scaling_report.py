@@ -142,7 +142,9 @@ def main():
                     choices=["mnist", "mnist_bn", "googlenet-v1",
                              "ssd_mobilenet_v1_coco", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
-                             "efficientnet-b0", "squeezenet-1.1"])
+                             "efficientnet-b0", "squeezenet-1.1",
+                             "unet", "vit-tiny", "moe-mlp",
+                             "resnet18-pot"])
     ap.add_argument("--batch-per", type=int, default=16,
                     help="per-device batch (weak scaling)")
     ap.add_argument("--quant", default="none", choices=["none", "int8w"])

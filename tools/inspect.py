@@ -46,7 +46,9 @@ def main():
                     choices=["mnist", "mnist_bn", "googlenet-v1",
                              "ssd_mobilenet_v1_coco", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
-                             "efficientnet-b0", "squeezenet-1.1"])
+                             "efficientnet-b0", "squeezenet-1.1",
+                             "unet", "vit-tiny", "moe-mlp",
+                             "resnet18-pot"])
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
     ap.add_argument("--quant", default="none",
