@@ -199,3 +199,36 @@ def test_served_pipelined_network():
     for got, want in zip(outs, ref):
         for k in want:
             np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-4)
+
+
+def test_async_loader_feeds_server(mnist_compiled):
+    """Full ingestion pipeline: raw uint8 images → native AsyncLoader
+    (background C++ preprocessing, in-order) → per-row submits into the
+    continuous-batching server → outputs match direct inference."""
+    import threading
+
+    from pyopenvino_tpu import native
+
+    rng = np.random.default_rng(8)
+    batches = [rng.integers(0, 256, (4, 28, 28, 1), dtype=np.uint8)
+               for _ in range(3)]
+    with native.AsyncLoader((28, 28, 1), (28, 28), depth=2) as loader, \
+            InferenceServer(mnist_compiled, buckets=(1, 2, 4, 8),
+                            max_delay_ms=5.0) as srv:
+        t = threading.Thread(target=lambda: (
+            [loader.submit(b) for b in batches], loader.close()))
+        t.start()
+        futs, want = [], []
+        for blob in loader:  # (4, 1, 28, 28) float32, in order
+            for row in blob:
+                req = row.reshape(1, 1, 28, 28)
+                futs.append(srv.submit({"conv2d_input": req}))
+                want.append(req)
+        t.join()
+        assert len(futs) == 12
+        for fut, req in zip(futs, want):
+            got = fut.result(timeout=60)
+            ref = mnist_compiled({"conv2d_input": req})
+            for k in ref:
+                np.testing.assert_allclose(got[k], ref[k], rtol=1e-4,
+                                           atol=1e-5)
