@@ -150,6 +150,11 @@ def main():
     ap.add_argument("--quant", default="none", choices=["none", "int8w"])
     ap.add_argument("--tensor-parallel", action="store_true",
                     help="add a model=2 TP axis where divisible")
+    ap.add_argument("--spatial", action="store_true",
+                    help="add a spatial=2 SP axis (image-row halo-exchange "
+                    "sharding) where divisible; incompatible with "
+                    "--tensor-parallel (the SPMD partitioner miscompiles "
+                    "TP x SP — docs/MEASUREMENTS.md)")
     ap.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"],
                     help="auto: virtual CPU mesh when measuring >1 device "
                     "(this rig has one chip); tpu: use real devices as-is "
@@ -239,13 +244,20 @@ def main():
     sizes = [d for d in (1, 2, 4, 8, 16, 32) if d <= min(args.devices, n_dev)]
     rows = []
     base = None
+    if args.tensor_parallel and args.spatial:
+        raise SystemExit("--tensor-parallel and --spatial cannot combine "
+                         "(SPMD partitioner miscompilation — MEASUREMENTS)")
     for d in sizes:
         compiled = compile_model(model, cfg)
         if d > 1:
             model_ax = 2 if args.tensor_parallel and d % 2 == 0 else 1
-            mesh = build_mesh(MeshConfig(data=d // model_ax, model=model_ax))
+            sp_ax = 2 if args.spatial and (d // model_ax) % 2 == 0 else 1
+            mesh = build_mesh(MeshConfig(
+                data=d // model_ax // sp_ax, model=model_ax, spatial=sp_ax
+            ))
             shard_compiled(compiled, mesh,
-                           tensor_parallel=args.tensor_parallel)
+                           tensor_parallel=args.tensor_parallel,
+                           spatial_parallel=args.spatial)
         img_s = measure(compiled, in_name, shape, args.batch_per * d)
         if base is None:
             base = img_s
