@@ -407,11 +407,11 @@ class CompiledModel:
 
     @property
     def inputs(self):
-        return self._exe.network.inputs
+        return self._exe.ienet.inputs
 
     @property
     def outputs(self):
-        return self._exe.network.outputs
+        return self._exe.ienet.outputs
 
 
 class Core:

@@ -60,6 +60,7 @@ class GraphBuilder:
     def _add_node(
         self, op_type: str, inputs: Sequence[Port], attrs: Dict[str, str],
         name: Optional[str] = None, n_outputs: int = 1,
+        out_dtype=None,
     ) -> Port:
         nid, name = self._fresh(op_type, name)
         in_infos: Dict[int, TensorInfo] = {}
@@ -89,7 +90,9 @@ class GraphBuilder:
             for i, p in enumerate(inputs)
         }
         res = get_op(op_type).infer_shapes(node, in_shapes, in_values)
-        out_dtype = inputs[0].dtype if inputs else np.float32
+        if out_dtype is None:
+            out_dtype = inputs[0].dtype if inputs else np.float32
+        out_dtype = np.dtype(out_dtype)
         ports = {
             k: TensorInfo(shape=tuple(int(d) for d in shape),
                           dtype=out_dtype)
@@ -103,11 +106,13 @@ class GraphBuilder:
     # -- graph sources/sinks ----------------------------------------------
 
     def parameter(self, name: str, shape, dtype=np.float32) -> Port:
+        from pyopenvino_tpu.ir.writer import _DTYPE_TO_ELEMENT_TYPE
+
         nid, _ = self._fresh("Parameter", name)
         info = TensorInfo(shape=tuple(shape), dtype=np.dtype(dtype))
         self._nodes[nid] = Node(
             id=nid, name=name, op_type="Parameter",
-            attrs={"element_type": "f32",
+            attrs={"element_type": _DTYPE_TO_ELEMENT_TYPE[np.dtype(dtype)],
                    "shape": ",".join(str(int(d)) for d in shape)},
             inputs={}, outputs={0: info},
         )
@@ -200,6 +205,19 @@ class GraphBuilder:
 
     def tanh(self, x, name=None) -> Port:
         return self._add_node("Tanh", [x], {}, name)
+
+    def convert(self, x, destination_type, name=None) -> Port:
+        """Element-wise cast (opset1 Convert).  ``destination_type`` is an
+        IR element-type string ("f32", "u8", ...) or a numpy dtype."""
+        from pyopenvino_tpu.ir.model import ELEMENT_TYPE_TO_DTYPE
+        from pyopenvino_tpu.ir.writer import _DTYPE_TO_ELEMENT_TYPE
+
+        if not isinstance(destination_type, str):
+            destination_type = _DTYPE_TO_ELEMENT_TYPE[
+                np.dtype(destination_type)]
+        return self._add_node(
+            "Convert", [x], {"destination_type": destination_type}, name,
+            out_dtype=ELEMENT_TYPE_TO_DTYPE[destination_type])
 
     def squeeze(self, x, axes=None, name=None) -> Port:
         ins = [x]

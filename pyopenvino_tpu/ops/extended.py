@@ -1120,3 +1120,54 @@ class SpaceToDepth(_BlockSpatial):
         else:
             t = xr.transpose(0, 1, 3, 5, 2, 4)
         return t.reshape(n, c * b * b, h // b, w // b)
+
+
+@register
+class Convert(Op):
+    """opset1 Convert: element-wise cast to ``destination_type``.
+
+    Ubiquitous in real MO output (FP16 IRs wrap every weight in
+    Convert→f32; u8 input preprocessing starts with Convert) and the
+    primitive behind the PrePostProcessor facade (preprocess.py).  The
+    reference has no plugin for it — loading such an IR there exits at
+    dispatch (inference_engine.py:270-272).  float→int rounds toward
+    zero (OpenVINO spec semantics == C truncation, which both numpy and
+    XLA's convert implement)."""
+
+    type_name = "Convert"
+
+    @staticmethod
+    def _dest(node):
+        from pyopenvino_tpu.ir.model import ELEMENT_TYPE_TO_DTYPE
+
+        name = node.attrs.get("destination_type")
+        if name not in ELEMENT_TYPE_TO_DTYPE:
+            raise ValueError(
+                f"Convert {node.name}: unsupported destination_type "
+                f"{name!r} (supported: {sorted(ELEMENT_TYPE_TO_DTYPE)})")
+        return np.dtype(ELEMENT_TYPE_TO_DTYPE[name])
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        res = ShapeResult({node.out_port: in_shapes[0]})
+        if in_values.get(0) is not None:
+            # constant folding: ShapeOf→Convert chains and FP16 weight
+            # unwrapping fold to a typed literal at compile time
+            res.values[node.out_port] = np.asarray(
+                in_values[0]).astype(self._dest(node))
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: np.asarray(inputs[0]).astype(self._dest(node))}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        tv = inputs[0]
+        dest = self._dest(node)
+        # Floating destinations land on the configured compute dtype (the
+        # traced pipeline carries f32-or-bf16 per Config.compute_dtype;
+        # Result nodes cast to the declared output dtype at the end) —
+        # integer/bool destinations are exact.
+        if np.issubdtype(dest, np.floating):
+            out = tv.arr.astype(ctx.compute_dtype)
+        else:
+            out = tv.arr.astype(dest)
+        return {node.out_port: TValue(out, tv.layout)}

@@ -857,3 +857,52 @@ class TestFoldFakeQuantize:
         assert len(folded.find_by_type("FakeQuantize")) == 1  # kept
         blob = rng.normal(0, 1, (1, 2, 4, 4)).astype(np.float32)
         _parity(m, {"in": blob})
+
+
+def test_convert_dtypes_and_roundtrip(tmp_path):
+    """Convert (opset1): u8→f32 in, f32→i32 truncation-toward-zero out,
+    interpreter↔XLA parity, plus writer→parser round-trip."""
+    rng = np.random.default_rng(7)
+    b = GraphBuilder("conv_dtype")
+    x = b.parameter("in", (1, 3, 4, 4), dtype=np.uint8)
+    f = b.convert(x, "f32")
+    y = b.multiply(f, b.const(np.float32(0.5)))
+    b.result(y, name="scaled")
+    b.result(b.convert(y, "i32"), name="truncated")
+    m = b.build()
+
+    blob = rng.integers(0, 256, (1, 3, 4, 4), dtype=np.uint8)
+    ref = Interpreter(m).run({"in": blob})
+    np.testing.assert_allclose(ref["scaled"], blob.astype(np.float32) * 0.5)
+    # float→int rounds toward zero (C truncation)
+    np.testing.assert_array_equal(
+        ref["truncated"], (blob.astype(np.float32) * 0.5).astype(np.int32))
+    assert ref["truncated"].dtype == np.int32
+
+    got = compile_model(m, Config(backend=Backend.XLA)).infer({"in": blob})
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-6, atol=1e-6)
+    assert np.asarray(got["truncated"]).dtype == np.int32
+
+    # writer → parser round-trip keeps destination_type and port dtypes
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.ir.writer import write_ir_model
+
+    xml = str(tmp_path / "conv_dtype.xml")
+    write_ir_model(m, xml)
+    m2 = read_ir_model(xml, xml[:-4] + ".bin")
+    ref2 = Interpreter(m2).run({"in": blob})
+    for k in ref:
+        np.testing.assert_allclose(ref2[k], ref[k])
+
+
+def test_convert_constant_folds():
+    """A Const→Convert chain folds at compile time (no runtime cast)."""
+    b = GraphBuilder("conv_fold")
+    x = b.parameter("in", (1, 2, 2, 2))
+    half = b.convert(b.const(np.array([2], np.int64)), "f32")
+    b.result(b.multiply(x, half), name="out")
+    m = b.build()
+    blob = np.ones((1, 2, 2, 2), np.float32)
+    out = compile_model(m, Config(backend=Backend.XLA)).infer({"in": blob})
+    np.testing.assert_allclose(out["out"], blob * 2.0)
