@@ -21,6 +21,7 @@ Public API mirrors the reference's OpenVINO-compatible facade
 from pyopenvino_tpu.api import (Core, CompiledModel, IECore, IENetwork,
                                 ExecutableNetwork)
 from pyopenvino_tpu.config import Config, Backend, QuantMode
+from pyopenvino_tpu.preprocess import PrePostProcessor
 
 __version__ = "0.1.0"
 
@@ -33,4 +34,5 @@ __all__ = [
     "Config",
     "Backend",
     "QuantMode",
+    "PrePostProcessor",
 ]

@@ -115,15 +115,24 @@ def reshape_model(model: Model, new_shapes: Dict[str, Tuple[int, ...]]) -> Model
         nodes[p.id] = dataclasses.replace(p, outputs=outs)
 
     remodel = Model(model.name, nodes, list(model.edges))
-    analysis = infer_shapes(remodel)  # raises where ops can't adapt
+    return rederive_ports(remodel)  # raises where ops can't adapt
 
-    # rewrite every declared port dim so the model stays self-consistent
-    # (writer round-trips, inspect tools, declared-shape validation)
+
+def rederive_ports(model: Model) -> Model:
+    """Re-run shape inference and rewrite every declared port dim so the
+    model stays self-consistent (writer round-trips, inspect tools,
+    declared-shape validation).  Declared dtypes are kept as-is — callers
+    inserting typed nodes (reshape, preprocess) set them when constructing
+    the nodes."""
+    import dataclasses
+
+    analysis = infer_shapes(model)
+
     final = {}
-    for nid, node in remodel.nodes.items():
+    for nid, node in model.nodes.items():
         ins = {
             port: dataclasses.replace(
-                info, shape=analysis.shape(*remodel.in_edges[nid][port]))
+                info, shape=analysis.shape(*model.in_edges[nid][port]))
             for port, info in node.inputs.items()
         }
         outs = {
