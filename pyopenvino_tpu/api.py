@@ -302,6 +302,18 @@ class ExecutableNetwork:
             self._server = None
             self._requests = None
 
+    def export(self, path: str, buckets=(8, 32)) -> None:
+        """OpenVINO ``ExecutableNetwork.export`` parity: serialize the
+        compiled program (StableHLO via ``jax.export``) + processed weights
+        into one artifact loadable by ``IECore.import_network`` without the
+        IR files (runtime/export.py)."""
+        if self.config.backend == Backend.INTERPRETER:
+            raise ValueError(
+                "the interpreter backend has no compiled program to export; "
+                "use kernel_type 'xla'/'special'"
+            )
+        self._get_compiled().export(path, buckets=buckets)
+
 
 class InferRequest:
     """One slot of the async request pool (OpenVINO InferRequest parity:
@@ -371,6 +383,16 @@ class IECore:
             if n.op_type in self.supported
         }
 
+    def import_network(self, path: str, device_name: str = "TPU"):
+        """OpenVINO ``IECore.import_network`` parity: load a compiled
+        artifact produced by ``ExecutableNetwork.export`` and run it
+        without the original .xml/.bin (runtime/export.py — the exported
+        StableHLO compiles for whatever backend this process runs on;
+        ``device_name`` is accepted for signature parity)."""
+        from pyopenvino_tpu.runtime.export import import_compiled
+
+        return import_compiled(path)
+
     def load_network(
         self,
         network: IENetwork,
@@ -404,6 +426,11 @@ class CompiledModel:
 
     def create_infer_request(self) -> InferRequest:
         return InferRequest(self._exe)
+
+    def export_model(self, path: str, buckets=(8, 32)) -> None:
+        """OpenVINO 2.0 ``CompiledModel.export_model`` parity — see
+        ExecutableNetwork.export."""
+        self._exe.export(path, buckets=buckets)
 
     @property
     def inputs(self):
@@ -441,3 +468,8 @@ class Core:
     ) -> CompiledModel:
         return CompiledModel(
             self._ie.load_network(model, device_name, config=config))
+
+    def import_model(self, path: str, device_name: str = "TPU"):
+        """OpenVINO 2.0 ``Core.import_model`` parity — see
+        IECore.import_network."""
+        return self._ie.import_network(path, device_name)

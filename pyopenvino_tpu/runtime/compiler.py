@@ -694,6 +694,19 @@ class CompiledNetwork:
             )
         self.weights = {k: jnp.asarray(v) for k, v in loaded.items()}
 
+    # -- AOT export (OpenVINO export_model/import_network parity) -------------
+
+    def export(self, path: str, buckets=(8, 32)) -> None:
+        """Serialize this compiled network (StableHLO via ``jax.export`` +
+        the processed weight pytree) into a self-contained artifact that
+        ``runtime.export.import_compiled`` loads WITHOUT the IR — the
+        TPU-native form of OpenVINO's compiled-blob export
+        (``ExecutableNetwork.export``; the reference has no analogue and
+        re-parses the XML every start, inference_engine.py:74-83)."""
+        from pyopenvino_tpu.runtime.export import export_compiled
+
+        export_compiled(self, path, buckets=buckets)
+
     # -- per-layer debugging --------------------------------------------------
 
     def infer_with_capture(self, inputs, names):
