@@ -18,14 +18,15 @@ Public API mirrors the reference's OpenVINO-compatible facade
     result = exenet.infer({'conv2d_input': img})
 """
 
-from pyopenvino_tpu.api import (Core, CompiledModel, IECore, IENetwork,
-                                ExecutableNetwork)
+from pyopenvino_tpu.api import (AsyncInferQueue, Core, CompiledModel, IECore,
+                                IENetwork, ExecutableNetwork)
 from pyopenvino_tpu.config import Config, Backend, QuantMode
 from pyopenvino_tpu.preprocess import PrePostProcessor
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "AsyncInferQueue",
     "IECore",
     "Core",
     "CompiledModel",

@@ -348,6 +348,111 @@ class InferRequest:
         return self._exe.get_perf_counts(inputs)
 
 
+class AsyncInferQueue:
+    """OpenVINO 2.0 ``AsyncInferQueue`` parity: a pool of ``jobs`` async
+    infer slots with a user completion callback.
+
+        queue = AsyncInferQueue(compiled, jobs=4)
+        queue.set_callback(lambda request, userdata: ...)
+        for i, blob in enumerate(dataset):
+            queue.start_async({"data": blob}, userdata=i)   # blocks when full
+        queue.wait_all()
+
+    Requests submitted from different slots coalesce in the continuous-
+    batching server into shared device launches (serving/server.py) — the
+    TPU-native realization of OpenVINO's throughput-mode request pipeline.
+    """
+
+    def __init__(self, compiled_model, jobs: int = 4):
+        import queue as _queue
+        import threading
+
+        exe = getattr(compiled_model, "_exe", compiled_model)
+        if not isinstance(exe, ExecutableNetwork):
+            raise TypeError(
+                "AsyncInferQueue takes a CompiledModel or ExecutableNetwork"
+            )
+        self._exe = exe
+        self._requests = [InferRequest(exe) for _ in range(max(1, jobs))]
+        self._idle = _queue.SimpleQueue()
+        for i in range(len(self._requests)):
+            self._idle.put(i)
+        self._callback = None
+        self._inflight = 0
+        self._lock = threading.Lock()
+        self._all_done = threading.Condition(self._lock)
+        self._errors: list = []
+
+    def __len__(self) -> int:
+        return len(self._requests)
+
+    def __getitem__(self, i: int) -> InferRequest:
+        return self._requests[i]
+
+    def __iter__(self):
+        return iter(self._requests)
+
+    def set_callback(self, callback):
+        """callback(request: InferRequest, userdata) — runs when a job
+        completes, with ``request.output_blobs`` already populated."""
+        self._callback = callback
+
+    def is_ready(self) -> bool:
+        """True when a slot is idle (start_async would not block)."""
+        return not self._idle.empty()
+
+    def start_async(self, inputs: Dict[str, np.ndarray], userdata=None):
+        """Submit one inference; blocks until a slot is free (OpenVINO
+        semantics)."""
+        idx = self._idle.get()  # blocks when all jobs are in flight
+        req = self._requests[idx]
+        with self._lock:
+            self._inflight += 1
+        try:
+            # submit-time validation raises HERE (synchronously), like
+            # OpenVINO's start_async on malformed blobs — the slot must
+            # return to the pool on that path
+            fut = self._exe._ensure_server().submit(inputs)
+        except Exception:
+            self._idle.put(idx)
+            with self._all_done:
+                self._inflight -= 1
+                if self._inflight == 0:
+                    self._all_done.notify_all()
+            raise
+        req._future = fut
+
+        def _done(f, idx=idx, req=req, userdata=userdata):
+            try:
+                req.output_blobs = f.result()
+                if self._callback is not None:
+                    self._callback(req, userdata)
+            except Exception as e:  # surfaced by wait_all
+                with self._lock:
+                    self._errors.append(e)
+            finally:
+                self._idle.put(idx)
+                with self._all_done:
+                    self._inflight -= 1
+                    if self._inflight == 0:
+                        self._all_done.notify_all()
+
+        fut.add_done_callback(_done)
+
+    def wait_all(self, timeout: Optional[float] = None):
+        """Block until every submitted job has completed; re-raises the
+        first inference/callback error."""
+        with self._all_done:
+            if not self._all_done.wait_for(
+                lambda: self._inflight == 0, timeout=timeout
+            ):
+                raise TimeoutError(
+                    f"{self._inflight} job(s) still in flight"
+                )
+            if self._errors:
+                raise self._errors[0]
+
+
 class IECore:
     def __init__(self):
         self.supported = set(supported_ops())
