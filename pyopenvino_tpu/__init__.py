@@ -19,7 +19,8 @@ Public API mirrors the reference's OpenVINO-compatible facade
 """
 
 from pyopenvino_tpu.api import (AsyncInferQueue, Core, CompiledModel, IECore,
-                                IENetwork, ExecutableNetwork)
+                                IENetwork, ExecutableNetwork, InferRequest,
+                                VariableState)
 from pyopenvino_tpu.config import Config, Backend, QuantMode
 from pyopenvino_tpu.preprocess import PrePostProcessor
 
@@ -32,6 +33,8 @@ __all__ = [
     "CompiledModel",
     "IENetwork",
     "ExecutableNetwork",
+    "InferRequest",
+    "VariableState",
     "Config",
     "Backend",
     "QuantMode",

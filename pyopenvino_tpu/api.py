@@ -272,7 +272,8 @@ class ExecutableNetwork:
     def requests(self):
         if self._requests is None:
             n = max(1, self.num_requests)
-            self._ensure_server()
+            if not self.stateful:  # stateful requests run inline, no server
+                self._ensure_server()
             self._requests = [InferRequest(self) for _ in range(n)]
         return self._requests
 
@@ -293,6 +294,29 @@ class ExecutableNetwork:
                 compiled, buckets=self.config.batch_buckets
             ).start(warmup=True)
         return self._server
+
+    # -- variable state (OpenVINO VariableState parity — ops/state_ops.py) --
+
+    def _state_holder(self):
+        """The backend object carrying variable state for this config."""
+        if self.config.backend == Backend.INTERPRETER:
+            return self._get_interpreter()
+        return self._get_compiled()
+
+    @property
+    def stateful(self) -> bool:
+        return bool(self.ienet.model.find_by_type("ReadValue"))
+
+    def query_state(self) -> list:
+        """List of VariableState, one per ReadValue variable — the
+        OpenVINO 2.0 ``InferRequest.query_state()`` surface."""
+        holder = self._state_holder()
+        return [VariableState(holder, vid)
+                for vid in sorted(holder.query_state())]
+
+    def reset_state(self):
+        """Reset every variable to its init subgraph value."""
+        self._state_holder().reset_state()
 
     def close(self):
         """Stop the async-request server, if one was started."""
@@ -315,10 +339,46 @@ class ExecutableNetwork:
         self._get_compiled().export(path, buckets=buckets)
 
 
+class VariableState:
+    """One ReadValue/Assign variable — OpenVINO ``VariableState`` parity
+    (``.name``, ``.state`` get/set, ``.reset()``).  Backed by whichever
+    executor holds the state (Interpreter dict / CompiledNetwork donated
+    device pytree — ops/state_ops.py module docstring)."""
+
+    def __init__(self, holder, name: str):
+        self._holder = holder
+        self.name = name
+
+    @property
+    def state(self) -> np.ndarray:
+        return self._holder.query_state()[self.name]
+
+    @state.setter
+    def state(self, value):
+        self._holder.set_state({self.name: value})
+
+    def reset(self):
+        """Reset THIS variable to its init value (others untouched)."""
+        from pyopenvino_tpu.ops.state_ops import initial_state, model_variables
+        from pyopenvino_tpu.passes.shape_infer import infer_shapes
+
+        model = self._holder.model
+        init = initial_state(model_variables(model, infer_shapes(model)))
+        self._holder.set_state({self.name: init[self.name]})
+
+    def __repr__(self):
+        return f"VariableState({self.name!r})"
+
+
 class InferRequest:
     """One slot of the async request pool (OpenVINO InferRequest parity:
     start_async → wait → output_blobs).  Requests submitted concurrently
-    from multiple slots coalesce in the serving layer's batch scheduler."""
+    from multiple slots coalesce in the serving layer's batch scheduler.
+
+    Stateful networks (ReadValue/Assign) bypass the coalescing server —
+    requests on a variable-carrying network are sequential by definition
+    (each step reads the previous step's Assign), so start_async runs the
+    step inline and wait() is immediate."""
 
     def __init__(self, exe: "ExecutableNetwork"):
         self._exe = exe
@@ -333,8 +393,26 @@ class InferRequest:
     def start_async(self, inputs: Dict[str, np.ndarray]):
         if self._future is not None and not self._future.done():
             raise RuntimeError("request is already running; wait() first")
+        if self._exe.stateful:
+            import concurrent.futures
+
+            f = concurrent.futures.Future()
+            try:
+                f.set_result(self._exe.infer(inputs))
+            except Exception as e:  # surfaced by wait(), like server jobs
+                f.set_exception(e)
+            self._future = f
+            return self
         self._future = self._exe._ensure_server().submit(inputs)
         return self
+
+    def query_state(self) -> list:
+        """OpenVINO 2.0 ``InferRequest.query_state()`` — VariableState per
+        ReadValue variable."""
+        return self._exe.query_state()
+
+    def reset_state(self):
+        self._exe.reset_state()
 
     def wait(self, timeout: Optional[float] = None) -> int:
         if self._future is None:

@@ -137,6 +137,24 @@ class GraphBuilder:
         )
         self._edges.append(Edge(src.nid, src.port, nid, 0))
 
+    # -- variable state (ReadValue/Assign — ops/state_ops.py) ---------------
+
+    def read_value(self, init: Port, variable_id: str,
+                   name: Optional[str] = None) -> Port:
+        """Read variable ``variable_id``; before the first assign (or after
+        reset_state) its value is ``init``."""
+        return self._add_node(
+            "ReadValue", [init], {"variable_id": variable_id}, name
+        )
+
+    def assign(self, src: Port, variable_id: str,
+               name: Optional[str] = None) -> None:
+        """Write ``src`` into variable ``variable_id`` (a graph sink;
+        visible to read_value on the NEXT inference)."""
+        self._add_node(
+            "Assign", [src], {"variable_id": variable_id}, name
+        )
+
     # -- ops ----------------------------------------------------------------
 
     def conv2d(self, x, w, strides=(1, 1), pads=((0, 0), (0, 0)),

@@ -1,0 +1,159 @@
+"""Stateful-inference ops: ReadValue / Assign (OpenVINO opset6 variables).
+
+The reference has no stateful support at all (pyopenvino/op_plugins/ has no
+ReadValue/Assign plugin; a stateful IR dies at inference_engine.py:270-272).
+Real OpenVINO models use variable state for streaming workloads — speech
+models, low-latency LSTM transforms — via ReadValue (read a named variable,
+falling back to an init subgraph before the first Assign) and Assign (write
+the variable at the end of the inference), surfaced through
+``InferRequest.query_state()`` / ``VariableState`` [OpenVINO 2.0 runtime API].
+
+TPU-native design: variables are NOT mutable device globals (XLA programs are
+pure).  The compiled step is a *functional* state transformer
+
+    fn(weights, inputs, state) -> (outputs, new_state)
+
+with ``state = {variable_id: array}`` carried as a jit argument pytree and
+donated (``donate_argnums``) so XLA aliases the output state onto the input
+buffers — the update is in-place on device, zero per-step allocation, which
+is exactly the KV-cache/streaming pattern TPU serving stacks use.  Reads of
+un-assigned variables pass through (output state aliases input state), and
+Assign writes become visible on the NEXT inference, matching OpenVINO's
+variable semantics.
+
+Like Parameter/Const/Result (ops/io_ops.py), these two ops are executed by
+the executors themselves — the interpreter keeps a persistent ``state`` dict
+across run() calls (runtime/interpreter.py), the compiler threads the state
+pytree (runtime/compiler.py _build_fn) — so ref_compute/emit here are
+fail-fast stubs; only shape inference is real logic.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from pyopenvino_tpu.ops.spec import Op, ShapeResult, register
+
+
+def variable_id(node) -> str:
+    vid = node.attrs.get("variable_id", "")
+    if not vid:
+        raise ValueError(
+            f"{node.op_type} node {node.name!r} has no variable_id attribute"
+        )
+    return vid
+
+
+@register
+class ReadValue(Op):
+    """Read variable ``variable_id``; before the first Assign (or after a
+    state reset) the value is the init subgraph on input port 0."""
+
+    type_name = "ReadValue"
+
+    def ref_compute(self, node, inputs):
+        raise RuntimeError(
+            "ReadValue is executed by the executor's state machinery "
+            "(runtime/interpreter.py, runtime/compiler.py), not dispatched"
+        )
+
+    def emit(self, ctx, node, inputs):
+        raise RuntimeError(
+            "ReadValue is threaded through the compiled state pytree "
+            "(runtime/compiler.py _build_fn), not dispatched"
+        )
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        if 0 in in_shapes:
+            # deliberately no value propagation even when the init input is
+            # a folded constant: the runtime value is the VARIABLE, which
+            # only coincides with the init before the first Assign
+            return ShapeResult({node.out_port: tuple(in_shapes[0])})
+        # opset6 allows an init-less ReadValue: shape comes from the
+        # declared output port (zero-initialized at reset)
+        info = node.outputs.get(node.out_port)
+        if info is None or info.shape == ():
+            raise ValueError(
+                f"ReadValue {node.name!r}: no init input and no declared "
+                "output shape to size the variable from"
+            )
+        return ShapeResult({node.out_port: tuple(info.shape)})
+
+
+@register
+class Assign(Op):
+    """Write input port 0 into variable ``variable_id``; visible to
+    ReadValue on the NEXT inference.  A graph sink, like Result."""
+
+    type_name = "Assign"
+
+    def ref_compute(self, node, inputs):
+        raise RuntimeError(
+            "Assign is executed by the executor's state machinery "
+            "(runtime/interpreter.py, runtime/compiler.py), not dispatched"
+        )
+
+    def emit(self, ctx, node, inputs):
+        raise RuntimeError(
+            "Assign is threaded through the compiled state pytree "
+            "(runtime/compiler.py _build_fn), not dispatched"
+        )
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({})
+
+
+def model_variables(model, analysis=None) -> Dict[str, dict]:
+    """{variable_id: {"shape", "dtype", "init", "read", "assign"}} for every
+    variable in the model — the single definition both executors and the
+    API's VariableState build from.
+
+    ``init`` is the statically-known init value (None → zeros at reset);
+    ``read``/``assign`` are node ids (assign may be None for a read-only
+    variable, whose state then passes through unchanged).
+    """
+    variables: Dict[str, dict] = {}
+    for node in model.find_by_type("ReadValue"):
+        vid = variable_id(node)
+        if vid in variables:
+            raise ValueError(f"duplicate ReadValue for variable {vid!r}")
+        info = node.outputs[node.out_port]
+        init = None
+        if analysis is not None and 0 in model.in_edges[node.id]:
+            src, sport = model.in_edges[node.id][0]
+            init = analysis.value(src, sport)
+        variables[vid] = {
+            "shape": tuple(info.shape),
+            "dtype": np.dtype(info.dtype),
+            "init": None if init is None else np.asarray(init),
+            "read": node.id,
+            "assign": None,
+        }
+    for node in model.find_by_type("Assign"):
+        vid = variable_id(node)
+        if vid not in variables:
+            raise ValueError(
+                f"Assign {node.name!r} writes variable {vid!r} with no "
+                "matching ReadValue"
+            )
+        if variables[vid]["assign"] is not None:
+            raise ValueError(f"duplicate Assign for variable {vid!r}")
+        variables[vid]["assign"] = node.id
+    return variables
+
+
+def initial_state(variables: Dict[str, dict]) -> Dict[str, np.ndarray]:
+    """Fresh {variable_id: array} — init subgraph value where statically
+    known, zeros otherwise (OpenVINO resets to the init subgraph; an
+    init-less opset6 variable resets to zeros)."""
+    state = {}
+    for vid, v in variables.items():
+        if v["init"] is not None:
+            state[vid] = np.asarray(v["init"], dtype=v["dtype"]).reshape(
+                v["shape"]
+            )
+        else:
+            state[vid] = np.zeros(v["shape"], dtype=v["dtype"])
+    return state

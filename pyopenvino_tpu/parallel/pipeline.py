@@ -231,6 +231,13 @@ def partition(
     runtime VALUE any other way), so a zero-Const with the declared
     TensorInfo is an EXACT stand-in — the stage's own shape inference
     reproduces the folded values from it."""
+    if model.find_by_type("ReadValue"):
+        raise NotImplementedError(
+            "pipeline partitioning of stateful networks (ReadValue/Assign) "
+            "is not supported — variable state lives in the single-program "
+            "state pytree (runtime/compiler.py), which a stage cut would "
+            "split across processes"
+        )
     if analysis is None:
         from pyopenvino_tpu.passes.shape_infer import infer_shapes
 

@@ -55,7 +55,12 @@ def prune_dead_nodes(model: Model) -> Tuple[Model, int]:
     unchanged when nothing is dead."""
     from pyopenvino_tpu.ir.model import ancestors
 
-    keep = ancestors(model, [n.id for n in model.results])
+    # Assign nodes are graph sinks like Results: a variable write is an
+    # observable effect (read back on the next inference), so its whole
+    # producing subgraph is live (ops/state_ops.py)
+    sinks = [n.id for n in model.results]
+    sinks += [n.id for n in model.find_by_type("Assign")]
+    keep = ancestors(model, sinks)
     keep |= {n.id for n in model.parameters}
     dropped = len(model.nodes) - len(keep)
     if not dropped:

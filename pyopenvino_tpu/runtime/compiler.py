@@ -42,6 +42,10 @@ STATIC_PORTS = {
     ("PriorBoxClustered", 0),
     ("PriorBoxClustered", 1),
     ("LRN", 1),  # axes input, ignored (reference: LRN.py:67)
+    # variable init value: consumed at state-reset time (ops/state_ops.py
+    # initial_state), never traced — the traced read comes from the state
+    # pytree argument
+    ("ReadValue", 0),
 }
 
 # Constants larger than this stay runtime weight params even when their value
@@ -162,9 +166,23 @@ class CompiledNetwork:
             nid for f in self._fusions.values() for nid in f.skip
         }
         self._int8_edges = self._find_int8_edges()
+
+        # Stateful inference (ReadValue/Assign): the traced function is a
+        # functional state transformer fn(weights, inputs, state) ->
+        # (outputs, new_state); the state pytree argument is DONATED so XLA
+        # aliases new_state onto the input buffers — in-place device update,
+        # zero per-step allocation (ops/state_ops.py module docstring).
+        from pyopenvino_tpu.ops.state_ops import model_variables
+
+        self.variables = model_variables(model, self.analysis)
+        self.state = None  # {variable_id: device array}, lazily reset
+
         self.weights = self._build_weights()
         self._fn = self._build_fn()
-        self._jitted = jax.jit(self._fn)
+        if self.variables:
+            self._jitted = jax.jit(self._fn, donate_argnums=(2,))
+        else:
+            self._jitted = jax.jit(self._fn)
         self._batched_cache: Dict[int, object] = {}
         self.input_names = [n.name for n in model.parameters]
         self.output_names = [n.name for n in model.results]
@@ -397,12 +415,16 @@ class CompiledNetwork:
             # disabled alongside (capture is a debugging path).
             fusions, fused_skip, int8_edges = {}, set(), {}
         ctx = EmitCtx(model, analysis, config, self.act_scales, int8_edges)
+        variables = self.variables
 
-        def fn(weights, inputs):
+        def fn(weights, inputs, state=None):
             import jax.numpy as jnp
 
             values: Dict[Tuple[int, int], TValue] = {}
             captured: Dict[str, object] = {}
+            # un-assigned (read-only) variables pass through: the returned
+            # state aliases the donated input buffer
+            new_state = dict(state) if variables else {}
 
             def store(key, tv):
                 """Register a produced tensor; int8-storage edges are
@@ -462,6 +484,24 @@ class CompiledNetwork:
                     out = tv_for(src, sport).dequant().nchw()
                     out_dtype = node.inputs[0].dtype
                     outputs[node.name] = out.astype(out_dtype)
+                elif node.op_type == "ReadValue":
+                    from pyopenvino_tpu.ops.state_ops import variable_id
+
+                    x = state[variable_id(node)]
+                    if np.issubdtype(np.dtype(x.dtype), np.floating):
+                        x = x.astype(ctx.compute_dtype)
+                    values[(node.id, node.out_port)] = TValue(x, "L")
+                elif node.op_type == "Assign":
+                    from pyopenvino_tpu.ops.state_ops import variable_id
+
+                    vid = variable_id(node)
+                    src, sport = model.in_edges[node.id][0]
+                    new_state[vid] = (
+                        tv_for(src, sport)
+                        .dequant()
+                        .nchw()
+                        .astype(variables[vid]["dtype"])
+                    )
                 elif node.id in folded:
                     continue  # consumers pull the folded constant lazily
                 elif node.id in fused_skip:
@@ -515,7 +555,11 @@ class CompiledNetwork:
                     if key in values:
                         captured[node.name] = values[key].dequant().nchw()
             if capture is not None:
+                if variables:
+                    return outputs, new_state, captured
                 return outputs, captured
+            if variables:
+                return outputs, new_state
             return outputs
 
         return fn
@@ -533,8 +577,51 @@ class CompiledNetwork:
 
     def __call__(self, inputs: Dict[str, np.ndarray]):
         """Run one inference at the declared (batch=1) shapes; returns numpy."""
-        out = self._jitted(self.weights, self._prep_inputs(inputs))
+        if self.variables:
+            if self.state is None:
+                self.reset_state()
+            # the previous state buffers are donated (aliased in place by
+            # XLA) — self.state MUST be replaced by the returned pytree
+            out, self.state = self._jitted(
+                self.weights, self._prep_inputs(inputs), self.state
+            )
+        else:
+            out = self._jitted(self.weights, self._prep_inputs(inputs))
         return {k: np.asarray(v) for k, v in out.items()}
+
+    # -- variable state (ReadValue/Assign — ops/state_ops.py) -----------------
+
+    def reset_state(self):
+        """(Re-)initialize every variable from its init subgraph (zeros when
+        init-less) — OpenVINO VariableState.reset for all variables."""
+        import jax.numpy as jnp
+
+        from pyopenvino_tpu.ops.state_ops import initial_state
+
+        self.state = {
+            k: jnp.asarray(v)
+            for k, v in initial_state(self.variables).items()
+        }
+
+    def query_state(self) -> Dict[str, np.ndarray]:
+        """Current {variable_id: value} (host copies, safe to hold across
+        the next donated step)."""
+        if self.state is None:
+            self.reset_state()
+        return {k: np.asarray(v) for k, v in self.state.items()}
+
+    def set_state(self, values: Dict[str, np.ndarray]):
+        """Overwrite variables by id (OpenVINO VariableState.state setter)."""
+        import jax.numpy as jnp
+
+        if self.state is None:
+            self.reset_state()
+        for vid, val in values.items():
+            if vid not in self.variables:
+                raise KeyError(f"unknown variable {vid!r}")
+            var = self.variables[vid]
+            arr = np.asarray(val, dtype=var["dtype"]).reshape(var["shape"])
+            self.state[vid] = jnp.asarray(arr)
 
     def infer(self, inputs, verbose: bool = False):
         import time
@@ -559,6 +646,13 @@ class CompiledNetwork:
         """jit-compiled function over a leading batch axis, cached per size."""
         import jax
 
+        if self.variables:
+            raise NotImplementedError(
+                "stateful networks (ReadValue/Assign) run at their declared "
+                "shapes — vmap over the batch axis would replicate variable "
+                "state per example with no defined cross-step identity; "
+                "bake the batch into the IR instead (IENetwork.reshape)"
+            )
         if batch_size in self._batched_cache:
             return self._batched_cache[batch_size]
 
@@ -720,9 +814,19 @@ class CompiledNetwork:
             self._capture_cache = {}
         if key not in self._capture_cache:
             self._capture_cache[key] = jax.jit(self._build_fn(capture=key))
-        outputs, captured = self._capture_cache[key](
-            self.weights, self._prep_inputs(inputs)
-        )
+        if self.variables:
+            if self.state is None:
+                self.reset_state()
+            # capture jits are NOT donated — the state survives for the
+            # main jitted step; the returned state is still committed so
+            # capture runs advance time like infer does
+            outputs, self.state, captured = self._capture_cache[key](
+                self.weights, self._prep_inputs(inputs), self.state
+            )
+        else:
+            outputs, captured = self._capture_cache[key](
+                self.weights, self._prep_inputs(inputs)
+            )
         return (
             {k: np.asarray(v) for k, v in outputs.items()},
             {k: np.asarray(v) for k, v in captured.items()},
@@ -752,7 +856,13 @@ class CompiledNetwork:
             ]
         name_set = set(names)
 
-        # single interpreter pass retaining requested activations
+        # single interpreter pass retaining requested activations; stateful
+        # nets are verified from the initial state on both sides
+        if self.variables:
+            from pyopenvino_tpu.ops.state_ops import initial_state
+
+            istate = initial_state(self.variables)
+            self.reset_state()
         values = {}
         for node in model:
             ins = {
@@ -768,6 +878,12 @@ class CompiledNetwork:
             elif node.op_type == "Const":
                 outs = {node.out_port: node.const}
             elif node.op_type == "Result":
+                outs = {}
+            elif node.op_type == "ReadValue":
+                from pyopenvino_tpu.ops.state_ops import variable_id
+
+                outs = {node.out_port: istate[variable_id(node)]}
+            elif node.op_type == "Assign":
                 outs = {}
             else:
                 from pyopenvino_tpu.ops import get_op
@@ -820,6 +936,18 @@ class CompiledNetwork:
 
         if batch_size is not None:
             fn, args = self.batched_fn(batch_size), (self.weights, inputs)
+        elif self.variables:
+            if self.state is None:
+                self.reset_state()
+            jitted = self._jitted
+
+            def fn(weights, ins):
+                # re-thread the donated state each call so the warm-up and
+                # the traced run both execute on live buffers
+                out, self.state = jitted(weights, ins, self.state)
+                return out
+
+            args = (self.weights, self._prep_inputs(inputs))
         else:
             fn, args = self._jitted, (self.weights, self._prep_inputs(inputs))
         out = fn(*args)  # warm: compile outside the trace
@@ -845,10 +973,17 @@ class CompiledNetwork:
         """Lower+compile the single-example program with zero-filled
         inputs — shared by the XLA cost/memory analyses so both always
         describe the same program."""
-        return self._jitted.lower(self.weights, {
+        zeros = {
             n.name: np.zeros(n.outputs[n.out_port].shape, np.float32)
             for n in self.model.parameters
-        }).compile()
+        }
+        if self.variables:
+            from pyopenvino_tpu.ops.state_ops import initial_state
+
+            return self._jitted.lower(
+                self.weights, zeros, initial_state(self.variables)
+            ).compile()
+        return self._jitted.lower(self.weights, zeros).compile()
 
     def cost_analysis(self) -> Dict[str, float]:
         """XLA's cost model for the whole compiled program (flops, bytes

@@ -125,6 +125,12 @@ def export_compiled(
             "export_compiled serializes single-device programs; export the "
             "unsharded network and shard_compiled() after import instead"
         )
+    if compiled.variables:
+        raise NotImplementedError(
+            "export of stateful networks (ReadValue/Assign) is not "
+            "supported yet — the state pytree argument is not part of the "
+            ".ovtpu artifact schema; compile from the IR instead"
+        )
 
     weights = compiled.weights
     w_spec = _weights_spec(weights)

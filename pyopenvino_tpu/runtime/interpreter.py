@@ -28,6 +28,10 @@ from pyopenvino_tpu.ops import get_op
 class Interpreter:
     def __init__(self, model: Model):
         self.model = model
+        # persistent {variable_id: ndarray} across run() calls — the numpy
+        # twin of the compiled path's functional state pytree
+        # (runtime/compiler.py; ops/state_ops.py module docstring)
+        self.state: Dict[str, np.ndarray] = {}
         # {node_name: ndarray} golden comparison, like the reference's
         # expected_result {name: (prec, dims, ndarray)} hook
         self.expected_result: Optional[Dict[str, np.ndarray]] = None
@@ -58,6 +62,7 @@ class Interpreter:
 
         store: Dict[Tuple[int, int], np.ndarray] = {}
         results: Dict[str, np.ndarray] = {}
+        pending_state: Dict[str, np.ndarray] = {}
         self.last_timings = []
         compare_failures = []
 
@@ -75,6 +80,27 @@ class Interpreter:
                 outs = {node.out_port: node.const}
             elif node.op_type == "Result":
                 results[node.name] = node_inputs[0]
+                outs = {}
+            elif node.op_type == "ReadValue":
+                from pyopenvino_tpu.ops.state_ops import variable_id
+
+                vid = variable_id(node)
+                if vid not in self.state:
+                    info = node.outputs[node.out_port]
+                    init = (
+                        node_inputs[0].astype(info.dtype)
+                        if 0 in node_inputs
+                        else np.zeros(info.shape, dtype=info.dtype)
+                    )
+                    self.state[vid] = init.reshape(info.shape)
+                outs = {node.out_port: self.state[vid]}
+            elif node.op_type == "Assign":
+                from pyopenvino_tpu.ops.state_ops import variable_id
+
+                # staged, committed after the walk: Assign is visible to
+                # ReadValue on the NEXT inference (OpenVINO variable
+                # semantics; ops/state_ops.py)
+                pending_state[variable_id(node)] = node_inputs[0]
                 outs = {}
             else:
                 if node.id in self.capture_node_args:
@@ -99,5 +125,41 @@ class Interpreter:
                     if not ok:
                         compare_failures.append(node.name)
 
+        self.state.update(pending_state)
         self.last_compare_failures = compare_failures
         return results
+
+    def reset_state(self):
+        """Forget all variables — the next run re-initializes each from its
+        ReadValue init input (OpenVINO VariableState.reset)."""
+        self.state.clear()
+
+    def _variables(self):
+        if not hasattr(self, "_variables_cache"):
+            from pyopenvino_tpu.ops.state_ops import model_variables
+            from pyopenvino_tpu.passes.shape_infer import infer_shapes
+
+            self._variables_cache = model_variables(
+                self.model, infer_shapes(self.model)
+            )
+        return self._variables_cache
+
+    def query_state(self) -> Dict[str, np.ndarray]:
+        """{variable_id: value}; variables not yet touched by a run()
+        report their initial value (same contract as the compiled path,
+        runtime/compiler.py query_state)."""
+        from pyopenvino_tpu.ops.state_ops import initial_state
+
+        out = initial_state(self._variables())
+        out.update({k: np.asarray(v) for k, v in self.state.items()})
+        return out
+
+    def set_state(self, values: Dict[str, np.ndarray]):
+        variables = self._variables()
+        for vid, val in values.items():
+            if vid not in variables:
+                raise KeyError(f"unknown variable {vid!r}")
+            var = variables[vid]
+            self.state[vid] = np.asarray(val, dtype=var["dtype"]).reshape(
+                var["shape"]
+            )
