@@ -35,12 +35,16 @@ DEFAULT_IMAGES = {
     "vit-tiny": "/root/reference/resources/guinea-pig.jpg",
     "moe-mlp": "/root/reference/resources/guinea-pig.jpg",
     "resnet18-pot": "/root/reference/resources/guinea-pig.jpg",
+    "lstm-tiny": None,  # feature-matrix input: seeded random blob
 }
 
 
 def load_blob(model_name: str, image_path: str, shape):
     import cv2
 
+    if image_path is None:  # non-image input (lstm-tiny feature matrix)
+        rng = np.random.default_rng(0)
+        return rng.uniform(0, 255, tuple(shape)).astype(np.float32)
     img = cv2.imread(image_path)
     if img is None:
         raise FileNotFoundError(image_path)
@@ -62,7 +66,8 @@ def main():
                     choices=["mnist", "mnist_bn", "googlenet-v1", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
                              "efficientnet-b0", "squeezenet-1.1",
-                             "vit-tiny", "moe-mlp", "resnet18-pot"])
+                             "vit-tiny", "moe-mlp", "resnet18-pot",
+                             "lstm-tiny"])
     ap.add_argument("--image", default=None)
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
@@ -125,6 +130,18 @@ def main():
 
         import cv2
 
+        if image is None:  # non-image input: replicate the seeded blob
+            batch = np.repeat(blob[None], args.batch, axis=0)
+            out = exe.infer_batch({in_name: batch})
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = exe.infer_batch({in_name: batch})
+            k = next(iter(out))
+            np.asarray(out[k]).ravel()[:1]
+            dt = (time.perf_counter() - t0) / args.iters
+            print(f"batched: {args.batch / dt:.1f} samples/s "
+                  f"(batch={args.batch}, {dt * 1e3:.2f} ms/iter)")
+            return
         raw = cv2.imread(image)
         n, c, h, w = shape
         if c == 1:

@@ -143,7 +143,7 @@ def main():
                              "ssd_mobilenet_v1_coco", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
                              "efficientnet-b0", "squeezenet-1.1",
-                             "unet", "vit-tiny", "moe-mlp",
+                             "unet", "vit-tiny", "moe-mlp", "lstm-tiny",
                              "resnet18-pot"])
     ap.add_argument("--batch-per", type=int, default=16,
                     help="per-device batch (weak scaling)")

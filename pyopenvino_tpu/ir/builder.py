@@ -155,6 +155,49 @@ class GraphBuilder:
             "Assign", [src], {"variable_id": variable_id}, name
         )
 
+    # -- recurrent ops (ops/recurrent.py — opset gate orders fico/zrh) ------
+
+    def lstm_cell(self, x, h, c, w, r, bias, hidden_size, name=None,
+                  **attrs):
+        """Returns (Ho, Co).  w:[4H,I] r:[4H,H] bias:[4H], gates fico."""
+        return self._add_node(
+            "LSTMCell", [x, h, c, w, r, bias],
+            {"hidden_size": hidden_size, **attrs}, name, n_outputs=2,
+        )
+
+    def gru_cell(self, x, h, w, r, bias, hidden_size, name=None, **attrs):
+        """w:[3H,I] r:[3H,H] bias:[3H] (or [4H] with
+        linear_before_reset=1), gates zrh."""
+        return self._add_node(
+            "GRUCell", [x, h, w, r, bias],
+            {"hidden_size": hidden_size, **attrs}, name,
+        )
+
+    def rnn_cell(self, x, h, w, r, bias, hidden_size, name=None, **attrs):
+        return self._add_node(
+            "RNNCell", [x, h, w, r, bias],
+            {"hidden_size": hidden_size, **attrs}, name,
+        )
+
+    def lstm_sequence(self, x, h, c, seq_lens, w, r, bias, hidden_size,
+                      direction="forward", name=None, **attrs):
+        """Returns (Y [B,D,T,H], Ho, Co).  x:[B,T,I], states:[B,D,H],
+        w:[D,4H,I] r:[D,4H,H] bias:[D,4H]."""
+        return self._add_node(
+            "LSTMSequence", [x, h, c, seq_lens, w, r, bias],
+            {"hidden_size": hidden_size, "direction": direction, **attrs},
+            name, n_outputs=3,
+        )
+
+    def gru_sequence(self, x, h, seq_lens, w, r, bias, hidden_size,
+                     direction="forward", name=None, **attrs):
+        """Returns (Y [B,D,T,H], Ho)."""
+        return self._add_node(
+            "GRUSequence", [x, h, seq_lens, w, r, bias],
+            {"hidden_size": hidden_size, "direction": direction, **attrs},
+            name, n_outputs=2,
+        )
+
     # -- ops ----------------------------------------------------------------
 
     def conv2d(self, x, w, strides=(1, 1), pads=((0, 0), (0, 0)),

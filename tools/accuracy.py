@@ -47,6 +47,7 @@ MODELS = {
     "vit-tiny": ("data", (1, 3, 64, 64), "cls"),  # programmatic 11th family
     "resnet18-pot": ("data", (1, 3, 224, 224), "cls"),  # POT-quantized IR
     "moe-mlp": ("input", (1, 3, 32, 32), "cls"),  # programmatic 12th (EP)
+    "lstm-tiny": ("data", (1, 32, 40), "cls"),  # programmatic 13th (RNN)
 }
 
 # INT8-FULL calibration method for this run ("percentile" or "kl" —
@@ -78,13 +79,15 @@ def eval_images(model_name: str, n: int):
         imgs["mnist2.png"] = (
             cv2.split(img)[0].reshape(shape).astype(np.float32)
         )
-    else:
+    elif shape[1] == 3:  # RGB image input
         img = cv2.imread("/root/reference/resources/guinea-pig.jpg")
         hw = shape[2]
         resized = cv2.resize(img, (hw, hw)).transpose(2, 0, 1)
         imgs["guinea-pig.jpg"] = (
             resized.reshape(shape).astype(np.float32)
         )
+    # non-image inputs (e.g. lstm-tiny's (1, T, F) feature matrix) use the
+    # seeded random blobs below only
     rng = np.random.default_rng(42)
     while len(imgs) < n:
         imgs[f"rand{len(imgs)}"] = rng.uniform(0, 255, shape).astype(

@@ -47,7 +47,7 @@ def main():
                              "ssd_mobilenet_v1_coco", "resnet18",
                              "mobilenet-v2", "shufflenet-v2",
                              "efficientnet-b0", "squeezenet-1.1",
-                             "unet", "vit-tiny", "moe-mlp",
+                             "unet", "vit-tiny", "moe-mlp", "lstm-tiny",
                              "resnet18-pot"])
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
