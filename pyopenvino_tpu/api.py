@@ -535,6 +535,23 @@ class IECore:
     def __init__(self):
         self.supported = set(supported_ops())
 
+    def set_config(self, config: Dict[str, object], device_name: str = "TPU"):
+        """OpenVINO 1.0 ``ie.set_config`` — supported keys: ``CACHE_DIR``
+        (persistent compiled-program cache, runtime/cache.py).  Unknown
+        keys fail fast rather than being silently dropped."""
+        for key, value in config.items():
+            if key == "CACHE_DIR":
+                from pyopenvino_tpu.runtime.cache import (
+                    disable_model_cache, enable_model_cache,
+                )
+
+                if value:
+                    enable_model_cache(str(value))
+                else:
+                    disable_model_cache()
+            else:
+                raise ValueError(f"unsupported config key {key!r}")
+
     def read_network(self, model: str, weights: Optional[str] = None) -> IENetwork:
         # NOTE: unlike the reference, `weights` is honoured
         # (inference_engine.py:105-110 ignores it).
@@ -643,12 +660,23 @@ class Core:
                    weights: Optional[str] = None) -> IENetwork:
         return self._ie.read_network(model, weights)
 
+    def set_property(self, properties: Dict[str, object]):
+        """OpenVINO 2.0 ``core.set_property`` — supported keys:
+        ``CACHE_DIR`` (persistent compiled-program cache,
+        runtime/cache.py)."""
+        self._ie.set_config(properties)
+
     def compile_model(
         self,
         model: IENetwork,
         device_name: str = "TPU",
-        config: Optional[Config] = None,
+        config=None,
     ) -> CompiledModel:
+        """``config`` accepts a Config dataclass or the OpenVINO-style
+        properties dict ({"CACHE_DIR": path, ...})."""
+        if isinstance(config, dict):
+            self.set_property(config)
+            config = None
         return CompiledModel(
             self._ie.load_network(model, device_name, config=config))
 
