@@ -1,19 +1,28 @@
-"""Headline benchmark: GoogLeNet-v1 INT8 throughput per chip.
+"""Headline benchmarks: per-chip INT8 throughput on the three headline
+models — SSD-MobileNet-v1-COCO, ResNet-18, GoogLeNet-v1.
 
-Prints ONE JSON line:
+Prints ONE JSON line per model:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
+The GoogLeNet-v1 line is LAST (the driver parses the tail line; the other
+lines are the rest of the headline matrix, mirroring the reference's
+full-matrix transcript — integrity_test_expected_result.txt:1-93).
 
-Baseline: the reference's fastest GoogLeNet-v1 path — the `special`
-(im2col+GEMM) kernel at 0.554 s/inf ≈ 1.81 img/s, batch=1 FP32, single CPU
-thread (reference: integrity_test_expected_result.txt:50; BASELINE.md).
-North-star target is ≥1000× that per chip (BASELINE.json).
+Baselines: the reference's fastest path per model — the `special`
+(im2col+GEMM) kernel rows of its integrity transcript, batch=1 FP32, single
+CPU thread (reference: integrity_test_expected_result.txt:50,71;
+BASELINE.md): GoogLeNet-v1 0.554 s/inf ≈ 1.81 img/s, SSD-MobileNet-v1
+18.26 s/inf ≈ 0.055 img/s.  ResNet-18 is a programmatic extension family
+with no reference analogue: vs_baseline is reported as 0.0.
+North-star target is ≥1000× per chip (BASELINE.json).
 
-Methodology: batch-N inference (vmap'd whole-graph XLA program), steady-state
-timing after jit warm-up with a host-fetch barrier on device results.  On
-TPU the mode is INT8-FULL — calibrated activation scales, native int8×int8
-convs, int8 inter-layer dataflow — the fastest mode since round 2; the CPU
-fallback uses INT8 weight-only (int8 emulation on CPU XLA is slow and the
-CPU number is only a smoke signal).
+Methodology: batch-N inference (vmap'd whole-graph XLA program),
+steady-state timing after jit warm-up with a host-fetch barrier on device
+results.  On TPU the mode is INT8-FULL — calibrated activation scales,
+native int8×int8 convs, int8 inter-layer dataflow — the fastest mode since
+round 2 (docs/MEASUREMENTS.md); the CPU fallback uses INT8 weight-only
+(int8 emulation on CPU XLA is slow and the CPU number is only a smoke
+signal).  Batch sizes are each model's measured sweet spot
+(docs/MEASUREMENTS.md: GoogLeNet b512, SSD b256, ResNet-18 b512).
 """
 
 import json
@@ -24,12 +33,68 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-BASELINE_IMG_S = 1.0 / 0.554  # GoogLeNet-v1 `special`, integrity transcript
+# (family, metric stem, TPU batch, reference-baseline img/s or None)
+HEADLINES = [
+    ("ssd_mobilenet_v1_coco", "ssd_mobilenet_v1_int8_throughput", 256,
+     1.0 / 18.26),
+    ("resnet18", "resnet18_int8_throughput", 512, None),
+    # GoogLeNet LAST — the driver parses the tail JSON line
+    ("googlenet-v1", "googlenet_v1_int8_throughput", 512, 1.0 / 0.554),
+]
+
+
+def bench_model(family: str, batch: int, iters: int, on_tpu: bool) -> float:
+    """Steady-state img/s for one model at the given batch."""
+    import jax
+    import numpy as np
+
+    from __graft_entry__ import _model_paths
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = _model_paths(family)
+    model = read_ir_model(xml, binp)
+    cfg = Config(
+        quant=QuantMode.INT8_FULL if on_tpu else QuantMode.INT8_WEIGHT,
+        compute_dtype="bfloat16" if on_tpu else "float32",
+    )
+    param = model.parameters[0]
+    shape = param.outputs[param.out_port].shape  # (1, C, H, W)
+    cal = None
+    if cfg.quant == QuantMode.INT8_FULL:
+        crng = np.random.default_rng(1)
+        cal = [
+            {param.name: crng.uniform(0, 255, shape).astype(np.float32)}
+            for _ in range(2)
+        ]
+    compiled = compile_model(model, cfg, calibration_samples=cal)
+
+    rng = np.random.default_rng(0)
+    blob = rng.uniform(0, 255, (batch,) + shape).astype(np.float32)
+    inputs = {param.name: blob}
+
+    fn = compiled.batched_fn(batch)
+    dev_inputs = jax.device_put(inputs)
+
+    # Warm-up with a host-fetch barrier: device executions queue in order,
+    # so reading one element of the last output proves every prior
+    # execution finished.  (block_until_ready is not a reliable barrier
+    # through the remote-TPU tunnel this runs under.)
+    out = fn(compiled.weights, dev_inputs)
+    key = next(iter(out))
+    np.asarray(out[key][(0,) * out[key].ndim])
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(compiled.weights, dev_inputs)
+    np.asarray(out[key][(0,) * out[key].ndim])
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
 
 
 def main():
     import jax
-    import numpy as np
 
     # Persistent compilation cache: first run warms it, later runs (and
     # later driver rounds) skip the multi-minute XLA/Mosaic compile.
@@ -41,70 +106,27 @@ def main():
     except Exception:
         pass  # older jax without the persistent cache — harmless
 
-    from __graft_entry__ import _model_paths
-    from pyopenvino_tpu.config import Config, QuantMode
-    from pyopenvino_tpu.ir import read_ir_model
-    from pyopenvino_tpu.runtime.compiler import compile_model
-
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    batch = 512 if on_tpu else 16
     iters = 20 if on_tpu else 3
 
-    xml, binp = _model_paths("googlenet-v1")
-    model = read_ir_model(xml, binp)
-    # INT8-FULL (calibrated activations, native int8x8 convs, int8
-    # inter-layer dataflow) is the fastest mode since round 2: 19.3k vs
-    # 13.6k img/s weight-only at batch 512 on the v5e
-    # (docs/MEASUREMENTS.md).
-    cfg = Config(
-        quant=QuantMode.INT8_FULL if on_tpu else QuantMode.INT8_WEIGHT,
-        compute_dtype="bfloat16" if on_tpu else "float32",
-    )
-    cal = None
-    if cfg.quant == QuantMode.INT8_FULL:
-        crng = np.random.default_rng(1)
-        cal = [
-            {"data": crng.uniform(0, 255, (1, 3, 224, 224)).astype(
-                np.float32)}
-            for _ in range(2)
-        ]
-    compiled = compile_model(model, cfg, calibration_samples=cal)
-
-    param = model.parameters[0]
-    shape = param.outputs[param.out_port].shape  # (1, 3, 224, 224)
-    rng = np.random.default_rng(0)
-    blob = rng.uniform(0, 255, (batch,) + shape).astype(np.float32)
-    inputs = {param.name: blob}
-
-    fn = compiled.batched_fn(batch)
-    dev_inputs = jax.device_put(inputs)
-
-    # Warm-up with a host-fetch barrier: device executions queue in order, so
-    # reading one element of the last output proves every prior execution
-    # finished.  (block_until_ready is not a reliable barrier through the
-    # remote-TPU tunnel this runs under.)
-    out = fn(compiled.weights, dev_inputs)
-    key = next(iter(out))
-    np.asarray(out[key][(0,) * out[key].ndim])
-
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(compiled.weights, dev_inputs)
-    np.asarray(out[key][(0,) * out[key].ndim])
-    dt = time.perf_counter() - t0
-
-    img_s = batch * iters / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"googlenet_v1_int8_throughput_{platform}",
-                "value": round(img_s, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_s / BASELINE_IMG_S, 1),
-            }
+    for family, stem, batch, baseline in HEADLINES:
+        if not on_tpu:
+            batch = 16
+        img_s = bench_model(family, batch, iters, on_tpu)
+        print(
+            json.dumps(
+                {
+                    "metric": f"{stem}_{platform}",
+                    "value": round(img_s, 2),
+                    "unit": "img/s",
+                    "vs_baseline": (
+                        round(img_s / baseline, 1) if baseline else 0.0
+                    ),
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -343,7 +343,8 @@ class VariableState:
     """One ReadValue/Assign variable — OpenVINO ``VariableState`` parity
     (``.name``, ``.state`` get/set, ``.reset()``).  Backed by whichever
     executor holds the state (Interpreter dict / CompiledNetwork donated
-    device pytree — ops/state_ops.py module docstring)."""
+    device pytree / a request's private _StatefulStream —
+    ops/state_ops.py module docstring)."""
 
     def __init__(self, holder, name: str):
         self._holder = holder
@@ -358,16 +359,76 @@ class VariableState:
         self._holder.set_state({self.name: value})
 
     def reset(self):
-        """Reset THIS variable to its init value (others untouched)."""
-        from pyopenvino_tpu.ops.state_ops import initial_state, model_variables
-        from pyopenvino_tpu.passes.shape_infer import infer_shapes
-
-        model = self._holder.model
-        init = initial_state(model_variables(model, infer_shapes(model)))
-        self._holder.set_state({self.name: init[self.name]})
+        """Reset THIS variable to its init value (others untouched) — a
+        dynamic (input-dependent) init subgraph is recomputed at the next
+        infer, like OpenVINO's reset-to-init semantics."""
+        self._holder.reset_variable(self.name)
 
     def __repr__(self):
         return f"VariableState({self.name!r})"
+
+
+class _StatefulStream:
+    """Per-request variable state — OpenVINO scopes state per InferRequest
+    (``query_state`` is a request method), so every InferRequest on a
+    stateful network owns one of these.  Compiled backends thread a
+    PRIVATE donated state pytree through ``CompiledNetwork.step``;
+    concurrent requests therefore never share (or double-donate) state
+    buffers.  The interpreter backend gets a private Interpreter twin."""
+
+    def __init__(self, exe: "ExecutableNetwork"):
+        self._exe = exe
+        self._interp: Optional[Interpreter] = None
+        self._state = None     # compiled-path device pytree
+        self._compiled = None  # the compile the pytree belongs to
+
+    def _backend(self):
+        """(interpreter, compiled): exactly one is non-None; the state
+        pytree is re-created whenever a config change produced a new
+        compiled program."""
+        if self._exe.config.backend == Backend.INTERPRETER:
+            if self._interp is None:
+                self._interp = Interpreter(self._exe.ienet.model)
+            return self._interp, None
+        compiled = self._exe._get_compiled()
+        if self._compiled is not compiled or self._state is None:
+            self._compiled = compiled
+            self._state = compiled.fresh_state()
+        return None, compiled
+
+    def infer(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        interp, compiled = self._backend()
+        if interp is not None:
+            return interp.run(inputs)
+        out, self._state = compiled.step(inputs, self._state)
+        return out
+
+    def query_state(self) -> Dict[str, np.ndarray]:
+        interp, compiled = self._backend()
+        if interp is not None:
+            return interp.query_state()
+        return compiled.state_to_host(self._state)
+
+    def set_state(self, values: Dict[str, np.ndarray]):
+        interp, compiled = self._backend()
+        if interp is not None:
+            interp.set_state(values)
+        else:
+            self._state = compiled.state_with(self._state, values)
+
+    def reset_state(self):
+        interp, compiled = self._backend()
+        if interp is not None:
+            interp.reset_state()
+        else:
+            self._state = compiled.fresh_state()
+
+    def reset_variable(self, vid: str):
+        interp, compiled = self._backend()
+        if interp is not None:
+            interp.reset_variable(vid)
+        else:
+            self._state = compiled.state_with_reset(self._state, vid)
 
 
 class InferRequest:
@@ -376,14 +437,18 @@ class InferRequest:
     from multiple slots coalesce in the serving layer's batch scheduler.
 
     Stateful networks (ReadValue/Assign) bypass the coalescing server —
-    requests on a variable-carrying network are sequential by definition
-    (each step reads the previous step's Assign), so start_async runs the
-    step inline and wait() is immediate."""
+    steps within ONE request are sequential by definition (each reads the
+    previous step's Assign), so start_async runs the step inline against
+    the request's PRIVATE variable state (_StatefulStream; OpenVINO scopes
+    state per request) and wait() is immediate.  Note the deviation on the
+    legacy surface: ``ExecutableNetwork.infer`` keeps its own network-level
+    implicit stream, independent of every request's."""
 
     def __init__(self, exe: "ExecutableNetwork"):
         self._exe = exe
         self._future = None
         self.output_blobs: Dict[str, np.ndarray] = {}
+        self._stream = _StatefulStream(exe) if exe.stateful else None
 
     def infer(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         self.start_async(inputs)
@@ -393,12 +458,12 @@ class InferRequest:
     def start_async(self, inputs: Dict[str, np.ndarray]):
         if self._future is not None and not self._future.done():
             raise RuntimeError("request is already running; wait() first")
-        if self._exe.stateful:
+        if self._stream is not None:
             import concurrent.futures
 
             f = concurrent.futures.Future()
             try:
-                f.set_result(self._exe.infer(inputs))
+                f.set_result(self._stream.infer(inputs))
             except Exception as e:  # surfaced by wait(), like server jobs
                 f.set_exception(e)
             self._future = f
@@ -408,11 +473,19 @@ class InferRequest:
 
     def query_state(self) -> list:
         """OpenVINO 2.0 ``InferRequest.query_state()`` — VariableState per
-        ReadValue variable."""
+        ReadValue variable, backed by THIS request's private state."""
+        if self._stream is not None:
+            return [
+                VariableState(self._stream, vid)
+                for vid in sorted(self._stream.query_state())
+            ]
         return self._exe.query_state()
 
     def reset_state(self):
-        self._exe.reset_state()
+        if self._stream is not None:
+            self._stream.reset_state()
+        else:
+            self._exe.reset_state()
 
     def wait(self, timeout: Optional[float] = None) -> int:
         if self._future is None:
@@ -486,6 +559,24 @@ class AsyncInferQueue:
         req = self._requests[idx]
         with self._lock:
             self._inflight += 1
+        if req._stream is not None:
+            # stateful: run inline on the slot's PRIVATE state stream
+            # (never through the coalescing server — variable state is
+            # per-request, and batched stateful coalescing is undefined)
+            try:
+                req.output_blobs = req._stream.infer(inputs)
+                if self._callback is not None:
+                    self._callback(req, userdata)
+            except Exception as e:  # surfaced by wait_all
+                with self._lock:
+                    self._errors.append(e)
+            finally:
+                self._idle.put(idx)
+                with self._all_done:
+                    self._inflight -= 1
+                    if self._inflight == 0:
+                        self._all_done.notify_all()
+            return
         try:
             # submit-time validation raises HERE (synchronously), like
             # OpenVINO's start_async on malformed blobs — the slot must

@@ -113,6 +113,14 @@ def model_variables(model, analysis=None) -> Dict[str, dict]:
     ``init`` is the statically-known init value (None → zeros at reset);
     ``read``/``assign`` are node ids (assign may be None for a read-only
     variable, whose state then passes through unchanged).
+
+    ``dynamic_init`` marks a ReadValue whose init edge exists but is NOT
+    statically foldable (an input-dependent init subgraph — legal OpenVINO
+    IR).  The interpreter initializes such a variable from the runtime
+    init value on the first run; the compiled path matches by carrying a
+    per-variable ``fresh`` flag in the state pytree and selecting
+    ``where(fresh, traced_init, state)`` (runtime/compiler.py _build_fn),
+    so the two executors agree on first-infer semantics.
     """
     variables: Dict[str, dict] = {}
     for node in model.find_by_type("ReadValue"):
@@ -121,13 +129,16 @@ def model_variables(model, analysis=None) -> Dict[str, dict]:
             raise ValueError(f"duplicate ReadValue for variable {vid!r}")
         info = node.outputs[node.out_port]
         init = None
+        dynamic = False
         if analysis is not None and 0 in model.in_edges[node.id]:
             src, sport = model.in_edges[node.id][0]
             init = analysis.value(src, sport)
+            dynamic = init is None
         variables[vid] = {
             "shape": tuple(info.shape),
             "dtype": np.dtype(info.dtype),
             "init": None if init is None else np.asarray(init),
+            "dynamic_init": dynamic,
             "read": node.id,
             "assign": None,
         }
@@ -147,7 +158,10 @@ def model_variables(model, analysis=None) -> Dict[str, dict]:
 def initial_state(variables: Dict[str, dict]) -> Dict[str, np.ndarray]:
     """Fresh {variable_id: array} — init subgraph value where statically
     known, zeros otherwise (OpenVINO resets to the init subgraph; an
-    init-less opset6 variable resets to zeros)."""
+    init-less opset6 variable resets to zeros).  ``dynamic_init``
+    variables get a zeros placeholder here; the executors compute the
+    real init at the first inference (interpreter: runtime init input;
+    compiled: the ``fresh``-flag select in _build_fn)."""
     state = {}
     for vid, v in variables.items():
         if v["init"] is not None:

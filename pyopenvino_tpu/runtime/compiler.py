@@ -52,6 +52,12 @@ STATIC_PORTS = {
 # is statically known; smaller folded values are inlined as literals.
 _INLINE_LIMIT = 1 << 16
 
+# State-pytree key suffix for the per-variable "fresh" flag carried for
+# dynamic-init variables: where(fresh, traced_init, state) in _build_fn
+# reproduces the interpreter's first-infer initialization of an
+# input-dependent ReadValue init subgraph (ops/state_ops.py).
+_FRESH = "::fresh"
+
 
 class EmitCtx:
     """Trace-time services handed to every op's ``emit``."""
@@ -487,7 +493,25 @@ class CompiledNetwork:
                 elif node.op_type == "ReadValue":
                     from pyopenvino_tpu.ops.state_ops import variable_id
 
-                    x = state[variable_id(node)]
+                    vid = variable_id(node)
+                    x = state[vid]
+                    if variables[vid]["dynamic_init"]:
+                        # input-dependent init subgraph: the first infer
+                        # after a reset reads the TRACED init value and
+                        # commits it, selected by the per-variable fresh
+                        # flag — matching the interpreter twin's
+                        # first-run initialization
+                        # (runtime/interpreter.py ReadValue branch)
+                        var = variables[vid]
+                        src, sport = model.in_edges[node.id][0]
+                        init = (
+                            tv_for(src, sport).dequant().nchw()
+                            .astype(var["dtype"]).reshape(var["shape"])
+                        )
+                        fresh = state[vid + _FRESH]
+                        x = jnp.where(fresh, init, x)
+                        new_state[vid] = x
+                        new_state[vid + _FRESH] = jnp.zeros((), bool)
                     if np.issubdtype(np.dtype(x.dtype), np.floating):
                         x = x.astype(ctx.compute_dtype)
                     values[(node.id, node.out_port)] = TValue(x, "L")
@@ -591,37 +615,99 @@ class CompiledNetwork:
 
     # -- variable state (ReadValue/Assign — ops/state_ops.py) -----------------
 
-    def reset_state(self):
-        """(Re-)initialize every variable from its init subgraph (zeros when
-        init-less) — OpenVINO VariableState.reset for all variables."""
+    def fresh_state(self) -> Dict[str, object]:
+        """A brand-new device state pytree: init values (zeros placeholder
+        for dynamic-init variables, computed at the first infer) plus the
+        per-variable fresh flags the traced function selects on.  This is
+        the unit of PER-REQUEST state: api.InferRequest threads its own
+        pytree through step(), so concurrent requests never share (or
+        double-donate) state buffers — OpenVINO scopes variable state per
+        InferRequest."""
         import jax.numpy as jnp
 
         from pyopenvino_tpu.ops.state_ops import initial_state
 
-        self.state = {
+        state = {
             k: jnp.asarray(v)
             for k, v in initial_state(self.variables).items()
         }
+        for vid, var in self.variables.items():
+            if var["dynamic_init"]:
+                state[vid + _FRESH] = jnp.ones((), bool)
+        return state
+
+    def step(self, inputs, state):
+        """One stateful inference with CALLER-OWNED state → (outputs,
+        new_state).  ``state`` is donated to the jitted call; callers must
+        drop their reference and keep the returned pytree (the donated
+        buffers are aliased in place on device)."""
+        out, new_state = self._jitted(
+            self.weights, self._prep_inputs(inputs), state
+        )
+        return {k: np.asarray(v) for k, v in out.items()}, new_state
+
+    def state_to_host(self, state) -> Dict[str, np.ndarray]:
+        """{variable_id: host array} view of a state pytree (fresh flags
+        elided — they are an executor detail, not a variable)."""
+        return {vid: np.asarray(state[vid]) for vid in self.variables}
+
+    def state_with(self, state, values: Dict[str, np.ndarray]):
+        """Copy of ``state`` with the given variables overwritten
+        (validated against the declared shape/dtype); setting a
+        dynamic-init variable clears its fresh flag — an explicit value
+        wins over the init subgraph, like OpenVINO's state setter."""
+        import jax.numpy as jnp
+
+        state = dict(state)
+        for vid, val in values.items():
+            if vid not in self.variables:
+                raise KeyError(f"unknown variable {vid!r}")
+            var = self.variables[vid]
+            arr = np.asarray(val, dtype=var["dtype"]).reshape(var["shape"])
+            state[vid] = jnp.asarray(arr)
+            if var["dynamic_init"]:
+                state[vid + _FRESH] = jnp.zeros((), bool)
+        return state
+
+    def reset_state(self):
+        """(Re-)initialize every variable from its init subgraph (zeros when
+        init-less) — OpenVINO VariableState.reset for all variables."""
+        self.state = self.fresh_state()
 
     def query_state(self) -> Dict[str, np.ndarray]:
         """Current {variable_id: value} (host copies, safe to hold across
         the next donated step)."""
         if self.state is None:
             self.reset_state()
-        return {k: np.asarray(v) for k, v in self.state.items()}
+        return self.state_to_host(self.state)
 
     def set_state(self, values: Dict[str, np.ndarray]):
         """Overwrite variables by id (OpenVINO VariableState.state setter)."""
-        import jax.numpy as jnp
-
         if self.state is None:
             self.reset_state()
-        for vid, val in values.items():
-            if vid not in self.variables:
-                raise KeyError(f"unknown variable {vid!r}")
-            var = self.variables[vid]
-            arr = np.asarray(val, dtype=var["dtype"]).reshape(var["shape"])
-            self.state[vid] = jnp.asarray(arr)
+        self.state = self.state_with(self.state, values)
+
+    def state_with_reset(self, state, vid: str):
+        """Copy of ``state`` with ONE variable reset to its init, others
+        untouched (OpenVINO ``VariableState.reset``).  A dynamic-init
+        variable re-arms its fresh flag so the next infer recomputes the
+        init subgraph."""
+        import jax.numpy as jnp
+
+        from pyopenvino_tpu.ops.state_ops import initial_state
+
+        if vid not in self.variables:
+            raise KeyError(f"unknown variable {vid!r}")
+        state = dict(state)
+        state[vid] = jnp.asarray(initial_state(self.variables)[vid])
+        if self.variables[vid]["dynamic_init"]:
+            state[vid + _FRESH] = jnp.ones((), bool)
+        return state
+
+    def reset_variable(self, vid: str):
+        if self.state is None:
+            self.reset_state()
+        self.state = self.state_with_reset(self.state, vid)
 
     def infer(self, inputs, verbose: bool = False):
         import time
@@ -882,7 +968,18 @@ class CompiledNetwork:
             elif node.op_type == "ReadValue":
                 from pyopenvino_tpu.ops.state_ops import variable_id
 
-                outs = {node.out_port: istate[variable_id(node)]}
+                vid = variable_id(node)
+                var = self.variables[vid]
+                if var["dynamic_init"]:
+                    # first-infer value IS the runtime init input
+                    # (interpreter semantics for an unfoldable init)
+                    outs = {
+                        node.out_port: _np.asarray(
+                            ins[0], dtype=var["dtype"]
+                        ).reshape(var["shape"])
+                    }
+                else:
+                    outs = {node.out_port: istate[vid]}
             elif node.op_type == "Assign":
                 outs = {}
             else:
@@ -978,10 +1075,8 @@ class CompiledNetwork:
             for n in self.model.parameters
         }
         if self.variables:
-            from pyopenvino_tpu.ops.state_ops import initial_state
-
             return self._jitted.lower(
-                self.weights, zeros, initial_state(self.variables)
+                self.weights, zeros, self.fresh_state()
             ).compile()
         return self._jitted.lower(self.weights, zeros).compile()
 

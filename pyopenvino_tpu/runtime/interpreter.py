@@ -134,6 +134,14 @@ class Interpreter:
         ReadValue init input (OpenVINO VariableState.reset)."""
         self.state.clear()
 
+    def reset_variable(self, vid: str):
+        """Reset ONE variable, others untouched (VariableState.reset):
+        forgetting it makes the next run re-run its init input — correct
+        for both static and input-dependent init subgraphs."""
+        if vid not in self._variables():
+            raise KeyError(f"unknown variable {vid!r}")
+        self.state.pop(vid, None)
+
     def _variables(self):
         if not hasattr(self, "_variables_cache"):
             from pyopenvino_tpu.ops.state_ops import model_variables

@@ -176,6 +176,139 @@ def test_assign_subgraph_not_pruned():
     np.testing.assert_allclose(net.infer({"x": xin})["out"], 3.0)
 
 
+def dynamic_init_model(shape=(1, 4)):
+    """Input-dependent init subgraph (legal OpenVINO IR, NOT statically
+    foldable): var initializes to 2*x at the FIRST infer after a reset,
+    then var' = var + x each step."""
+    b = GraphBuilder("dyn")
+    x = b.parameter("x", shape)
+    init = b.multiply(x, b.const(np.float32(2.0)), name="init2x")
+    v = b.read_value(init, "m", name="read")
+    s = b.add(v, x, name="s")
+    b.assign(s, "m", name="write")
+    b.result(s, name="out")
+    return b.build()
+
+
+def test_dynamic_init_interpreter_vs_compiled():
+    """The compiled path threads the TRACED init through a fresh flag so
+    both executors capture the first-infer init (ops/state_ops.py)."""
+    rng = np.random.default_rng(1)
+    seq = [rng.standard_normal((1, 4)).astype(np.float32) for _ in range(4)]
+    net = compile_model(dynamic_init_model())
+    assert net.variables["m"]["dynamic_init"]
+    it = Interpreter(dynamic_init_model())
+    for x in seq:
+        a = net.infer({"x": x})["out"]
+        b = it.run({"x": x})["out"]
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+    # first step: out = 2*x0 + x0
+    # reset → the NEXT input re-seeds the variable
+    net.reset_state()
+    it.reset_state()
+    x = seq[2]
+    np.testing.assert_allclose(net.infer({"x": x})["out"], 3 * x, rtol=1e-4)
+    np.testing.assert_allclose(it.run({"x": x})["out"], 3 * x, rtol=1e-5)
+
+
+def test_dynamic_init_set_state_wins():
+    """An explicit set_state beats the init subgraph (fresh flag cleared)."""
+    net = compile_model(dynamic_init_model())
+    override = np.full((1, 4), 10.0, np.float32)
+    net.set_state({"m": override})
+    x = np.ones((1, 4), np.float32)
+    np.testing.assert_allclose(net.infer({"x": x})["out"], 11.0)
+
+
+def test_dynamic_init_reset_variable_rearms():
+    net = compile_model(dynamic_init_model())
+    x1 = np.ones((1, 4), np.float32)
+    net.infer({"x": x1})  # var = 3
+    net.reset_variable("m")  # re-arm: next infer recomputes init
+    x2 = np.full((1, 4), 2.0, np.float32)
+    np.testing.assert_allclose(net.infer({"x": x2})["out"], 6.0)  # 2*2+2
+    with pytest.raises(KeyError):
+        net.reset_variable("nope")
+    # interpreter twin
+    it = Interpreter(dynamic_init_model())
+    it.run({"x": x1})
+    it.reset_variable("m")
+    np.testing.assert_allclose(it.run({"x": x2})["out"], 6.0)
+
+
+def test_per_request_state_isolated():
+    """Each InferRequest owns its variable state (OpenVINO scopes state
+    per request) — two slots advance independently."""
+    from pyopenvino_tpu.api import IECore, IENetwork
+
+    exe = IECore().load_network(
+        IENetwork(accumulator_model()), "TPU", num_requests=2
+    )
+    r0, r1 = exe.requests
+    x = np.ones((1, 4), np.float32)
+    np.testing.assert_allclose(r0.infer({"x": x})["out"], 1.0)
+    np.testing.assert_allclose(r0.infer({"x": x})["out"], 2.0)
+    # r1 starts from ITS OWN fresh state, unaffected by r0's two steps
+    np.testing.assert_allclose(r1.infer({"x": x})["out"], 1.0)
+    np.testing.assert_allclose(r0.query_state()[0].state, 2 * x)
+    np.testing.assert_allclose(r1.query_state()[0].state, 1 * x)
+    r0.reset_state()
+    np.testing.assert_allclose(r0.infer({"x": x})["out"], 1.0)
+    np.testing.assert_allclose(r1.infer({"x": x})["out"], 2.0)
+
+
+def test_per_request_state_concurrent_no_corruption():
+    """Concurrent stateful requests never share donated buffers: N slots
+    stepped from N threads each see exactly their own running sum."""
+    import threading
+
+    from pyopenvino_tpu.api import IECore, IENetwork
+
+    exe = IECore().load_network(
+        IENetwork(accumulator_model()), "TPU", num_requests=4
+    )
+    reqs = exe.requests
+    exe._get_compiled()  # compile once up front; threads then only execute
+    steps = 8
+    errs = []
+
+    def drive(i):
+        try:
+            x = np.full((1, 4), float(i + 1), np.float32)
+            for step in range(1, steps + 1):
+                out = reqs[i].infer({"x": x})["out"]
+                np.testing.assert_allclose(out, step * (i + 1))
+        except Exception as e:  # surfaced below
+            errs.append(e)
+
+    threads = [threading.Thread(target=drive, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+
+def test_async_queue_stateful_inline():
+    """AsyncInferQueue on a stateful network runs inline on each slot's
+    private stream (never through the coalescing server)."""
+    from pyopenvino_tpu.api import AsyncInferQueue, IECore, IENetwork
+
+    exe = IECore().load_network(IENetwork(accumulator_model()), "TPU")
+    queue = AsyncInferQueue(exe, jobs=1)  # one slot → one sequential stream
+    seen = []
+    queue.set_callback(
+        lambda req, userdata: seen.append((userdata, req.output_blobs["out"]))
+    )
+    x = np.ones((1, 4), np.float32)
+    for i in range(3):
+        queue.start_async({"x": x}, userdata=i)
+    queue.wait_all()
+    assert [u for u, _ in seen] == [0, 1, 2]
+    for i, (_, out) in enumerate(seen, start=1):
+        np.testing.assert_allclose(out, i * x)
+
+
 def test_ir_roundtrip_stateful(tmp_path):
     """variable_id survives writer → parser; the reloaded model is
     stateful and numerically identical."""

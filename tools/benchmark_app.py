@@ -179,7 +179,10 @@ def main():
             exe, random_feeds(net, None, rng), args.niter, args.time)
     exe.close()
 
-    dur = time.perf_counter() - t_load
+    # Duration is the MEASUREMENT window (the denominator of Throughput),
+    # like OpenVINO benchmark_app; warm-up/jit-compile time is reported
+    # separately (each run_* helper measures `wall` after its warm-up call)
+    setup = time.perf_counter() - t_load - wall
     p = percentiles(lat)
     # wall-clock of the measurement window, NOT the latency sum — async
     # latencies overlap (in-flight requests coalesce on device)
@@ -193,7 +196,8 @@ def main():
           f"nireq={args.nireq}")
     print(f"Count:        {len(lat)} iterations "
           f"({len(lat) * per_iter} samples)")
-    print(f"Duration:     {dur * 1e3:.2f} ms")
+    print(f"Setup:        {setup * 1e3:.2f} ms (load + warm-up/compile)")
+    print(f"Duration:     {wall * 1e3:.2f} ms")
     print("Latency:")
     for k in ("Median", "Average", "Min", "Max", "P99"):
         print(f"    {k + ':':<9} {p[k]:.2f} ms")
