@@ -128,7 +128,7 @@ def accuracy_section(images_n: int = 4):
     print(f"\n{'model':<24} {'mode':<9} {'metric':<10} {'value':>8} "
           f"{'Δ vs fp32':>10}")
     for model_name, (in_name, _shape, kind) in sorted(ACC_MODELS.items()):
-        images = eval_images(model_name, images_n)
+        images, _ = eval_images(model_name, images_n)
         calibration = [{in_name: b} for b in list(images.values())[:4]]
         ref = run_model(model_name, "fp32", images, calibration)
         for mode in ("int8w", "int8full"):

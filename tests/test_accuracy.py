@@ -92,7 +92,7 @@ def test_end_to_end_mnist_int8_agreement():
     (the classification half of the gate table, real shipped weights)."""
     from tools.accuracy import eval_images, run_model, score_cls
 
-    images = eval_images("mnist", 4)
+    images, _ = eval_images("mnist", 4)
     ref = run_model("mnist", "fp32", images, None)
     out = run_model("mnist", "int8w", images, None)
     val, delta = score_cls(ref, out)
@@ -104,7 +104,7 @@ def test_ssd_synthetic_weights_sparse_detections():
     confidence-ranked record table (not a saturated top-100 of conf≈0.98)."""
     from tools.accuracy import MODELS, eval_images, run_model
 
-    images = eval_images("ssd_mobilenet_v1_coco", 2)
+    images, _ = eval_images("ssd_mobilenet_v1_coco", 2)
     out = run_model("ssd_mobilenet_v1_coco", "fp32", images, None)
     for o in out.values():
         dets = parse_detection_records(next(iter(o.values())))
@@ -112,6 +112,36 @@ def test_ssd_synthetic_weights_sparse_detections():
         confs = [c for _, c, _ in dets]
         assert confs == sorted(confs, reverse=True)
         assert max(confs) < 0.99 and min(confs) >= 0.3
+
+
+@pytest.mark.parametrize("family", ["mnist_bn_real", "shapes_resnet"])
+def test_trained_weight_int8_gates(family):
+    """The BASELINE accuracy gate on REAL trained weights with real
+    labels: INT8w and INT8-FULL top-1 within 0.5% of FP32, measured
+    against ground truth on an eval seed disjoint from training
+    (reference evidence class: integrity_test.py:57,83,108).  Uses the
+    committed assets/trained/ artifacts (tools/train_real.py)."""
+    from tools import datasets
+    from tools.accuracy import (
+        CAL_SEED,
+        MODELS,
+        TRAINED,
+        eval_images,
+        run_model,
+        score_cls,
+    )
+
+    images, labels = eval_images(family, 96)
+    in_name = MODELS[family][0]
+    cx, _ = getattr(datasets, TRAINED[family][1])(8, CAL_SEED)
+    calibration = [{in_name: cx[i][None]} for i in range(len(cx))]
+    ref = run_model(family, "fp32", images, calibration)
+    fp32_acc, _ = score_cls(ref, ref, labels)
+    assert fp32_acc >= 90.0, fp32_acc  # genuinely trained, not synthetic
+    for mode in ("int8w", "int8full"):
+        out = run_model(family, mode, images, calibration)
+        val, delta = score_cls(ref, out, labels)
+        assert delta <= 0.5 + 1e-9, (mode, val, delta)
 
 
 def test_score_cls_labels_filters_to_labeled_images():

@@ -15,9 +15,20 @@ the push-button path for real weights (the reference's are stripped,
 /root/reference/models/.MISSING_LARGE_BLOBS).  Mirrors the semantic
 accuracy pinning of the reference's integrity_test.py:108,133-152.
 
+Two TRAINED families carry real labels built in (no --labels file):
+``mnist_bn_real`` and ``shapes_resnet`` (tools/train_real.py weights,
+tools/datasets.py labeled eval sets on a seed disjoint from training) —
+their rows measure TASK top-1 deltas against real ground truth, so the
+floor is exactly 0 and the 0.5% gate is the BASELINE gate verbatim.
+
+Evaluation is BATCHED: images run through ``infer_batch`` in fixed
+128-row chunks (one jit compile per model+mode, padded tail), so
+``--images 500`` costs seconds, not minutes.
+
 Usage:
     python tools/accuracy.py --device cpu --images 8
     python tools/accuracy.py --model googlenet-v1 --modes int8w int8full
+    python tools/accuracy.py --model mnist_bn_real shapes_resnet --images 500
 """
 
 from __future__ import annotations
@@ -48,7 +59,31 @@ MODELS = {
     "resnet18-pot": ("data", (1, 3, 224, 224), "cls"),  # POT-quantized IR
     "moe-mlp": ("input", (1, 3, 32, 32), "cls"),  # programmatic 12th (EP)
     "lstm-tiny": ("data", (1, 32, 40), "cls"),  # programmatic 13th (RNN)
+    # trained real-weight families (tools/train_real.py) with built-in
+    # real labels — the reference-grade evidence class
+    "mnist_bn_real": ("conv2d_input", (1, 1, 28, 28), "cls"),
+    "shapes_resnet": ("data", (1, 3, 32, 32), "cls"),
 }
+
+# trained family → (trained artifact name, labeled dataset fn name).
+# Eval seed is DISJOINT from the training seed (train_real.py trains on
+# seed 0 / shuffles on seed 1) so the gate measures generalization.
+TRAINED = {
+    "mnist_bn_real": ("mnist_bn", "digits"),
+    "shapes_resnet": ("shapes_resnet", "shapes10"),
+}
+EVAL_SEED = 777
+CAL_SEED = 778  # calibration draws its own samples, not the eval set
+
+
+def model_paths(name: str):
+    """(xml, bin) — trained families resolve through train_real's cache
+    (training on first use), everything else through __graft_entry__."""
+    if name in TRAINED:
+        from tools.train_real import trained_model_paths
+
+        return trained_model_paths(TRAINED[name][0])
+    return _model_paths(name)
 
 # INT8-FULL calibration method for this run ("percentile" or "kl" —
 # set by --cal-method; passes/calibrate.py)
@@ -68,11 +103,21 @@ GATE_SEG_PCT = 0.5   # per-pixel agreement delta gate, percent
 
 
 def eval_images(model_name: str, n: int):
-    """Deterministic eval set: the reference's real images where they fit
-    the input, padded out with seeded random images."""
+    """Deterministic eval set → (images, labels).  Trained families get a
+    LABELED set from tools/datasets.py (labels: {key: class}); everything
+    else gets the reference's real images where they fit the input, padded
+    out with seeded random images (labels None → fp32-as-pseudo-GT)."""
     import cv2
 
     in_name, shape, _ = MODELS[model_name]
+    if model_name in TRAINED:
+        import tools.datasets as datasets
+
+        ds_fn = getattr(datasets, TRAINED[model_name][1])
+        x, y = ds_fn(n, EVAL_SEED)
+        imgs = {f"ev{i}": x[i][None] for i in range(n)}
+        labels = {f"ev{i}": int(y[i]) for i in range(n)}
+        return imgs, labels
     imgs = {}
     if shape[1] == 1:  # mnist
         img = cv2.imread("/root/reference/resources/mnist2.png")
@@ -93,7 +138,38 @@ def eval_images(model_name: str, n: int):
         imgs[f"rand{len(imgs)}"] = rng.uniform(0, 255, shape).astype(
             np.float32
         )
-    return imgs
+    return imgs, None
+
+
+# Batched-eval chunk: one jit specialization per model+mode regardless of
+# --images N (tail chunk padded by repetition, padding rows discarded)
+BATCH_CHUNK = 128
+
+
+def infer_all(exe, in_name: str, images: dict) -> dict:
+    """{key: blob(1,...)} → {key: {out: ndarray}} via chunked infer_batch.
+    Falls back to per-image infer for tiny sets (skip a batch compile) or
+    if the batched path refuses the graph."""
+    keys = list(images)
+    if len(keys) < 8:
+        return {k: exe.infer({in_name: images[k]}) for k in keys}
+    rows = np.stack([images[k][0] for k in keys])
+    chunk = min(BATCH_CHUNK, len(keys))
+    per_out: list = []
+    try:
+        for i in range(0, len(rows), chunk):
+            part = rows[i:i + chunk]
+            pad = chunk - len(part)
+            if pad:
+                part = np.concatenate([part, part[-1:].repeat(pad, 0)])
+            out = exe.infer_batch({in_name: part})
+            n_real = chunk - pad
+            per_out.extend(
+                {k: v[j] for k, v in out.items()} for j in range(n_real)
+            )
+    except NotImplementedError:
+        return {k: exe.infer({in_name: images[k]}) for k in keys}
+    return dict(zip(keys, per_out))
 
 
 def run_model(model_name: str, mode: str, images, calibration):
@@ -108,13 +184,13 @@ def run_model(model_name: str, mode: str, images, calibration):
                  calibration_method=CAL_METHOD,
                  bias_correction=BIAS_CORRECTION and quant != QuantMode.NONE)
     ie = IECore()
-    xml, binp = _model_paths(model_name)
+    xml, binp = model_paths(model_name)
     net = ie.read_network(xml, binp)
     exe = ie.load_network(net, "TPU", config=cfg)
     if quant == QuantMode.INT8_FULL or cfg.bias_correction:
         exe.set_calibration(calibration)
     in_name = MODELS[model_name][0]
-    return {key: exe.infer({in_name: blob}) for key, blob in images.items()}
+    return infer_all(exe, in_name, images)
 
 
 # Node whose captured activation is the detector's class-confidence tensor
@@ -136,7 +212,7 @@ def _conf_tensor(model_name, mode, blob, calibration, capture_node):
                  calibration_method=CAL_METHOD,
                  bias_correction=BIAS_CORRECTION and qmode != QuantMode.NONE)
     net = compile_model(
-        read_ir_model(*_model_paths(model_name)), cfg,
+        read_ir_model(*model_paths(model_name)), cfg,
         calibration_samples=calibration
         if (qmode == QuantMode.INT8_FULL or cfg.bias_correction) else None,
     )
@@ -200,7 +276,7 @@ def run_model_weight_dithered(model_name, mode, images, calibration,
     from pyopenvino_tpu.passes.quantize import quantize_weights
     from pyopenvino_tpu.runtime.compiler import compile_model
 
-    model = read_ir_model(*_model_paths(model_name))
+    model = read_ir_model(*model_paths(model_name))
     rng = np.random.default_rng(seed)
     for nid, (_q, scale) in quantize_weights(model).items():
         node = model.nodes[nid]
@@ -221,7 +297,7 @@ def run_model_weight_dithered(model_name, mode, images, calibration,
         if (qmode == QuantMode.INT8_FULL or BIAS_CORRECTION) else None,
     )
     in_name = MODELS[model_name][0]
-    return {k: net.infer({in_name: b}) for k, b in images.items()}
+    return infer_all(net, in_name, images)
 
 
 def score_cls(ref_outputs, outputs, labels=None):
@@ -362,11 +438,19 @@ def main():
     failed = []
     for model_name in models:
         kind = MODELS[model_name][2]
-        images = eval_images(model_name, args.images)
+        images, auto_labels = eval_images(model_name, args.images)
+        model_labels = labels or auto_labels
         in_name = MODELS[model_name][0]
-        calibration = [
-            {in_name: blob} for blob in list(images.values())[:4]
-        ]
+        if model_name in TRAINED:
+            # calibration from the training distribution, NOT the eval set
+            import tools.datasets as datasets
+
+            cx, _ = getattr(datasets, TRAINED[model_name][1])(8, CAL_SEED)
+            calibration = [{in_name: cx[i][None]} for i in range(len(cx))]
+        else:
+            calibration = [
+                {in_name: blob} for blob in list(images.values())[:4]
+            ]
         ref = run_model(model_name, "fp32", images, calibration)
 
         # Metric noise floor, PER MODE: FP32 re-run with an input
@@ -402,7 +486,7 @@ def main():
             out = run_model(model_name, mode, images, calibration)
             floor = 0.0
             if kind == "cls":
-                val, delta = score_cls(ref, out, labels)
+                val, delta = score_cls(ref, out, model_labels)
                 metric, gate = "top-1 %", GATE_CLS_PCT
             elif kind == "seg":
                 val, delta = score_seg(ref, out)
