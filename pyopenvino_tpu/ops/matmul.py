@@ -65,7 +65,15 @@ class MatMul(Op):
         s_x = stored if stored is not None else (
             ctx.act_scale(node) if getattr(ctx, 'full_int8', False) else None
         )
-        if s_x is not None and tv_b.qscale is not None and a.ndim == 2:
+        if s_x is not None and tv_b.qscale is not None:
+            # Any-rank int8 path: a 2-D weight sees leading activation dims
+            # flattened into M (one big MXU GEMM — the same collapse the
+            # fused_gemm vmap rule performs); a batched weight stack (e.g.
+            # an MoE expert tensor (E, K, N)) runs as an XLA batched
+            # int8×int8 matmul with int32 accumulation.  The per-output-
+            # channel scale has exactly one non-unit axis (passes/
+            # quantize.py _quantize_array), so reshape(-1) is the (N,)
+            # dequant vector in every layout.
             if stored is not None:
                 compute_dtype = ctx.compute_dtype
                 aq = a
@@ -76,13 +84,18 @@ class MatMul(Op):
             if tb:
                 bq = jnp.swapaxes(bq, -1, -2)
             w_scale = tv_b.qscale.reshape(-1).astype(jnp.float32) * s_x
-            if ctx.use_pallas:
+            if (ctx.use_pallas and bq.ndim == 2
+                    and (bias is None or bias.ndim <= 1)):
                 from pyopenvino_tpu.kernels.gemm import fused_gemm
 
+                lead = aq.shape[:-1]
+                a2 = aq.reshape(-1, aq.shape[-1]) if aq.ndim != 2 else aq
                 out = fused_gemm(
-                    aq, bq, scale=w_scale, bias=bias, act=act,
+                    a2, bq, scale=w_scale, bias=bias, act=act,
                     out_dtype=compute_dtype, interpret=ctx.pallas_interpret,
                 )
+                if aq.ndim != 2:
+                    out = out.reshape(*lead, out.shape[-1])
                 return {node.out_port: TValue(out, "L")}
             acc = jnp.matmul(aq, bq, preferred_element_type=jnp.int32)
             out = acc.astype(jnp.float32) * w_scale
@@ -96,7 +109,8 @@ class MatMul(Op):
         if stored is not None:  # defensive: dequantize for the float path
             a = a.astype(ctx.compute_dtype) * stored
 
-        if ctx.use_pallas and a.ndim == 2:
+        if (ctx.use_pallas and tv_b.arr.ndim == 2
+                and (bias is None or bias.ndim <= 1)):
             from pyopenvino_tpu.kernels.gemm import fused_gemm
 
             if tv_b.qscale is not None:
@@ -105,10 +119,14 @@ class MatMul(Op):
                 b, scale = tv_b.arr.astype(a.dtype), None
             if tb:
                 b = jnp.swapaxes(b, -1, -2)  # scale is per-output-col either way
+            lead = a.shape[:-1]
+            a2 = a.reshape(-1, a.shape[-1]) if a.ndim != 2 else a
             out = fused_gemm(
-                a, b, scale=scale, bias=bias, act=act,
+                a2, b, scale=scale, bias=bias, act=act,
                 out_dtype=a.dtype, interpret=ctx.pallas_interpret,
             )
+            if a.ndim != 2:
+                out = out.reshape(*lead, out.shape[-1])
             return {node.out_port: TValue(out, "L")}
 
         b = ctx.weight_for(node, tv_b)

@@ -289,12 +289,6 @@ class CompiledNetwork:
                         s is None
                         or w_src is None
                         or w_src[0] not in self._quantized
-                        # MatMul's int8 MXU path only exists for 2-D
-                        # inputs (ops/matmul.py); a >2-D MatMul would
-                        # dequantize defensively — storing would add
-                        # rounding error with no sink to benefit
-                        or (dn.op_type == "MatMul"
-                            and len(dn.inputs[0].shape) != 2)
                     ):
                         return None
                     scales.append(s)

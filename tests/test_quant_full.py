@@ -334,3 +334,33 @@ def test_bias_correction_keeps_mnist_golden(mnist_image):
     out = net({"conv2d_input": mnist_image})
     k = next(iter(out))
     assert list(np.argsort(out[k][0])[::-1][:3]) == [2, 0, 1]
+
+
+@pytest.mark.parametrize("name", ["vit-tiny", "moe-mlp"])
+def test_int8_dataflow_covers_batched_matmul(name):
+    """>2-D MatMuls (ViT token projections at rank 3, MoE expert stacks)
+    ride the same INT8-FULL inter-layer dataflow as the CNNs: int8-stored
+    edges must feed rank-3 MatMul inputs (ops/matmul.py any-rank int8 MXU
+    path), and top-1 must survive."""
+    xml, binp = model_paths(name)
+    m = read_ir_model(xml, binp)
+    pnode = next(n for n in m.nodes.values() if n.op_type == "Parameter")
+    in_name, shape = pnode.name, pnode.outputs[0].shape
+    blob = np.random.default_rng(0).uniform(0, 255, shape).astype(np.float32)
+    c = compile_model(
+        m, Config(quant=QuantMode.INT8_FULL),
+        calibration_samples=[{in_name: blob}],
+    )
+    rank3 = sum(
+        1
+        for (src, sport), _s in c._int8_edges.items()
+        for p, dst, dport in c.model.out_edges[src]
+        if p == sport and c.model.nodes[dst].op_type == "MatMul"
+        and len(c.model.nodes[dst].inputs[0].shape) == 3
+    )
+    assert rank3 >= 4, rank3
+    ref = compile_model(m, Config())({in_name: blob})
+    out = c({in_name: blob})
+    k = next(iter(out))
+    assert np.argmax(out[k]) == np.argmax(ref[k])
+    assert np.abs(out[k] - ref[k]).max() < 0.05
