@@ -152,6 +152,30 @@ def model_variables(model, analysis=None) -> Dict[str, dict]:
         if variables[vid]["assign"] is not None:
             raise ValueError(f"duplicate Assign for variable {vid!r}")
         variables[vid]["assign"] = node.id
+    # Batch-baked stateful graphs (IENetwork.reshape with the batch folded
+    # into the Parameter shapes): the ReadValue's init subgraph keeps its
+    # original (unbatched) shape while the Assign writes the batched
+    # tensor.  The variable's steady state IS the assigned shape — N
+    # streams in lockstep, each starting from the broadcast init — so
+    # adopt it when the read shape broadcasts up to it, and fail fast on a
+    # genuine mismatch.
+    for vid, v in variables.items():
+        if v["assign"] is None:
+            continue
+        info = model.nodes[v["assign"]].inputs.get(0)
+        ashape = tuple(info.shape) if info is not None else ()
+        if not ashape or ashape == v["shape"]:
+            continue
+        try:
+            bshape = tuple(np.broadcast_shapes(v["shape"], ashape))
+        except ValueError:
+            bshape = None
+        if bshape != ashape:
+            raise ValueError(
+                f"variable {vid!r}: Assign shape {ashape} is not a "
+                f"broadcast of the ReadValue shape {v['shape']}"
+            )
+        v["shape"] = ashape
     return variables
 
 
@@ -165,9 +189,13 @@ def initial_state(variables: Dict[str, dict]) -> Dict[str, np.ndarray]:
     state = {}
     for vid, v in variables.items():
         if v["init"] is not None:
-            state[vid] = np.asarray(v["init"], dtype=v["dtype"]).reshape(
-                v["shape"]
-            )
+            init = np.asarray(v["init"], dtype=v["dtype"])
+            if init.size == np.prod(v["shape"], dtype=int):
+                state[vid] = init.reshape(v["shape"])
+            else:  # batch-baked variable: init broadcasts across the batch
+                state[vid] = np.ascontiguousarray(
+                    np.broadcast_to(init, v["shape"])
+                )
         else:
             state[vid] = np.zeros(v["shape"], dtype=v["dtype"])
     return state

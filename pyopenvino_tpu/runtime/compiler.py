@@ -500,7 +500,14 @@ class CompiledNetwork:
                         src, sport = model.in_edges[node.id][0]
                         init = (
                             tv_for(src, sport).dequant().nchw()
-                            .astype(var["dtype"]).reshape(var["shape"])
+                            .astype(var["dtype"])
+                        )
+                        init = (
+                            init.reshape(var["shape"])
+                            if init.size == int(np.prod(var["shape"]))
+                            # batch-baked variable (IENetwork.reshape):
+                            # init broadcasts across the baked batch
+                            else jnp.broadcast_to(init, var["shape"])
                         )
                         fresh = state[vid + _FRESH]
                         x = jnp.where(fresh, init, x)

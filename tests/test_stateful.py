@@ -322,3 +322,83 @@ def test_ir_roundtrip_stateful(tmp_path):
     x = np.ones((1, 4), np.float32)
     np.testing.assert_allclose(net.infer({"x": x})["out"], x)
     np.testing.assert_allclose(net.infer({"x": x})["out"], 2 * x)
+
+
+def test_batch_baked_stateful_lockstep_parity():
+    """VERDICT's documented escape hatch, proven: IENetwork.reshape bakes
+    the batch into a stateful IR; N streams then run in lockstep with the
+    variable's steady state at the ASSIGNED (batched) shape and the init
+    broadcast across streams (ops/state_ops.py model_variables).  Parity:
+    row i of the lockstep run == stream i run alone, compiled AND
+    interpreter."""
+    from pyopenvino_tpu.api import IECore
+
+    N, steps = 4, 3
+    rng = np.random.default_rng(7)
+    xs = rng.standard_normal((steps, N, 3)).astype(np.float32)
+
+    from pyopenvino_tpu.passes.shape_infer import reshape_model
+
+    batched = reshape_model(ema_model(), {"x": (N, 3)})
+    net = compile_model(batched)
+    assert net.variables["ema"]["shape"] == (N, 3)
+    lockstep = [net.infer({"x": xs[t]})["out"] for t in range(steps)]
+
+    for i in range(N):
+        single = compile_model(ema_model())
+        for t in range(steps):
+            out = single.infer({"x": xs[t, i:i + 1]})["out"]
+            np.testing.assert_allclose(
+                lockstep[t][i:i + 1], out, rtol=1e-5, atol=1e-6
+            )
+
+    # interpreter twin agrees on the batched graph
+    it = Interpreter(reshape_model(ema_model(), {"x": (N, 3)}))
+    for t in range(steps):
+        np.testing.assert_allclose(
+            it.run({"x": xs[t]})["out"], lockstep[t], rtol=1e-5, atol=1e-6
+        )
+
+    # and the public-API route: IENetwork.reshape -> load_network
+    ie = IECore()
+    from pyopenvino_tpu.api import IENetwork
+
+    api_net = IENetwork(ema_model()).reshape({"x": (N, 3)})
+    exe = ie.load_network(api_net, "TPU")
+    for t in range(steps):
+        np.testing.assert_allclose(
+            exe.infer({"x": xs[t]})["out"], lockstep[t], rtol=1e-5, atol=1e-5
+        )
+
+
+def test_batch_baked_dynamic_init():
+    """A batch-baked DYNAMIC-init variable captures the batched traced
+    init on the first infer (broadcast_to in _build_fn), matching N
+    independent single-stream runs."""
+    from pyopenvino_tpu.passes.shape_infer import reshape_model
+
+    N = 3
+    rng = np.random.default_rng(9)
+    xs = rng.standard_normal((2, N, 4)).astype(np.float32)
+    net = compile_model(reshape_model(dynamic_init_model(), {"x": (N, 4)}))
+    lock = [net.infer({"x": xs[t]})["out"] for t in range(2)]
+    for i in range(N):
+        single = compile_model(dynamic_init_model())
+        for t in range(2):
+            out = single.infer({"x": xs[t, i:i + 1]})["out"]
+            np.testing.assert_allclose(lock[t][i:i + 1], out, rtol=1e-5,
+                                       atol=1e-6)
+
+
+def test_assign_shape_mismatch_fails_fast():
+    """An Assign whose shape is NOT a broadcast of the ReadValue shape is
+    a model error, refused at compile with a named variable."""
+    b = GraphBuilder("bad")
+    x = b.parameter("x", (2, 3))
+    v = b.read_value(b.const(np.zeros((4, 3), np.float32)), "v", name="r")
+    s = b.add(x, b.const(np.zeros((2, 3), np.float32)), name="s")
+    b.assign(s, "v", name="w")
+    b.result(b.add(v, b.const(np.zeros((4, 3), np.float32)), name="o2"),
+             name="out")
+    with pytest.raises(ValueError, match="not a broadcast"):
+        compile_model(b.build())
