@@ -28,9 +28,18 @@ Artifact layout (one ``.ovtpu`` zip):
     fn_b{N}.jaxexport    fixed-bucket batched programs, for graphs whose
                          batch rule resists symbolic shapes
 
-Scope: single-device programs.  A mesh-sharded network re-shards at load
-time instead (``shard_compiled`` on the importing side) — serialized
-shardings would pin the artifact to one mesh topology.
+Stateful networks (ReadValue/Assign) export too: the artifact carries the
+step program ``fn(weights, inputs, state) -> (outputs, new_state)`` plus the
+initial state pytree (``state.npz``, fresh flags included), and the imported
+network threads donated state exactly like CompiledNetwork.
+
+Mesh-sharded networks export **per-mesh-shape lowerings**: the sharded
+programs are serialized with their HloShardings and the mesh axes/shape plus
+per-weight PartitionSpecs recorded in meta; importing rebuilds an
+equally-shaped mesh from local devices and runs without the IR front-end or
+the pass pipeline.  (The artifact is pinned to that mesh SHAPE — any devices
+of the same count work.)  Stateful x sharded remains refused, matching the
+runtime (shard_compiled does not thread state shardings).
 """
 
 from __future__ import annotations
@@ -120,17 +129,16 @@ def export_compiled(
     import jax
     from jax import export as jexport
 
-    if compiled.mesh is not None:
-        raise ValueError(
-            "export_compiled serializes single-device programs; export the "
-            "unsharded network and shard_compiled() after import instead"
+    if compiled.mesh is not None and compiled.variables:
+        raise NotImplementedError(
+            "stateful + sharded export is unsupported (the runtime's "
+            "shard_compiled does not thread state shardings either); "
+            "export the unsharded stateful network instead"
         )
     if compiled.variables:
-        raise NotImplementedError(
-            "export of stateful networks (ReadValue/Assign) is not "
-            "supported yet — the state pytree argument is not part of the "
-            ".ovtpu artifact schema; compile from the IR instead"
-        )
+        return _export_stateful(compiled, path)
+    if compiled.mesh is not None:
+        return _export_sharded(compiled, path, buckets)
 
     weights = compiled.weights
     w_spec = _weights_spec(weights)
@@ -204,6 +212,150 @@ def export_compiled(
             zf.writestr(name, blob)
 
 
+def _param_infos(compiled):
+    return {
+        n.name: n.outputs[n.out_port] for n in compiled.model.parameters
+    }
+
+
+def _io_meta(compiled):
+    infos = _param_infos(compiled)
+    return {
+        "inputs": {
+            name: {
+                "shape": [int(d) for d in info.shape],
+                "dtype": np.dtype(info.dtype).name,
+            }
+            for name, info in infos.items()
+        },
+        "outputs": [n.name for n in compiled.model.results],
+    }
+
+
+def _config_meta(compiled):
+    cfg = dataclasses.asdict(compiled.config)
+    cfg["backend"] = compiled.config.backend.value
+    cfg["quant"] = compiled.config.quant.value
+    return cfg
+
+
+def _export_stateful(compiled, path: str) -> None:
+    """Stateful artifact: the step program fn(weights, inputs, state) ->
+    (outputs, new_state) plus the initial state pytree.  Runs at the IR's
+    declared shapes (batch baked via IENetwork.reshape when needed), so
+    there are no batched members — matching CompiledNetwork.batched_fn's
+    stateful refusal."""
+    import jax
+
+    weights = compiled.weights
+    w_spec = _weights_spec(weights)
+    infos = _param_infos(compiled)
+    in_spec = {
+        name: jax.ShapeDtypeStruct(tuple(info.shape), np.dtype(info.dtype))
+        for name, info in infos.items()
+    }
+    state0 = {k: np.asarray(v) for k, v in compiled.fresh_state().items()}
+    state_spec = {
+        k: jax.ShapeDtypeStruct(v.shape, v.dtype) for k, v in state0.items()
+    }
+    exp, used_platforms = _try_export(
+        compiled._fn, (w_spec, in_spec, state_spec), _export_platforms()
+    )
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "config": _config_meta(compiled),
+        "platforms": list(used_platforms),
+        "batched_mode": "none",
+        "buckets": [],
+        "stateful": True,
+        "variables": {
+            vid: {
+                "shape": [int(d) for d in var["shape"]],
+                "dtype": np.dtype(var["dtype"]).name,
+                "dynamic_init": bool(var["dynamic_init"]),
+            }
+            for vid, var in compiled.variables.items()
+        },
+        **_io_meta(compiled),
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=1))
+        zf.writestr("weights.npz", _encode_weights(weights))
+        zf.writestr("state.npz", _encode_weights(state0))
+        zf.writestr("fn_b1.jaxexport", bytes(exp.serialize()))
+
+
+def _export_sharded(compiled, path: str, buckets: Sequence[int]) -> None:
+    """Per-mesh-shape lowerings: serialize the already-sharded programs
+    (their HloShardings ride inside the StableHLO) with the mesh
+    axes/shape and per-weight PartitionSpecs in meta, so the importing
+    process rebuilds an equally-shaped mesh and runs them directly —
+    no IR, no passes, no shard_compiled."""
+    import jax
+    from jax import export as jexport
+
+    mesh = compiled.mesh
+    host_weights = {k: np.asarray(v) for k, v in compiled.weights.items()}
+    w_spec = _weights_spec(host_weights)
+    infos = _param_infos(compiled)
+    in_spec = {
+        name: jax.ShapeDtypeStruct(tuple(info.shape), np.dtype(info.dtype))
+        for name, info in infos.items()
+    }
+    # sharded lowerings pin the device count — export native-platform only
+    platform = (jexport.default_export_platform(),)
+
+    members: Dict[str, bytes] = {}
+    exp_b1 = jexport.export(compiled._jitted, platforms=platform)(
+        w_spec, in_spec
+    )
+    members["fn_b1.jaxexport"] = bytes(exp_b1.serialize())
+
+    n_dev = mesh.devices.size
+    fixed = []
+    for n in sorted(set(int(x) for x in buckets)):
+        if n % max(1, mesh.shape.get("data", 1)):
+            continue  # batch must divide over the data axis
+        bn_spec = {
+            name: jax.ShapeDtypeStruct(
+                (n,) + tuple(info.shape[1:]), np.dtype(info.dtype)
+            )
+            for name, info in infos.items()
+        }
+        exp_bn = jexport.export(
+            compiled.batched_fn(n), platforms=platform
+        )(w_spec, bn_spec)
+        members[f"fn_b{n}.jaxexport"] = bytes(exp_bn.serialize())
+        fixed.append(n)
+
+    meta = {
+        "format_version": _FORMAT_VERSION,
+        "config": _config_meta(compiled),
+        "platforms": list(platform),
+        "batched_mode": "buckets",
+        "buckets": fixed,
+        "mesh": {
+            "axis_names": list(mesh.axis_names),
+            "shape": [int(mesh.shape[a]) for a in mesh.axis_names],
+            "num_devices": int(n_dev),
+        },
+        "w_pspecs": {
+            k: [a if a is None else str(a) for a in tuple(s.spec)]
+            for k, s in compiled._w_shardings.items()
+        },
+        "batch_pspec": [
+            a if a is None else str(a) for a in tuple(compiled._batch_pspec)
+        ],
+        **_io_meta(compiled),
+    }
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:
+        zf.writestr("meta.json", json.dumps(meta, indent=1))
+        zf.writestr("weights.npz", _encode_weights(host_weights))
+        for name, blob in members.items():
+            zf.writestr(name, blob)
+
+
 def _make_batched(compiled):
     """The single-device batched callable, mirroring
     CompiledNetwork.batched_fn's contract: rows reshape to the declared
@@ -272,8 +424,50 @@ class ImportedNetwork:
                     self._exp_buckets[n] = jexport.deserialize(
                         bytearray(zf.read(f"fn_b{n}.jaxexport"))
                     )
+            self._state0 = (
+                _decode_weights(zf.read("state.npz"))
+                if meta.get("stateful") else None
+            )
 
-        self.weights = {k: jax.numpy.asarray(v) for k, v in weights.items()}
+        # sharded artifact: rebuild an equally-shaped mesh from local
+        # devices and place weights/inputs by the recorded PartitionSpecs
+        self.mesh = None
+        self._w_shardings = None
+        self._batch_sharding = None
+        if meta.get("mesh"):
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from pyopenvino_tpu.parallel.mesh import put_global
+
+            m = meta["mesh"]
+            n_dev = int(m["num_devices"])
+            devices = jax.devices()
+            if len(devices) < n_dev:
+                raise ValueError(
+                    f"sharded artifact needs {n_dev} devices "
+                    f"(mesh {m['axis_names']}={m['shape']}), "
+                    f"have {len(devices)}"
+                )
+            self.mesh = Mesh(
+                np.array(devices[:n_dev]).reshape(m["shape"]),
+                tuple(m["axis_names"]),
+            )
+            self._w_shardings = {
+                k: NamedSharding(self.mesh, P(*spec))
+                for k, spec in meta["w_pspecs"].items()
+            }
+            self._batch_sharding = NamedSharding(
+                self.mesh, P(*meta["batch_pspec"])
+            )
+            weights = {
+                k: put_global(v, self._w_shardings[k])
+                for k, v in weights.items()
+            }
+            self.weights = weights
+        else:
+            self.weights = {
+                k: jax.numpy.asarray(v) for k, v in weights.items()
+            }
         self.input_names = list(meta["inputs"])
         self.output_names = list(meta["outputs"])
         self._in_shapes = {
@@ -282,12 +476,41 @@ class ImportedNetwork:
         self._in_dtypes = {
             k: np.dtype(v["dtype"]) for k, v in meta["inputs"].items()
         }
-        self._call_b1 = jax.jit(self._exp_b1.call)
+        if self._state0 is not None:
+            # donated state: XLA aliases new_state onto the input buffers,
+            # same zero-allocation step as CompiledNetwork (_build_fn)
+            self._call_b1 = jax.jit(self._exp_b1.call, donate_argnums=(2,))
+            self.state = None
+        else:
+            self._call_b1 = jax.jit(self._exp_b1.call)
         self._call_batched = (
             jax.jit(self._exp_batched.call) if self._exp_batched else None
         )
         self._call_buckets = {
             n: jax.jit(e.call) for n, e in self._exp_buckets.items()
+        }
+
+    # -- variable state (stateful artifacts) ---------------------------------
+
+    @property
+    def stateful(self) -> bool:
+        return self._state0 is not None
+
+    def reset_state(self):
+        """(Re-)initialize every variable from the artifact's serialized
+        initial state (init subgraph values + fresh flags)."""
+        import jax.numpy as jnp
+
+        self.state = {k: jnp.asarray(v) for k, v in self._state0.items()}
+
+    def query_state(self) -> Dict[str, np.ndarray]:
+        """{variable_id: host array} of the current state (fresh flags
+        elided) — OpenVINO query_state over an imported artifact."""
+        if self.state is None:
+            self.reset_state()
+        return {
+            vid: np.asarray(self.state[vid])
+            for vid in self.meta.get("variables", {})
         }
 
     def _prep(self, inputs, batched: bool):
@@ -307,7 +530,16 @@ class ImportedNetwork:
         return prepped
 
     def __call__(self, inputs):
-        out = self._call_b1(self.weights, self._prep(inputs, batched=False))
+        if self._state0 is not None:
+            if self.state is None:
+                self.reset_state()
+            out, self.state = self._call_b1(
+                self.weights, self._prep(inputs, batched=False), self.state
+            )
+        else:
+            out = self._call_b1(
+                self.weights, self._prep(inputs, batched=False)
+            )
         return {k: np.asarray(v) for k, v in out.items()}
 
     def infer(self, inputs, verbose: bool = False):
@@ -320,6 +552,11 @@ class ImportedNetwork:
         return out
 
     def infer_batch(self, inputs):
+        if self._state0 is not None:
+            raise NotImplementedError(
+                "stateful artifacts run at their declared shapes — bake "
+                "the batch into the IR before export (IENetwork.reshape)"
+            )
         prepped = self._prep(inputs, batched=True)
         b = next(iter(prepped.values())).shape[0]
         if self._call_batched is not None:
@@ -332,6 +569,13 @@ class ImportedNetwork:
                 f"{sorted(self._call_buckets)} (exported without "
                 f"shape polymorphism)"
             )
+        if self._batch_sharding is not None:
+            from pyopenvino_tpu.parallel.mesh import put_global
+
+            prepped = {
+                k: put_global(v, self._batch_sharding)
+                for k, v in prepped.items()
+            }
         out = call(self.weights, prepped)
         return {k: np.asarray(v) for k, v in out.items()}
 

@@ -158,13 +158,93 @@ def test_import_errors(mnist_export, tmp_path):
         imp.infer({"wrong_name": np.zeros((1, 1, 28, 28), np.float32)})
 
 
-def test_sharded_network_refuses_export(tmp_path):
+def test_sharded_export_roundtrip(tmp_path, mnist_image):
+    """A mesh-sharded network exports per-mesh-shape lowerings; importing
+    rebuilds an equally-shaped mesh from local devices and runs the
+    sharded programs directly — parity on DISTINCT batch rows (the
+    sharding-bug lesson: repeated rows mask shard-indexing errors)."""
     from pyopenvino_tpu.parallel.mesh import (
         MeshConfig, build_mesh, shard_compiled,
     )
 
     xml, binp = model_paths("mnist")
     net = compile_model(read_ir_model(xml, binp))
-    shard_compiled(net, build_mesh(MeshConfig(data=2, model=1)))
-    with pytest.raises(ValueError, match="shard_compiled"):
+    ref_b1 = net.infer({"conv2d_input": mnist_image})
+    rng = np.random.default_rng(5)
+    rows = np.concatenate(
+        [mnist_image] * 2
+        + [rng.uniform(0, 255, (6, 1, 28, 28)).astype(np.float32)]
+    )
+    rows[1] = rows[1][:, :, ::-1]  # distinct from row 0
+    ref_bn = net.infer_batch({"conv2d_input": rows})
+
+    shard_compiled(
+        net, build_mesh(MeshConfig(data=4, model=2)), tensor_parallel=True
+    )
+    path = str(tmp_path / "mnist_dp_tp.ovtpu")
+    net.export(path, buckets=(8,))
+
+    imp = import_compiled(path)
+    assert imp.mesh is not None and int(imp.mesh.devices.size) == 8
+    assert imp.meta["mesh"]["axis_names"] == ["data", "model", "spatial"]
+    out = imp.infer({"conv2d_input": mnist_image})
+    k = next(iter(out))
+    np.testing.assert_allclose(out[k], ref_b1[k], rtol=1e-4, atol=1e-5)
+    outs = imp.infer_batch({"conv2d_input": rows})
+    np.testing.assert_allclose(outs[k], ref_bn[k], rtol=1e-4, atol=1e-5)
+
+
+def test_stateful_export_roundtrip(tmp_path):
+    """A stateful network's .ovtpu carries the step program + the initial
+    state pytree; the imported artifact threads donated state, resets,
+    and answers query_state — full VariableState surface without the IR."""
+    from tests.test_stateful import dynamic_init_model, ema_model
+
+    rng = np.random.default_rng(11)
+    seq = [rng.standard_normal((1, 3)).astype(np.float32) for _ in range(4)]
+    net = compile_model(ema_model())
+    path = str(tmp_path / "ema.ovtpu")
+    net.export(path)
+    imp = import_compiled(path)
+    assert imp.stateful and imp.meta["variables"].keys() == {"ema"}
+    ref_net = compile_model(ema_model())
+    for x in seq:
+        np.testing.assert_allclose(
+            imp.infer({"x": x})["out"], ref_net.infer({"x": x})["out"],
+            rtol=1e-5, atol=1e-6,
+        )
+    st = imp.query_state()
+    assert st["ema"].shape == (1, 3) and np.abs(st["ema"]).max() > 0
+    imp.reset_state()
+    np.testing.assert_allclose(
+        imp.infer({"x": seq[0]})["out"], 0.25 * seq[0], rtol=1e-5, atol=1e-6
+    )
+    with pytest.raises(NotImplementedError, match="declared shapes"):
+        imp.infer_batch({"x": np.zeros((4, 3), np.float32)})
+
+    # dynamic-init variables: the serialized fresh flag makes the FIRST
+    # imported infer capture the traced init, like the live network
+    dyn = compile_model(dynamic_init_model())
+    dpath = str(tmp_path / "dyn.ovtpu")
+    dyn.export(dpath)
+    dimp = import_compiled(dpath)
+    x = seq[0][:, :3]
+    x4 = np.concatenate([x, x[:, :1]], axis=1)  # (1,4)
+    np.testing.assert_allclose(
+        dimp.infer({"x": x4})["out"], 3 * x4, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        dimp.infer({"x": x4})["out"], 4 * x4, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_stateful_sharded_export_refused(tmp_path):
+    from pyopenvino_tpu.parallel.mesh import (
+        MeshConfig, build_mesh, shard_compiled,
+    )
+    from tests.test_stateful import ema_model
+
+    net = compile_model(ema_model())
+    net.mesh = build_mesh(MeshConfig(data=2, model=1))
+    with pytest.raises(NotImplementedError, match="stateful \\+ sharded"):
         net.export(str(tmp_path / "x.ovtpu"))

@@ -147,8 +147,8 @@ def test_stateful_guards():
     net = compile_model(accumulator_model())
     with pytest.raises(NotImplementedError):
         net.batched_fn(4)
-    with pytest.raises(NotImplementedError):
-        net.export("/tmp/should_not_exist.ovtpu")
+    # export of stateful networks is now supported —
+    # tests/test_export.py::test_stateful_export_roundtrip
 
 
 def test_verify_against_interpreter_stateful():
