@@ -81,6 +81,11 @@ def main():
                     "AsyncLoader (background C++ preprocessing overlapping "
                     "device inference) and report end-to-end img/s vs the "
                     "synchronous pipeline; requires --batch > 1")
+    ap.add_argument("--u8", action="store_true",
+                    help="u8 ingress: PrePostProcessor bakes the u8->f32 "
+                    "cast on-device and the loader keeps blobs uint8 "
+                    "(1 byte/px host->device — the headline methodology, "
+                    "bench.py)")
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--verbose", action="store_true",
                     help="per-layer timing (interpreter backend)")
@@ -107,6 +112,12 @@ def main():
     ie = IECore()
     xml, binp = _model_paths(args.model)
     net = ie.read_network(xml, binp)
+    if args.u8:
+        from pyopenvino_tpu.preprocess import PrePostProcessor
+
+        ppp = PrePostProcessor(net)
+        ppp.input().tensor().set_element_type("u8")
+        net = ppp.build()
     exe = ie.load_network(net, "TPU", config=cfg)
 
     in_name = net.inputs[0]["name"]
@@ -147,7 +158,7 @@ def main():
         if c == 1:
             raw = cv2.split(raw)[0][..., None]
         imgs = np.repeat(raw[None], args.batch, axis=0)
-        batch = native.preprocess_batch(imgs, (h, w)).reshape(
+        batch = native.preprocess_batch(imgs, (h, w), u8_out=args.u8).reshape(
             (args.batch,) + tuple(shape)
         )
         out = exe.infer_batch({in_name: batch})  # warm-up/compile
@@ -168,14 +179,15 @@ def main():
             # synchronous pipeline: preprocess then infer, serialized
             t0 = time.perf_counter()
             for _ in range(args.stream):
-                bb = native.preprocess_batch(imgs, (h, w)).reshape(
-                    (args.batch,) + tuple(shape))
+                bb = native.preprocess_batch(
+                    imgs, (h, w), u8_out=args.u8
+                ).reshape((args.batch,) + tuple(shape))
                 out = exe.infer_batch({in_name: bb})
             _ = np.asarray(out[k][0, 0])
             sync_s = time.perf_counter() - t0
             # streamed: AsyncLoader prefetches in background C++ threads
             with native.AsyncLoader((ih, iw, ic), (h, w),
-                                    depth=4) as loader:
+                                    depth=4, u8_out=args.u8) as loader:
                 def produce():
                     for _ in range(args.stream):
                         loader.submit(imgs)

@@ -23,6 +23,14 @@ round 2 (docs/MEASUREMENTS.md); the CPU fallback uses INT8 weight-only
 (int8 emulation on CPU XLA is slow and the CPU number is only a smoke
 signal).  Batch sizes are each model's measured sweet spot
 (docs/MEASUREMENTS.md: GoogLeNet b512, SSD b256, ResNet-18 b512).
+
+Ingress is uint8 (headline methodology since round 4): the blobs are raw
+0-255 pixels exactly as the reference feeds them (its Parameter plugin does
+the cast — reference: Parameter.py:11-13, test_googlenet_v1.py:20-27), with
+the u8→f32 cast baked on-device via PrePostProcessor set_element_type("u8").
+Host→device transfer is 1 byte/px instead of 4 — measured +1.5% GoogLeNet /
++2.6% SSD over f32 blobs (docs/MEASUREMENTS.md "Input dtype variant"), and
+it is what the native loader's u8 mode produces (native/preprocess.cpp).
 """
 
 import json
@@ -55,6 +63,13 @@ def bench_model(family: str, batch: int, iters: int, on_tpu: bool) -> float:
 
     xml, binp = _model_paths(family)
     model = read_ir_model(xml, binp)
+    # u8 ingress: raw 0-255 pixel blobs with the cast on-device (headline
+    # methodology — module docstring)
+    from pyopenvino_tpu.preprocess import PrePostProcessor
+
+    ppp = PrePostProcessor(model)
+    ppp.input().tensor().set_element_type("u8")
+    model = ppp.build()
     cfg = Config(
         quant=QuantMode.INT8_FULL if on_tpu else QuantMode.INT8_WEIGHT,
         compute_dtype="bfloat16" if on_tpu else "float32",
@@ -71,7 +86,7 @@ def bench_model(family: str, batch: int, iters: int, on_tpu: bool) -> float:
     compiled = compile_model(model, cfg, calibration_samples=cal)
 
     rng = np.random.default_rng(0)
-    blob = rng.uniform(0, 255, (batch,) + shape).astype(np.float32)
+    blob = rng.integers(0, 256, (batch,) + shape, dtype=np.uint8)
     inputs = {param.name: blob}
 
     fn = compiled.batched_fn(batch)

@@ -57,7 +57,7 @@ def _load() -> Optional[ctypes.CDLL]:
         try:
             lib = ctypes.CDLL(_LIB_PATH)
             lib.ov_native_abi_version.restype = ctypes.c_int
-            if lib.ov_native_abi_version() != 2:
+            if lib.ov_native_abi_version() != 3:
                 return None
             lib.ov_fp16_to_fp32.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int,
@@ -67,6 +67,11 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
             ]
+            lib.ov_preprocess_batch_u8.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+            ]
             lib.ov_stack_f32.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_int,
@@ -75,7 +80,7 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.ov_loader_create.argtypes = [
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
-                ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
             lib.ov_loader_submit.restype = ctypes.c_int64
             lib.ov_loader_submit.argtypes = [
@@ -119,12 +124,34 @@ def preprocess_batch(
     out_hw,
     scale: Optional[np.ndarray] = None,
     bias: Optional[np.ndarray] = None,
+    u8_out: bool = False,
 ) -> np.ndarray:
     """(B, H, W, C) uint8 → (B, C, oh, ow) float32 bilinear-resized blobs,
-    out = px*scale + bias per channel (the serving input pipeline)."""
+    out = px*scale + bias per channel (the serving input pipeline).
+
+    ``u8_out`` keeps the blob uint8 (scale/bias must be None): the
+    u8-ingress path — cast/scale run on-device via PrePostProcessor
+    set_element_type("u8"), and the host→device copy is 1 byte/px."""
     imgs = np.ascontiguousarray(imgs, dtype=np.uint8)
     b, ih, iw, c = imgs.shape
     oh, ow = out_hw
+    if u8_out:
+        if scale is not None or bias is not None:
+            raise ValueError(
+                "u8_out keeps raw pixels — put scale/bias on-device "
+                "(PrePostProcessor), not in the loader"
+            )
+        lib = _load()
+        out = np.empty((b, c, oh, ow), np.uint8)
+        if lib is None:
+            f = _preprocess_numpy(imgs, (oh, ow), None, None)
+            # match the native kernel's round-half-up exactly
+            return np.clip(np.floor(f + 0.5), 0, 255).astype(np.uint8)
+        lib.ov_preprocess_batch_u8(
+            imgs.ctypes.data, b, ih, iw, c, out.ctypes.data, oh, ow,
+            _nthreads(),
+        )
+        return out
     lib = _load()
     if lib is None:
         return _preprocess_numpy(imgs, (oh, ow), scale, bias)
@@ -210,9 +237,15 @@ class AsyncLoader:
     """
 
     def __init__(self, in_shape, out_hw, scale=None, bias=None,
-                 workers: int = 0, depth: int = 4):
+                 workers: int = 0, depth: int = 4, u8_out: bool = False):
         self.ih, self.iw, self.c = in_shape
         self.oh, self.ow = out_hw
+        self.u8_out = bool(u8_out)
+        if self.u8_out and (scale is not None or bias is not None):
+            raise ValueError(
+                "u8_out keeps raw pixels — put scale/bias on-device "
+                "(PrePostProcessor), not in the loader"
+            )
         self._scale = (
             np.ascontiguousarray(scale, np.float32)
             if scale is not None else None
@@ -232,7 +265,7 @@ class AsyncLoader:
                 self.ih, self.iw, self.c, self.oh, self.ow,
                 self._scale.ctypes.data if self._scale is not None else None,
                 self._bias.ctypes.data if self._bias is not None else None,
-                workers, depth,
+                workers, depth, int(self.u8_out),
             ))
         else:
             import concurrent.futures
@@ -267,10 +300,16 @@ class AsyncLoader:
                 if seq < 0:
                     raise RuntimeError("loader is closed")
             else:
-                self._futs.put(self._pool.submit(
-                    _preprocess_numpy, imgs.copy(), (self.oh, self.ow),
-                    self._scale, self._bias,
-                ))
+                if self.u8_out:
+                    self._futs.put(self._pool.submit(
+                        preprocess_batch, imgs.copy(), (self.oh, self.ow),
+                        None, None, True,
+                    ))
+                else:
+                    self._futs.put(self._pool.submit(
+                        _preprocess_numpy, imgs.copy(), (self.oh, self.ow),
+                        self._scale, self._bias,
+                    ))
             self._batches.put(b)
 
     def next(self):
@@ -283,7 +322,8 @@ class AsyncLoader:
             self._batches.put(None)  # keep the drained state sticky
             return None
         if self._handle is not None:
-            out = np.empty((b, self.c, self.oh, self.ow), np.float32)
+            dtype = np.uint8 if self.u8_out else np.float32
+            out = np.empty((b, self.c, self.oh, self.ow), dtype)
             n = self._lib.ov_loader_next(self._handle, out.ctypes.data, out.size)
             if n <= 0:
                 return None

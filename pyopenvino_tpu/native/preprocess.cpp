@@ -103,6 +103,38 @@ void preprocess_one(const uint8_t* img, int ih, int iw, int c, float* out,
   }
 }
 
+// Bilinear-resize one HWC uint8 image to (oh, ow) and write NCHW uint8
+// (round-to-nearest).  The u8-ingress path: scale/bias/cast move onto the
+// device (PrePostProcessor set_element_type("u8")), so the host→device
+// transfer is 1 byte/px instead of 4.
+void preprocess_one_u8(const uint8_t* img, int ih, int iw, int c,
+                       uint8_t* out, int oh, int ow) {
+  const float ry = oh > 1 ? (float)(ih - 1) / (float)(oh - 1) : 0.f;
+  const float rx = ow > 1 ? (float)(iw - 1) / (float)(ow - 1) : 0.f;
+  for (int y = 0; y < oh; ++y) {
+    float fy = y * ry;
+    int y0 = (int)fy;
+    int y1 = std::min(y0 + 1, ih - 1);
+    float wy = fy - y0;
+    for (int x = 0; x < ow; ++x) {
+      float fx = x * rx;
+      int x0 = (int)fx;
+      int x1 = std::min(x0 + 1, iw - 1);
+      float wx = fx - x0;
+      const uint8_t* p00 = img + (y0 * iw + x0) * c;
+      const uint8_t* p01 = img + (y0 * iw + x1) * c;
+      const uint8_t* p10 = img + (y1 * iw + x0) * c;
+      const uint8_t* p11 = img + (y1 * iw + x1) * c;
+      for (int ch = 0; ch < c; ++ch) {
+        float v = (1 - wy) * ((1 - wx) * p00[ch] + wx * p01[ch]) +
+                  wy * ((1 - wx) * p10[ch] + wx * p11[ch]);
+        out[(int64_t)ch * oh * ow + (int64_t)y * ow + x] =
+            (uint8_t)std::min(255.f, std::max(0.f, v + 0.5f));
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -125,6 +157,20 @@ void ov_preprocess_batch(const uint8_t* imgs, int batch, int ih, int iw, int c,
     for (int64_t b = lo; b < hi; ++b) {
       preprocess_one(imgs + b * in_stride, ih, iw, c, out + b * out_stride,
                      oh, ow, scale, bias);
+    }
+  });
+}
+
+// (B, ih, iw, c) uint8 -> (B, c, oh, ow) uint8 blobs (u8 ingress mode).
+void ov_preprocess_batch_u8(const uint8_t* imgs, int batch, int ih, int iw,
+                            int c, uint8_t* out, int oh, int ow,
+                            int nthreads) {
+  const int64_t in_stride = (int64_t)ih * iw * c;
+  const int64_t out_stride = (int64_t)c * oh * ow;
+  parallel_for(batch, nthreads, [&](int64_t lo, int64_t hi) {
+    for (int64_t b = lo; b < hi; ++b) {
+      preprocess_one_u8(imgs + b * in_stride, ih, iw, c,
+                        out + b * out_stride, oh, ow);
     }
   });
 }
@@ -161,13 +207,15 @@ struct Loader {
   int ih, iw, c, oh, ow;
   std::vector<float> scale, bias;
   bool has_scale = false, has_bias = false;
+  bool u8_out = false;  // u8-ingress mode: emit uint8 NCHW blobs
   size_t depth;
 
   std::mutex mu;
   std::condition_variable cv_in;   // workers: work available / dying
   std::condition_variable cv_out;  // consumer: result ready; submit: room
   std::queue<std::pair<uint64_t, std::vector<uint8_t>>> in_q;
-  std::map<uint64_t, std::pair<int, std::vector<float>>> done;
+  // result blobs as raw bytes (float32 or uint8 depending on u8_out)
+  std::map<uint64_t, std::pair<int, std::vector<uint8_t>>> done;
   uint64_t next_submit = 0;
   uint64_t next_emit = 0;
   size_t inflight = 0;  // submitted and not yet consumed
@@ -203,13 +251,21 @@ void loader_worker(Loader* L) {
     const size_t in_stride = (size_t)L->ih * L->iw * L->c;
     const size_t out_stride = (size_t)L->c * L->oh * L->ow;
     const int batch = (int)(job.second.size() / in_stride);
-    std::vector<float> out((size_t)batch * out_stride);
+    const size_t elem_size = L->u8_out ? 1 : sizeof(float);
+    std::vector<uint8_t> out((size_t)batch * out_stride * elem_size);
     const float* sc = L->has_scale ? L->scale.data() : nullptr;
     const float* bi = L->has_bias ? L->bias.data() : nullptr;
     for (int b = 0; b < batch; ++b) {
-      preprocess_one(job.second.data() + (size_t)b * in_stride, L->ih, L->iw,
-                     L->c, out.data() + (size_t)b * out_stride, L->oh, L->ow,
-                     sc, bi);
+      if (L->u8_out) {
+        preprocess_one_u8(job.second.data() + (size_t)b * in_stride, L->ih,
+                          L->iw, L->c, out.data() + (size_t)b * out_stride,
+                          L->oh, L->ow);
+      } else {
+        preprocess_one(job.second.data() + (size_t)b * in_stride, L->ih,
+                       L->iw, L->c,
+                       (float*)out.data() + (size_t)b * out_stride, L->oh,
+                       L->ow, sc, bi);
+      }
     }
     {
       std::lock_guard<std::mutex> lk(L->mu);
@@ -226,9 +282,10 @@ extern "C" {
 
 void* ov_loader_create(int ih, int iw, int c, int oh, int ow,
                        const float* scale, const float* bias, int workers,
-                       int depth) {
+                       int depth, int u8_out) {
   Loader* L = new Loader();
   L->ih = ih; L->iw = iw; L->c = c; L->oh = oh; L->ow = ow;
+  L->u8_out = u8_out != 0;
   if (scale) {
     L->scale.assign(scale, scale + c);
     L->has_scale = true;
@@ -267,20 +324,21 @@ int64_t ov_loader_submit(void* h, const uint8_t* imgs, int batch) {
 }
 
 // Blocks for the next batch IN SUBMISSION ORDER and writes its blob
-// ((batch, c, oh, ow) float32) into `out`.  Returns the batch size,
-// 0 when the loader is closed and drained, -1 if destroyed while waiting,
-// -2 if `cap_elems` is too small.
-int64_t ov_loader_next(void* h, float* out, int64_t cap_elems) {
+// ((batch, c, oh, ow) float32, or uint8 in u8_out mode) into `out`.
+// Returns the batch size, 0 when the loader is closed and drained, -1 if
+// destroyed while waiting, -2 if `cap_elems` (elements) is too small.
+int64_t ov_loader_next(void* h, void* out, int64_t cap_elems) {
   Loader* L = (Loader*)h;
   std::unique_lock<std::mutex> lk(L->mu);
   ExtGuard guard(L);
+  const size_t elem_size = L->u8_out ? 1 : sizeof(float);
   for (;;) {
     auto it = L->done.find(L->next_emit);
     if (it != L->done.end()) {
       const int batch = it->second.first;
-      std::vector<float>& blob = it->second.second;
-      if ((int64_t)blob.size() > cap_elems) return -2;
-      std::memcpy(out, blob.data(), blob.size() * sizeof(float));
+      std::vector<uint8_t>& blob = it->second.second;
+      if ((int64_t)(blob.size() / elem_size) > cap_elems) return -2;
+      std::memcpy(out, blob.data(), blob.size());
       L->done.erase(it);
       L->next_emit++;
       L->inflight--;
@@ -317,6 +375,6 @@ void ov_loader_destroy(void* h) {
   delete L;
 }
 
-int ov_native_abi_version() { return 2; }
+int ov_native_abi_version() { return 3; }
 
 }  // extern "C"

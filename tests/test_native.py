@@ -207,3 +207,39 @@ def test_async_loader_close_releases_blocked_submitter():
     assert ld.next() is not None
     assert ld.next() is None
     ld.__exit__()
+
+
+def test_preprocess_batch_u8_mode():
+    """u8_out keeps the blob uint8 (round-half-up of the f32 kernel) —
+    the u8-ingress host tier (1 byte/px host->device; bench.py headline
+    methodology)."""
+    from pyopenvino_tpu import native
+
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (2, 13, 17, 3), dtype=np.uint8)
+    f32 = native.preprocess_batch(imgs, (8, 8))
+    u8 = native.preprocess_batch(imgs, (8, 8), u8_out=True)
+    assert u8.dtype == np.uint8 and u8.shape == f32.shape
+    assert np.abs(u8.astype(np.float32) - np.round(f32)).max() <= 1
+    # identity resize round-trips exactly
+    same = native.preprocess_batch(imgs, (13, 17), u8_out=True)
+    np.testing.assert_array_equal(
+        same, imgs.transpose(0, 3, 1, 2)
+    )
+    with pytest.raises(ValueError, match="on-device"):
+        native.preprocess_batch(imgs, (8, 8), scale=[1.0] * 3, u8_out=True)
+
+
+def test_async_loader_u8_mode():
+    from pyopenvino_tpu import native
+
+    rng = np.random.default_rng(4)
+    imgs = rng.integers(0, 256, (3, 12, 12, 3), dtype=np.uint8)
+    want = native.preprocess_batch(imgs, (6, 6), u8_out=True)
+    with native.AsyncLoader((12, 12, 3), (6, 6), u8_out=True) as ld:
+        ld.submit(imgs)
+        got = ld.next()
+    assert got.dtype == np.uint8
+    np.testing.assert_array_equal(got, want)
+    with pytest.raises(ValueError, match="on-device"):
+        native.AsyncLoader((12, 12, 3), (6, 6), scale=[1.0] * 3, u8_out=True)
