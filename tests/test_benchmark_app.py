@@ -35,3 +35,9 @@ def test_throughput_hint():
 
 def test_async_api():
     _run("-api", "async", "-nireq", "2")
+
+
+def test_device_only_latency():
+    s = _run("-hint", "latency", "--device-only", "--inner", "4")
+    assert "device-only (on-device chain, inner=4)" in s
+    assert "12 samples" in s  # 3 outer iterations x inner=4

@@ -93,6 +93,45 @@ def run_batched(exe, feeds, niter, t_budget, batch):
     return lat, batch, time.perf_counter() - t0
 
 
+def run_device_loop(exe, feeds, niter, t_budget, inner: int = 20):
+    """Device-only latency: chain `inner` model steps in ONE on-device
+    ``lax.fori_loop`` (each iteration's input perturbed by a ~1e-28 scalar
+    folded from the previous output — a non-degenerate data dependency XLA
+    cannot hoist), so the tunnel/host dispatch cost amortizes over the
+    chain.  Each outer call yields one per-step latency sample; the
+    percentile block then describes device execution, not the tunnel RTT
+    (docs/MEASUREMENTS.md "Tunnel RTT ~25-70 ms per dispatch")."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    compiled = exe._get_compiled()
+    fn, weights = compiled._fn, compiled.weights
+    prepped = compiled._prep_inputs(feeds)
+    first = sorted(prepped)[0]
+
+    @jax.jit
+    def chain(weights, inputs):
+        def body(i, carry):
+            ins = dict(inputs)
+            ins[first] = (
+                ins[first] + carry.astype(jnp.result_type(ins[first]))
+            )
+            out = fn(weights, ins)
+            k0 = sorted(out)[0]
+            return (out[k0].ravel()[0].astype(jnp.float32)) * 1e-30
+
+        return lax.fori_loop(0, inner, body, jnp.float32(0.0))
+
+    np.asarray(chain(weights, prepped))  # warm-up / compile
+    lat, t0 = [], time.perf_counter()
+    while len(lat) < niter and time.perf_counter() - t0 < t_budget:
+        s = time.perf_counter()
+        np.asarray(chain(weights, prepped))  # fetch = completion barrier
+        lat.append((time.perf_counter() - s) * 1e3 / inner)
+    return lat, inner, time.perf_counter() - t0
+
+
 def run_async(exe, feeds, niter, t_budget, nireq):
     from pyopenvino_tpu import AsyncInferQueue, CompiledModel
 
@@ -141,6 +180,12 @@ def main():
                     choices=["interpreter", "xla", "pallas"])
     ap.add_argument("--cache-dir", default=None,
                     help="CACHE_DIR persistent compile cache")
+    ap.add_argument("--device-only", action="store_true",
+                    help="latency hint: chain steps in one on-device "
+                    "fori_loop so the reported latency is device "
+                    "execution, not the host/tunnel round trip")
+    ap.add_argument("--inner", type=int, default=20,
+                    help="steps per on-device chain (--device-only)")
     args = ap.parse_args()
 
     from pyopenvino_tpu.utils import select_device
@@ -174,6 +219,10 @@ def main():
     elif args.hint == "throughput" and batch > 1:
         lat, per_iter, wall = run_batched(
             exe, random_feeds(net, batch, rng), args.niter, args.time, batch)
+    elif args.device_only:
+        lat, per_iter, wall = run_device_loop(
+            exe, random_feeds(net, None, rng), args.niter, args.time,
+            args.inner)
     else:
         lat, per_iter, wall = run_sync(
             exe, random_feeds(net, None, rng), args.niter, args.time)
@@ -193,7 +242,9 @@ def main():
           f"(backend={args.backend}, quant={args.quant})")
     print(f"[ INFO ] Model: {xml}")
     print(f"[ INFO ] Mode: api={args.api}, hint={args.hint}, batch={batch}, "
-          f"nireq={args.nireq}")
+          f"nireq={args.nireq}"
+          + (f", device-only (on-device chain, inner={args.inner})"
+             if args.device_only and args.hint == "latency" else ""))
     print(f"Count:        {len(lat)} iterations "
           f"({len(lat) * per_iter} samples)")
     print(f"Setup:        {setup * 1e3:.2f} ms (load + warm-up/compile)")
