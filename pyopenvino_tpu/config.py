@@ -114,6 +114,13 @@ class Config:
     # samples (works for both INT8_WEIGHT and INT8_FULL when provided).
     bias_correction: bool = False
 
+    # First/last-layer exclusion for INT8 weight quantization: weights
+    # with fewer than this many elements stay float (0 = quantize
+    # everything).  For detection/regression heads whose tiny 1×1 convs
+    # land quantization error directly on box coordinates
+    # (passes/quantize.py quantize_weights).
+    quant_min_elems: int = 0
+
     # Depthwise convolution emission.  "native" = XLA feature_group_count
     # conv (fastest: ~5x the shifted-MAC on TPU v5e, re-measured after the
     # 2026-08 stack update fixed the grouped-conv compile hang).

@@ -286,6 +286,50 @@ class GraphBuilder:
             ins.append(self.const(np.asarray(axes, np.int64)))
         return self._add_node("Squeeze", ins, {}, name)
 
+    def unsqueeze(self, x, axes, name=None) -> Port:
+        ax = self.const(np.asarray(axes, np.int64))
+        return self._add_node("Unsqueeze", [x, ax], {}, name)
+
+    def prior_box_clustered(self, grid_hw, image_hw, widths, heights,
+                            step=0.0, offset=0.5,
+                            variance=(0.1, 0.1, 0.2, 0.2),
+                            name=None) -> Port:
+        """SSD anchor generator (ops/ssd.py prior_boxes_clustered): grid
+        and image sizes as I64 consts (the reference derives them from a
+        ShapeOf→StridedSlice chain, which constant-folds to the same
+        thing — SURVEY.md §3.5)."""
+        g = self.const(np.asarray(grid_hw, np.int64), "pbc_grid")
+        im = self.const(np.asarray(image_hw, np.int64), "pbc_image")
+        return self._add_node("PriorBoxClustered", [g, im], {
+            "width": ",".join(str(float(w)) for w in widths),
+            "height": ",".join(str(float(h)) for h in heights),
+            "step": str(float(step)),
+            "offset": str(float(offset)),
+            "variance": ",".join(str(float(v)) for v in variance),
+        }, name)
+
+    def detection_output(self, loc, conf, priors, num_classes,
+                         keep_top_k=100, top_k=-1, nms_threshold=0.45,
+                         confidence_threshold=0.01,
+                         code_type="caffe.PriorBoxParameter.CENTER_SIZE",
+                         name=None) -> Port:
+        """SSD postprocess → (1, 1, keep_top_k, 7) record table."""
+        return self._add_node("DetectionOutput", [loc, conf, priors], {
+            "num_classes": str(int(num_classes)),
+            "background_label_id": "0",
+            "top_k": str(int(top_k)),
+            "keep_top_k": str(int(keep_top_k)),
+            "nms_threshold": str(float(nms_threshold)),
+            "confidence_threshold": str(float(confidence_threshold)),
+            "code_type": code_type,
+            "share_location": "1",
+            "variance_encoded_in_target": "0",
+            "clip_after_nms": "0",
+            "clip_before_nms": "0",
+            "decrease_label_id": "0",
+            "normalized": "1",
+        }, name)
+
     def gather(self, x, indices, axis=0, name=None) -> Port:
         idx = self.const(np.asarray(indices, np.int64))
         ax = self.const(np.asarray(axis, np.int64))

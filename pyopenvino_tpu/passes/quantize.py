@@ -38,11 +38,24 @@ def _quantize_array(
     return q, scale
 
 
-def quantize_weights(model: Model) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
-    """Return {const_node_id: (int8 weights, float32 per-channel scales)}."""
+def quantize_weights(
+    model: Model, min_elems: int = 0
+) -> Dict[int, Tuple[np.ndarray, np.ndarray]]:
+    """Return {const_node_id: (int8 weights, float32 per-channel scales)}.
+
+    ``min_elems`` (Config.quant_min_elems): weights below this element
+    count stay float — the TensorRT/POT first/last-layer-exclusion
+    practice for models whose tiny head/stem tensors (1×1 detection
+    heads, 3-channel stems) carry negligible FLOPs but land their
+    quantization error directly on a regression output.  Default 0
+    (quantize everything): a blanket size cut would also catch real
+    compute layers like SSD-MobileNet's (C,1,1,3,3) depthwise stacks,
+    whose int8 path is the throughput story."""
     out: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
     for node in model.find_by_type("Const"):
         if node.const is None or not np.issubdtype(node.const.dtype, np.floating):
+            continue
+        if min_elems and node.const.size < min_elems:
             continue
         consumers = [
             (model.nodes[dst], dport)

@@ -1161,7 +1161,7 @@ def prepare_model(
     if config.quant in (QuantMode.INT8_WEIGHT, QuantMode.INT8_FULL):
         from pyopenvino_tpu.passes.quantize import quantize_weights
 
-        quantized = quantize_weights(model)
+        quantized = quantize_weights(model, config.quant_min_elems)
     if config.quant == QuantMode.INT8_FULL:
         covered = set(fq_scales)
         needs_cal = [

@@ -144,6 +144,36 @@ def test_trained_weight_int8_gates(family):
         assert delta <= 0.5 + 1e-9, (mode, val, delta)
 
 
+def test_trained_detector_real_map_gate():
+    """The BASELINE mAP gate on a REAL trained toy SSD with real
+    ground-truth boxes (full COCO IoU grid): INT8w and INT8-FULL mAP
+    within 0.5 points of FP32 (reference evidence class:
+    integrity_test.py:133-152, with real GT instead of a golden tuple).
+    Uses the committed assets/trained/shapes_ssd artifact."""
+    from tools import datasets
+    from tools.accuracy import (
+        CAL_SEED,
+        MODELS,
+        eval_images,
+        run_model,
+        score_det,
+    )
+
+    images, gt = eval_images("shapes_ssd", 96)
+    in_name = MODELS["shapes_ssd"][0]
+    # 32 calibration samples, same as the harness: INT8-FULL activation
+    # scales and the bias correction need a representative draw
+    cx, _ = datasets.shapes_det(32, CAL_SEED)
+    calibration = [{in_name: cx[i][None]} for i in range(len(cx))]
+    ref = run_model("shapes_ssd", "fp32", images, calibration)
+    fp32_map, _ = score_det(ref, ref, gt)
+    assert fp32_map >= 60.0, fp32_map  # genuinely trained detector
+    for mode in ("int8w", "int8full"):
+        out = run_model("shapes_ssd", mode, images, calibration)
+        val, delta = score_det(ref, out, gt)
+        assert delta <= 0.5 + 1e-9, (mode, val, delta)
+
+
 def test_score_cls_labels_filters_to_labeled_images():
     """--labels files cover only real images; the synthetic randN padding
     in the eval set must be excluded from scoring, not KeyError."""

@@ -364,3 +364,18 @@ def test_int8_dataflow_covers_batched_matmul(name):
     k = next(iter(out))
     assert np.argmax(out[k]) == np.argmax(ref[k])
     assert np.abs(out[k] - ref[k]).max() < 0.05
+
+
+def test_quant_min_elems_excludes_small_weights():
+    """Config.quant_min_elems: first/last-layer exclusion — weights under
+    the element threshold stay float (passes/quantize.py)."""
+    from pyopenvino_tpu.passes.quantize import quantize_weights
+
+    xml, binp = model_paths("mnist")
+    m = read_ir_model(xml, binp)
+    all_q = quantize_weights(m)
+    some_q = quantize_weights(m, 4096)
+    assert set(some_q) < set(all_q)  # strictly fewer, none new
+    sizes = {nid: m.nodes[nid].const.size for nid in all_q}
+    for nid in all_q:
+        assert (nid in some_q) == (sizes[nid] >= 4096), sizes[nid]

@@ -1,5 +1,6 @@
-"""Train REAL weights for the accuracy gates — MNIST-BN and a
-CIFAR-scale shapes ResNet — and export them as OpenVINO IR.
+"""Train REAL weights for the accuracy gates — MNIST-BN, a CIFAR-scale
+shapes ResNet, and a toy single-scale SSD detector — exported as
+OpenVINO IR.
 
 The round-3 gates ran on synthetic weights with self-agreement metrics;
 this supplies trained-weight models with labeled eval data so the
@@ -20,13 +21,20 @@ family — __graft_entry__._gen_version_ok):
   * ``shapes_resnet`` — a CIFAR-scale residual classifier (3 stages
     16/32/64, identity + projection shortcuts, GAP head) on the
     shapes10 task (tools/datasets.py).
+  * ``shapes_ssd``     — a single-scale SSD on shapes_det (96×96, 1..3
+    boxes/image): stride-8 backbone, 3 square anchors/cell, loc/conf 1×1
+    heads, exported through the reference SSD IR shape (Transpose/
+    Reshape flatten → SoftMax → PriorBoxClustered → DetectionOutput) so
+    the real-GT mAP gate exercises the whole detection pipeline.
+    Anchors come from ops/ssd.py prior_boxes_clustered — training and
+    the exported PriorBoxClustered node share one definition.
 
-Both are defined twice — a JAX training forward and a GraphBuilder
+All are defined twice — a JAX training forward and a GraphBuilder
 export — with bit-level parity asserted between them at export time
 (same pattern as tools/mnist_train.py).
 
 Usage:
-    python tools/train_real.py [--model mnist_bn shapes_resnet] [--steps N]
+    python tools/train_real.py [--model mnist_bn shapes_resnet shapes_ssd] [--steps N]
 """
 
 from __future__ import annotations
@@ -329,12 +337,311 @@ def train_shapes_resnet(steps: int, batch: int, seed: int):
     return {k: np.asarray(v) for k, v in params.items()}, val
 
 
+# -- shapes SSD (toy detector — the real-mAP gate) ----------------------------
+
+DET_IMG = 96
+DET_GRID = 12            # stride-8 feature map
+DET_ANCHORS = (24.0, 32.0, 40.0)   # square anchors, px (box sizes 26-40)
+DET_VARIANCE = (0.1, 0.1, 0.2, 0.2)
+DET_NC = 5               # background + 4 shape classes
+DET_WIDTHS = (24, 48, 64, 64)
+
+
+def det_anchors():
+    """(anchors (P,4) normalized corners, variances (P,4)) — computed by
+    THE SAME function the exported PriorBoxClustered node runs
+    (ops/ssd.py prior_boxes_clustered), so training and inference share
+    one anchor definition; prior order (gy, gx, anchor)."""
+    from pyopenvino_tpu.ops.ssd import prior_boxes_clustered
+
+    out = prior_boxes_clustered(
+        (DET_GRID, DET_GRID), (DET_IMG, DET_IMG),
+        widths=DET_ANCHORS, heights=DET_ANCHORS,
+        step=float(DET_IMG // DET_GRID), step_h=0.0, step_w=0.0,
+        offset=0.5, variance=DET_VARIANCE, img_h=0.0, img_w=0.0,
+    )
+    P = out.shape[1] // 4
+    return out[0].reshape(P, 4), out[1].reshape(P, 4)
+
+
+def init_shapes_ssd(rng: np.random.Generator):
+    def he(shape, fan_in):
+        return (rng.standard_normal(shape) * np.sqrt(2.0 / fan_in)).astype(
+            np.float32)
+
+    A = len(DET_ANCHORS)
+    w1, w2, w3, w4 = DET_WIDTHS
+    p = {
+        "c1": he((w1, 3, 3, 3), 27), "b1": np.zeros(w1, np.float32),
+        "c2": he((w2, w1, 3, 3), w1 * 9), "b2": np.zeros(w2, np.float32),
+        "c3": he((w3, w2, 3, 3), w2 * 9), "b3": np.zeros(w3, np.float32),
+        "c4": he((w4, w3, 3, 3), w3 * 9), "b4": np.zeros(w4, np.float32),
+        "loc_w": he((A * 4, w4, 1, 1), w4) * 0.1,
+        "loc_b": np.zeros(A * 4, np.float32),
+        "conf_w": he((A * DET_NC, w4, 1, 1), w4) * 0.1,
+        "conf_b": np.zeros(A * DET_NC, np.float32),
+    }
+    return p
+
+
+def forward_shapes_ssd(p, x):
+    """x: (N,3,96,96) in [0,1] → (loc (N,P,4), conf logits (N,P,C)) in
+    prior order (gy, gx, anchor) — NCHW→NHWC transpose then flatten,
+    matching the exported Transpose/Reshape head."""
+    import jax.numpy as jnp
+    from jax import lax
+
+    def conv(x, w, b, stride=1, pad=1):
+        out = lax.conv_general_dilated(
+            x, w, (stride, stride), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        return out + b.reshape(1, -1, 1, 1)
+
+    x = jnp.maximum(conv(x, p["c1"], p["b1"], stride=2), 0)
+    x = jnp.maximum(conv(x, p["c2"], p["b2"], stride=2), 0)
+    x = jnp.maximum(conv(x, p["c3"], p["b3"], stride=2), 0)
+    x = jnp.maximum(conv(x, p["c4"], p["b4"]), 0)
+    loc = conv(x, p["loc_w"], p["loc_b"], pad=0)
+    conf = conv(x, p["conf_w"], p["conf_b"], pad=0)
+
+    def to_prior(t, k):
+        return t.transpose(0, 2, 3, 1).reshape(t.shape[0], -1, k)
+
+    return to_prior(loc, 4), to_prior(conf, DET_NC)
+
+
+def encode_det_targets(gts, anchors, variances):
+    """One image's GT [(cls, (x0,y0,x1,y1) normalized)] → per-anchor
+    (cls target (P,) int32 with 0=background, loc target (P,4)).  SSD
+    matching: every anchor with IoU>0.5 takes its best GT; every GT
+    force-claims its best anchor.  Encoding is the exact inverse of
+    ops/ssd.py _decode CENTER_SIZE-with-variances."""
+    P = anchors.shape[0]
+    cls_t = np.zeros(P, np.int32)
+    loc_t = np.zeros((P, 4), np.float32)
+    if not gts:
+        return cls_t, loc_t
+    aw = anchors[:, 2] - anchors[:, 0]
+    ah = anchors[:, 3] - anchors[:, 1]
+    acx = (anchors[:, 0] + anchors[:, 2]) / 2
+    acy = (anchors[:, 1] + anchors[:, 3]) / 2
+    g = np.asarray([b for _, b in gts], np.float32)  # (G,4)
+    ix0 = np.maximum(g[:, None, 0], anchors[None, :, 0])
+    iy0 = np.maximum(g[:, None, 1], anchors[None, :, 1])
+    ix1 = np.minimum(g[:, None, 2], anchors[None, :, 2])
+    iy1 = np.minimum(g[:, None, 3], anchors[None, :, 3])
+    inter = np.clip(ix1 - ix0, 0, None) * np.clip(iy1 - iy0, 0, None)
+    area_g = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+    iou = inter / (area_g[:, None] + (aw * ah)[None, :] - inter)
+
+    assigned = np.full(P, -1, np.int64)
+    best_gt, best_iou = iou.argmax(0), iou.max(0)
+    assigned[best_iou > 0.5] = best_gt[best_iou > 0.5]
+    for gi in range(len(gts)):
+        assigned[iou[gi].argmax()] = gi  # GT force-claims its best anchor
+    sel = assigned >= 0
+    gi = assigned[sel]
+    gcx = (g[gi, 0] + g[gi, 2]) / 2
+    gcy = (g[gi, 1] + g[gi, 3]) / 2
+    gw = g[gi, 2] - g[gi, 0]
+    gh = g[gi, 3] - g[gi, 1]
+    v = variances[sel]
+    cls_t[sel] = np.asarray([gts[i][0] for i in gi]) + 1
+    loc_t[sel, 0] = (gcx - acx[sel]) / (v[:, 0] * aw[sel])
+    loc_t[sel, 1] = (gcy - acy[sel]) / (v[:, 1] * ah[sel])
+    loc_t[sel, 2] = np.log(gw / aw[sel]) / v[:, 2]
+    loc_t[sel, 3] = np.log(gh / ah[sel]) / v[:, 3]
+    return cls_t, loc_t
+
+
+def _det_attrs():
+    """DetectionOutput attrs shared by export, trainer eval, and parity
+    check."""
+    return dict(
+        num_classes=DET_NC, background_label_id=0, top_k=50,
+        keep_top_k=(20,), nms_threshold=0.45, confidence_threshold=0.25,
+        code_type="caffe.PriorBoxParameter.CENTER_SIZE",
+        share_location=True, variance_encoded_in_target=False,
+        clip_after_nms=False, clip_before_nms=False,
+        decrease_label_id=False, normalized=True,
+        input_height=1, input_width=1,
+    )
+
+
+def det_eval_map(params, x, gts):
+    """Real mAP (full COCO IoU grid) of the trainer forward + the op
+    library's own DetectionOutput reference on a labeled set."""
+    import jax.numpy as jnp
+
+    from pyopenvino_tpu.metrics import coco_map, parse_detection_records
+    from pyopenvino_tpu.ops.ssd import detection_output_ref
+
+    anchors, variances = det_anchors()
+    proposals = np.stack(
+        [anchors.reshape(-1), variances.reshape(-1)]
+    )[None].astype(np.float32)
+    loc, conf = forward_shapes_ssd(params, jnp.asarray(x / 255.0))
+    import jax
+
+    prob = np.asarray(jax.nn.softmax(conf, axis=-1))
+    loc = np.asarray(loc)
+    p = _det_attrs()
+    gt, det = {}, {}
+    for i in range(len(x)):
+        rec = detection_output_ref(
+            loc[i].reshape(1, -1), prob[i].reshape(1, -1), proposals, p
+        )
+        det[i] = [(c - 1, s, b) for c, s, b in parse_detection_records(rec)]
+        gt[i] = gts[i]
+    return coco_map(gt, det)
+
+
+def export_shapes_ssd(p, xml_path: str):
+    """The SSD IR shape: backbone → loc/conf 1×1 heads →
+    Transpose/Reshape flatten → SoftMax class probabilities →
+    PriorBoxClustered anchors (Const-fed, constant-folded) → Unsqueeze →
+    DetectionOutput record table (reference architecture:
+    models/ssd_mobilenet_v1_coco.xml)."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.ir.writer import write_ir_model
+
+    A = len(DET_ANCHORS)
+    P = DET_GRID * DET_GRID * A
+    b = GraphBuilder("shapes_ssd_trained")
+    x = b.parameter("data", (1, 3, DET_IMG, DET_IMG))
+
+    def conv(x, w, bias, stride=1, pad=1, name=""):
+        y = b.conv2d(x, b.const(w, name + "_w"), strides=(stride, stride),
+                     pads=((pad, pad), (pad, pad)))
+        return b.add(y, b.const(bias.reshape(1, -1, 1, 1), name + "_b"))
+
+    # 1/255 input scale folded into conv1 (Model Optimizer --scale 255)
+    y = b.relu(conv(x, p["c1"] / 255.0, p["b1"], stride=2, name="c1"))
+    y = b.relu(conv(y, p["c2"], p["b2"], stride=2, name="c2"))
+    y = b.relu(conv(y, p["c3"], p["b3"], stride=2, name="c3"))
+    y = b.relu(conv(y, p["c4"], p["b4"], name="c4"))
+    loc = conv(y, p["loc_w"], p["loc_b"], pad=0, name="loc")
+    conf = conv(y, p["conf_w"], p["conf_b"], pad=0, name="conf")
+    loc_f = b.reshape(b.transpose(loc, (0, 2, 3, 1), name="loc_t"),
+                      (1, P * 4), name="loc_flat")
+    conf_r = b.reshape(b.transpose(conf, (0, 2, 3, 1), name="conf_t"),
+                       (1, P, DET_NC), name="conf_r")
+    conf_s = b.softmax(conf_r, axis=2, name="conf_prob")
+    conf_f = b.reshape(conf_s, (1, P * DET_NC), name="conf_flat")
+    pri = b.prior_box_clustered(
+        (DET_GRID, DET_GRID), (DET_IMG, DET_IMG), DET_ANCHORS, DET_ANCHORS,
+        step=float(DET_IMG // DET_GRID), offset=0.5, variance=DET_VARIANCE,
+        name="priors")
+    a = _det_attrs()
+    det = b.detection_output(
+        loc_f, conf_f, b.unsqueeze(pri, (0,), name="priors3"),
+        num_classes=DET_NC, keep_top_k=a["keep_top_k"][0], top_k=a["top_k"],
+        nms_threshold=a["nms_threshold"],
+        confidence_threshold=a["confidence_threshold"],
+        code_type=a["code_type"], name="do")
+    b.result(det, "detections")
+    write_ir_model(b.build(), xml_path)
+
+
+def train_shapes_ssd(steps: int, batch: int, seed: int):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tools.datasets import shapes_det
+
+    x, gts = shapes_det(6000, seed)
+    anchors, variances = det_anchors()
+    enc = [encode_det_targets(g, anchors, variances) for g in gts]
+    cls_t = np.stack([e[0] for e in enc])
+    loc_t = np.stack([e[1] for e in enc])
+    xv, gv = x[:300], gts[:300]
+    xt, ct, lt = x[300:] / 255.0, cls_t[300:], loc_t[300:]
+
+    params = init_shapes_ssd(np.random.default_rng(seed))
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, xb, cb, lb):
+        def loss_fn(p):
+            loc_p, conf_p = forward_shapes_ssd(p, xb)
+            ce = optax.softmax_cross_entropy_with_integer_labels(conf_p, cb)
+            pos = cb > 0
+            npos = pos.sum(axis=1)
+            # hard-negative mining at 3:1 — rank negatives by loss
+            neg_ce = jnp.where(pos, -jnp.inf, ce)
+            rank = jnp.argsort(jnp.argsort(-neg_ce, axis=1), axis=1)
+            neg_sel = (rank < (3 * npos)[:, None]) & ~pos
+            denom = jnp.maximum(npos.sum(), 1)
+            conf_loss = (ce * (pos | neg_sel)).sum() / denom
+            diff = loc_p - lb
+            huber = jnp.where(
+                jnp.abs(diff) < 1, 0.5 * diff**2, jnp.abs(diff) - 0.5)
+            loc_loss = (huber.sum(-1) * pos).sum() / denom
+            return conf_loss + loc_loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    rng = np.random.default_rng(seed + 1)
+    for i in range(steps):
+        idx = rng.integers(0, len(ct), batch)
+        params, opt_state, loss = step(
+            params, opt_state, jnp.asarray(xt[idx]),
+            jnp.asarray(ct[idx]), jnp.asarray(lt[idx]))
+        if (i + 1) % 300 == 0:
+            host = {k: np.asarray(v) for k, v in params.items()}
+            m = det_eval_map(host, xv[:120], gv[:120])
+            print(f"shapes_ssd step {i + 1}: loss {float(loss):.4f} "
+                  f"val-mAP {m:.1f}")
+    params = {k: np.asarray(v) for k, v in params.items()}
+    return params, det_eval_map(params, xv, gv)
+
+
+def _verify_export_ssd(xml: str, params):
+    """Shipped-IR parity: the framework's DetectionOutput records on the
+    compiled path must match the op library's numpy reference fed by the
+    training forward (dual-definition check, detector edition)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyopenvino_tpu import IECore
+    from pyopenvino_tpu.ops.ssd import detection_output_ref
+
+    anchors, variances = det_anchors()
+    proposals = np.stack(
+        [anchors.reshape(-1), variances.reshape(-1)]
+    )[None].astype(np.float32)
+    ie = IECore()
+    exe = ie.load_network(ie.read_network(xml), "TPU")
+    rng = np.random.default_rng(3)
+    from tools.datasets import shapes_det
+
+    xb, _ = shapes_det(2, 12345)
+    diffs = []
+    for i in range(len(xb)):
+        got = next(iter(exe.infer({"data": xb[i][None]}).values()))
+        loc, conf = forward_shapes_ssd(params, jnp.asarray(xb[i][None] / 255.0))
+        prob = np.asarray(jax.nn.softmax(conf, axis=-1))
+        want = detection_output_ref(
+            np.asarray(loc).reshape(1, -1), prob.reshape(1, -1),
+            proposals, _det_attrs())
+        diffs.append(float(np.abs(got - want).max()))
+    diff = max(diffs)
+    assert diff < 1e-3, f"detector export parity broke: max diff {diff}"
+    print(f"{os.path.basename(xml)}: IR-vs-JAX max record diff {diff:.2e}")
+
+
 # -- artifact cache --------------------------------------------------------------
 
 TRAINED = {
     # name: (input_name, default steps)
     "mnist_bn": ("conv2d_input", 800),
     "shapes_resnet": ("data", 1400),
+    "shapes_ssd": ("data", 3000),
 }
 
 
@@ -363,6 +670,11 @@ def trained_model_paths(name: str, steps: int | None = None):
         export_shapes_resnet(params, xml)
         _verify_export(xml, lambda blob: forward_shapes_resnet(
             params, blob / 255.0), "data", (1, 3, 32, 32))
+    elif name == "shapes_ssd":
+        params, val = train_shapes_ssd(steps, 32, seed=0)
+        print(f"shapes_ssd final val-mAP {val:.1f}")
+        export_shapes_ssd(params, xml)
+        _verify_export_ssd(xml, params)
     else:
         raise KeyError(name)
     _stamp_gen_version(xml, TRAINER_VERSION)
