@@ -123,6 +123,7 @@ def accuracy_section(images_n: int = 4):
     gate table — tools/accuracy.py is the full standalone harness)."""
     from tools.accuracy import (
         MODELS as ACC_MODELS, eval_images, run_model, score_cls, score_det,
+        score_seg,
     )
 
     print(f"\n{'model':<24} {'mode':<9} {'metric':<10} {'value':>8} "
@@ -136,6 +137,9 @@ def accuracy_section(images_n: int = 4):
             if kind == "cls":
                 val, delta = score_cls(ref, out)
                 metric = "top-1 %"
+            elif kind == "seg":
+                val, delta = score_seg(ref, out)
+                metric = "pix agr %"
             else:
                 val, delta = score_det(ref, out)
                 metric = "mAP"
