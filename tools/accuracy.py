@@ -438,7 +438,7 @@ def main():
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter
     )
-    ap.add_argument("--model", action="append", dest="models",
+    ap.add_argument("--model", nargs="+", action="extend", dest="models",
                     choices=sorted(MODELS), default=None)
     ap.add_argument("--modes", nargs="+", default=["int8w", "int8full"],
                     choices=["int8w", "int8full"])
