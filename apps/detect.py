@@ -1,12 +1,20 @@
-"""SSD-MobileNet-v1 object detection demo — the headless equivalent of the
-reference's detection driver (reference: test_ssd_mobilenet_v1_coco.py).
+"""Object detection demo — the headless equivalent of the reference's
+detection driver (reference: test_ssd_mobilenet_v1_coco.py).
 
-Decodes the (1, 1, 100, 7) DetectionOutput records
-[image_id, class_id, confidence, xmin, ymin, xmax, ymax] with the -1
-image_id terminator (reference: DetectionOutput.py:231-258), prints every
-detection above the confidence threshold and optionally writes an annotated
-copy of the image (no GUI — the reference calls cv2.imshow,
-test_ssd_mobilenet_v1_coco.py:52-55; headless per SURVEY.md §4 caveat).
+Three detector families:
+  * ssd_mobilenet_v1_coco / shapes_ssd — DetectionOutput models: decodes
+    the (1, 1, K, 7) record table [image_id, class_id, confidence,
+    xmin, ymin, xmax, ymax] with the -1 image_id terminator (reference:
+    DetectionOutput.py:231-258);
+  * yolo-tiny — RegionYolo model: host-side YOLO-v2 box decode
+    (pyopenvino_tpu/metrics.py decode_region_yolo) with grid/anchors/
+    classes read back from the IR's RegionYolo attributes, exactly the
+    OMZ demo split of work.
+
+Prints every detection above the confidence threshold and optionally
+writes an annotated copy of the image (no GUI — the reference calls
+cv2.imshow, test_ssd_mobilenet_v1_coco.py:52-55; headless per SURVEY.md
+§4 caveat).
 """
 
 import argparse
@@ -26,6 +34,9 @@ def main():
     ap.add_argument("--device", default="auto",
                     choices=["auto", "cpu", "tpu"],
                     help="cpu pins the process to the CPU backend")
+    ap.add_argument("--model", default="ssd_mobilenet_v1_coco",
+                    choices=["ssd_mobilenet_v1_coco", "yolo-tiny",
+                             "shapes_ssd"])
     ap.add_argument("--image", default="/root/reference/resources/guinea-pig.jpg")
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])
@@ -52,7 +63,12 @@ def main():
         quant=qmode,
     )
     ie = IECore()
-    xml, binp = _model_paths("ssd_mobilenet_v1_coco")
+    if args.model == "shapes_ssd":
+        from tools.train_real import trained_model_paths
+
+        xml, binp = trained_model_paths("shapes_ssd")
+    else:
+        xml, binp = _model_paths(args.model)
     net = ie.read_network(xml, binp)
     exe = ie.load_network(net, "TPU", config=cfg)
 
@@ -74,7 +90,7 @@ def main():
         from tools.accuracy import CAL_PERCENTILE
 
         rng = np.random.default_rng(1)
-        pct = CAL_PERCENTILE.get("ssd_mobilenet_v1_coco")
+        pct = CAL_PERCENTILE.get(args.model)
         if pct is not None:
             exe.config = cfg.replace(calibration_percentile=pct)
         exe.set_calibration([
@@ -88,8 +104,32 @@ def main():
     dt = time.perf_counter() - t0
     print(f"{dt*1e3:.2f} ms/inf ({args.backend}/{args.quant})")
 
-    records = next(iter(out.values())).reshape(-1, 7)
     ih, iw = img.shape[:2]
+    if args.model == "yolo-tiny":
+        # RegionYolo model: host-side YOLO-v2 decode, params from the IR
+        from pyopenvino_tpu.ir import attrs as A
+        from pyopenvino_tpu.metrics import decode_region_yolo
+
+        ry = next(n for n in net.model.nodes.values()
+                  if n.op_type == "RegionYolo")
+        flat_anchors = A.get_float_tuple(ry.attrs, "anchors")
+        anchors = list(zip(flat_anchors[::2], flat_anchors[1::2]))
+        classes = A.get_int(ry.attrs, "classes")
+        grid = ry.inputs[0].shape[2:]
+        dets = decode_region_yolo(
+            next(iter(out.values())), grid, anchors, classes,
+            conf_threshold=args.threshold)
+        for cls, conf, (x0, y0, x1, y1) in dets:
+            box = (int(x0 * iw), int(y0 * ih), int(x1 * iw), int(y1 * ih))
+            print(f"  class={cls} conf={conf:.4f} box={box}")
+            if args.output:
+                cv2.rectangle(img, box[:2], box[2:], (0, 255, 0), 2)
+        print(f"{len(dets)} detections >= {args.threshold}")
+        if args.output:
+            cv2.imwrite(args.output, img)
+        return
+
+    records = next(iter(out.values())).reshape(-1, 7)
     count = 0
     for rec in records:
         image_id, class_id, conf, x0, y0, x1, y1 = rec

@@ -330,6 +330,39 @@ class GraphBuilder:
             "normalized": "1",
         }, name)
 
+    def region_yolo(self, x, classes, num, anchors, coords=4,
+                    do_softmax=True, mask=(), name=None) -> Port:
+        """YOLO region head (ops/yolo.py); anchors in grid units, carried
+        as an attribute for the host-side decoder."""
+        attrs = {
+            "coords": str(int(coords)), "classes": str(int(classes)),
+            "num": str(int(num)),
+            "do_softmax": "1" if do_softmax else "0",
+            "axis": "1", "end_axis": "3",
+            "anchors": ",".join(str(float(a)) for a in anchors),
+        }
+        if mask:
+            attrs["mask"] = ",".join(str(int(m)) for m in mask)
+        return self._add_node("RegionYolo", [x], attrs, name)
+
+    def top_k(self, x, k, axis=-1, mode="max", sort="value", name=None):
+        kc = self.const(np.asarray(k, np.int64))
+        vals, idx = self._add_node("TopK", [x, kc], {
+            "axis": str(int(axis)), "mode": mode, "sort": sort,
+            "index_element_type": "i32",
+        }, name, n_outputs=2)
+        # indices port is i32 regardless of the data dtype
+        node = self._nodes[idx.nid]
+        info = node.outputs[idx.port]
+        node.outputs[idx.port] = TensorInfo(
+            shape=info.shape, dtype=np.dtype(np.int32))
+        return [vals, Port(idx.nid, idx.port, idx.shape, np.dtype(np.int32))]
+
+    def select(self, cond, a, b, name=None) -> Port:
+        return self._add_node("Select", [cond, a, b],
+                              {"auto_broadcast": "numpy"}, name,
+                              out_dtype=a.dtype)
+
     def gather(self, x, indices, axis=0, name=None) -> Port:
         idx = self.const(np.asarray(indices, np.int64))
         ax = self.const(np.asarray(axis, np.int64))

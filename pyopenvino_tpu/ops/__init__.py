@@ -21,6 +21,7 @@ from pyopenvino_tpu.ops import recurrent  # noqa: F401
 from pyopenvino_tpu.ops import shape_ops  # noqa: F401
 from pyopenvino_tpu.ops import ssd  # noqa: F401
 from pyopenvino_tpu.ops import state_ops  # noqa: F401
+from pyopenvino_tpu.ops import yolo  # noqa: F401
 
 __all__ = [
     "REGISTRY",

@@ -1171,3 +1171,127 @@ class Convert(Op):
         else:
             out = tv.arr.astype(dest)
         return {node.out_port: TValue(out, tv.layout)}
+
+
+@register
+class Select(Op):
+    """opset1 Select: elementwise cond ? then : else with numpy
+    broadcasting — the ternary real exported IRs use for masking
+    (e.g. YOLO post-blocks, padded-sequence switches)."""
+
+    type_name = "Select"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        shape = tuple(
+            int(d) for d in np.broadcast_shapes(*in_shapes.values())
+        )
+        res = ShapeResult({node.out_port: shape})
+        if all(in_values.get(i) is not None for i in range(3)):
+            res.values[node.out_port] = np.where(
+                np.asarray(in_values[0], bool), in_values[1], in_values[2]
+            )
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: np.where(
+            np.asarray(inputs[0], bool), inputs[1], inputs[2])}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        cond, a, b = (inputs[i].nchw() for i in range(3))
+        return {node.out_port: TValue(
+            jnp.where(cond.astype(bool), a, b), "L")}
+
+
+@register
+class TopK(Op):
+    """opset3 TopK: k largest/smallest along an axis → (values, indices).
+    k (input 1) must be static — XLA needs static shapes; a data-dependent
+    k has no compiled representation (the same contract as Reshape
+    targets).  Ties resolve to the LOWER index in both executors
+    (numpy stable argsort == lax.top_k tie order)."""
+
+    type_name = "TopK"
+
+    @staticmethod
+    def _params(node):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return (
+            A.get_int(node.attrs, "axis"),
+            A.get_str(node.attrs, "mode", "max"),
+            A.get_str(node.attrs, "sort", "value"),
+            A.get_str(node.attrs, "index_element_type", "i32"),
+        )
+
+    def _ports(self, node):
+        ports = sorted(node.outputs)
+        if len(ports) == 2:
+            return ports
+        return [node.out_port, node.out_port + 1]
+
+    @staticmethod
+    def _k(in_values):
+        k = in_values.get(1)
+        if k is None:
+            raise ValueError("TopK: k (input 1) must be a constant")
+        return int(np.asarray(k).reshape(()))
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        axis, _, _, _ = self._params(node)
+        rank = len(in_shapes[0])
+        axis = _norm_axis(axis, rank, "TopK")
+        k = self._k(in_values)
+        shape = list(in_shapes[0])
+        if k > shape[axis]:
+            raise ValueError(
+                f"TopK: k={k} exceeds axis extent {shape[axis]}")
+        shape[axis] = k
+        vports = self._ports(node)
+        return ShapeResult({p: tuple(shape) for p in vports})
+
+    def _select_np(self, x, k, axis, mode, sort):
+        sign = -1 if mode == "max" else 1
+        order = np.argsort(sign * x, axis=axis, kind="stable")
+        idx = np.take(order, np.arange(k), axis=axis)
+        if sort == "index":
+            idx = np.sort(idx, axis=axis)
+        vals = np.take_along_axis(x, idx, axis=axis)
+        return vals, idx
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axis, mode, sort, itype = self._params(node)
+        x = inputs[0]
+        axis = _norm_axis(axis, x.ndim, "TopK")
+        k = self._k({1: inputs[1]})
+        vals, idx = self._select_np(x, k, axis, mode, sort)
+        dt = np.int64 if itype == "i64" else np.int32
+        vp, ip = self._ports(node)
+        return {vp: vals, ip: idx.astype(dt)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax
+        import jax.numpy as jnp
+
+        axis, mode, sort, itype = self._params(node)
+        x = inputs[0].nchw()
+        axis = _norm_axis(axis, x.ndim, "TopK")
+        k = self._k({1: ctx.static_value(node, 1)})
+        xm = jnp.moveaxis(x, axis, -1)
+        if mode == "max":
+            vals, idx = jax.lax.top_k(xm, k)
+        else:
+            nv, idx = jax.lax.top_k(-xm, k)
+            vals = -nv
+        if sort == "index":
+            idx_sorted = jnp.sort(idx, axis=-1)
+            vals = jnp.take_along_axis(
+                jnp.moveaxis(x, axis, -1), idx_sorted, axis=-1)
+            idx = idx_sorted
+        dt = jnp.int64 if itype == "i64" else jnp.int32
+        vp, ip = self._ports(node)
+        return {
+            vp: TValue(jnp.moveaxis(vals, -1, axis), "L"),
+            ip: TValue(jnp.moveaxis(idx, -1, axis).astype(dt), "L"),
+        }

@@ -1,0 +1,144 @@
+"""RegionYolo — the YOLO-v2/v3 region-head activation (opset1).
+
+No analogue in the reference (pyopenvino/op_plugins/ has no YOLO op; a
+YOLO IR dies at inference_engine.py:270-272), but it is the head of one
+of the most-deployed OpenVINO demo classes (every OMZ yolo-v2/v3
+pipeline), so the engine supports it as a first-class op plus a
+programmatic yolo-tiny family (tools/gen_yolo.py) and the host-side
+box decode (pyopenvino_tpu/metrics.py decode_region_yolo).
+
+Semantics (matching the OpenVINO CPU plugin):
+  input (N, C, H, W) with C = na·(coords + 1 + classes), where
+  na = ``num`` when do_softmax else len(``mask``); per anchor block:
+    * logistic on x, y (channels 0, 1) and objectness (channel
+      ``coords``);
+    * class channels: softmax when ``do_softmax`` (YOLO v2) else
+      logistic (YOLO v3);
+    * w, h (channels 2..coords-1) pass through raw.
+  With ``do_softmax`` the output flattens dims [axis, end_axis]
+  (YOLO v2's (N, C·H·W) region blob); otherwise the NCHW shape is kept.
+
+``anchors`` is carried as an attribute for the decoder; the activation
+itself does not read it.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import numpy as np
+
+from pyopenvino_tpu.ir import attrs as A
+from pyopenvino_tpu.ops.extended import _norm_axis
+from pyopenvino_tpu.ops.spec import Op, ShapeResult, TValue, register
+
+
+def _params(node):
+    a = node.attrs
+    return dict(
+        coords=A.get_int(a, "coords", 4),
+        classes=A.get_int(a, "classes", 80),
+        num=A.get_int(a, "num", 5),
+        do_softmax=A.get_bool(a, "do_softmax", True),
+        mask=A.get_int_tuple(a, "mask", ()),
+        axis=A.get_int(a, "axis", 1),
+        end_axis=A.get_int(a, "end_axis", 3),
+    )
+
+
+def _n_anchors(p) -> int:
+    if p["do_softmax"] or not p["mask"]:
+        return p["num"]
+    return len(p["mask"])
+
+
+def _check_channels(c, p, name):
+    na = _n_anchors(p)
+    block = p["coords"] + 1 + p["classes"]
+    if c != na * block:
+        raise ValueError(
+            f"RegionYolo {name}: C={c} != anchors {na} × "
+            f"(coords {p['coords']} + 1 + classes {p['classes']})"
+        )
+    return na, block
+
+
+def region_yolo_ref(x: np.ndarray, p) -> np.ndarray:
+    """Numpy reference activation (reshape/flatten applied)."""
+    n, c, h, w = x.shape
+    na, block = _check_channels(c, p, "")
+    xb = x.reshape(n, na, block, h, w).astype(np.float64)
+    out = xb.copy()
+    sig = lambda v: 1.0 / (1.0 + np.exp(-v))  # noqa: E731
+    out[:, :, 0] = sig(xb[:, :, 0])
+    out[:, :, 1] = sig(xb[:, :, 1])
+    out[:, :, p["coords"]] = sig(xb[:, :, p["coords"]])
+    cls = xb[:, :, p["coords"] + 1 :]
+    if p["do_softmax"]:
+        m = cls.max(axis=2, keepdims=True)
+        e = np.exp(cls - m)
+        out[:, :, p["coords"] + 1 :] = e / e.sum(axis=2, keepdims=True)
+    else:
+        out[:, :, p["coords"] + 1 :] = sig(cls)
+    out = out.reshape(n, c, h, w).astype(x.dtype)
+    if p["do_softmax"]:
+        axis = _norm_axis(p["axis"], 4, "RegionYolo")
+        end = _norm_axis(p["end_axis"], 4, "RegionYolo")
+        shape = (
+            out.shape[:axis]
+            + (int(np.prod(out.shape[axis : end + 1])),)
+            + out.shape[end + 1 :]
+        )
+        out = out.reshape(shape)
+    return out
+
+
+@register
+class RegionYolo(Op):
+    type_name = "RegionYolo"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        p = _params(node)
+        shape = in_shapes[0]
+        _check_channels(shape[1], p, node.name)
+        if p["do_softmax"]:
+            axis = _norm_axis(p["axis"], len(shape), "RegionYolo")
+            end = _norm_axis(p["end_axis"], len(shape), "RegionYolo")
+            shape = (
+                shape[:axis]
+                + (int(np.prod(shape[axis : end + 1])),)
+                + shape[end + 1 :]
+            )
+        return ShapeResult({node.out_port: tuple(shape)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: region_yolo_ref(inputs[0], _params(node))}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax
+        import jax.numpy as jnp
+
+        p = _params(node)
+        x = inputs[0].nchw()
+        n, c, h, w = x.shape
+        na, block = _check_channels(c, p, node.name)
+        xb = x.reshape(n, na, block, h, w)
+        xy = jax.nn.sigmoid(xb[:, :, :2])
+        wh = xb[:, :, 2 : p["coords"]]
+        obj = jax.nn.sigmoid(xb[:, :, p["coords"] : p["coords"] + 1])
+        cls = xb[:, :, p["coords"] + 1 :]
+        cls = (
+            jax.nn.softmax(cls, axis=2)
+            if p["do_softmax"] else jax.nn.sigmoid(cls)
+        )
+        out = jnp.concatenate([xy, wh, obj, cls], axis=2).reshape(n, c, h, w)
+        if p["do_softmax"]:
+            axis = _norm_axis(p["axis"], 4, "RegionYolo")
+            end = _norm_axis(p["end_axis"], 4, "RegionYolo")
+            shape = (
+                out.shape[:axis]
+                + (int(np.prod(out.shape[axis : end + 1])),)
+                + out.shape[end + 1 :]
+            )
+            out = out.reshape(shape)
+        return {node.out_port: TValue(out, "L")}

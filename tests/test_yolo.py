@@ -1,0 +1,233 @@
+"""RegionYolo / TopK / Select ops and the yolo-tiny family.
+
+The reference has no YOLO support at all (no RegionYolo plugin in
+pyopenvino/op_plugins/ — such an IR dies at inference_engine.py:270-272);
+this covers the op semantics, the programmatic tiny-YOLO-v2 family
+(tools/gen_yolo.py) across backends and quant modes, and the host-side
+box decode (metrics.decode_region_yolo), i.e. the OMZ yolo demo split.
+"""
+
+import numpy as np
+import pytest
+
+from pyopenvino_tpu.config import Backend, Config, QuantMode
+from pyopenvino_tpu.ir.builder import GraphBuilder
+from pyopenvino_tpu.metrics import decode_region_yolo
+from pyopenvino_tpu.runtime.compiler import compile_model
+from pyopenvino_tpu.runtime.interpreter import Interpreter
+from tools.gen_yolo import ANCHORS, CLASSES, COORDS, GRID, NUM, build_yolo_tiny
+
+
+def _sig(v):
+    return 1.0 / (1.0 + np.exp(-v))
+
+
+# -- RegionYolo op semantics --------------------------------------------------
+
+def _region_model(c, h, w, **kw):
+    b = GraphBuilder("ry")
+    x = b.parameter("x", (1, c, h, w))
+    y = b.region_yolo(x, **kw)
+    b.result(y, "out")
+    return b.build()
+
+
+def test_region_yolo_v2_semantics():
+    """do_softmax=1 (YOLO v2): logistic on x/y/obj, class softmax per
+    anchor, w/h raw, output flattened over [axis, end_axis]."""
+    na, classes, coords, h, w = 2, 3, 4, 2, 2
+    block = coords + 1 + classes
+    m = _region_model(na * block, h, w, classes=classes, num=na,
+                      anchors=[1.0] * (2 * na), do_softmax=True)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((1, na * block, h, w)).astype(np.float32)
+    out = Interpreter(m).run({"x": x})["out"]
+    assert out.shape == (1, na * block * h * w)
+    t = out.reshape(na, block, h, w)
+    xb = x.reshape(na, block, h, w)
+    np.testing.assert_allclose(t[:, 0], _sig(xb[:, 0]), rtol=1e-5)
+    np.testing.assert_allclose(t[:, 1], _sig(xb[:, 1]), rtol=1e-5)
+    np.testing.assert_allclose(t[:, 2:coords], xb[:, 2:coords], rtol=1e-6)
+    np.testing.assert_allclose(t[:, coords], _sig(xb[:, coords]), rtol=1e-5)
+    cls = t[:, coords + 1:]
+    np.testing.assert_allclose(cls.sum(axis=1), np.ones((na, h, w)),
+                               rtol=1e-5)
+    # compiled path agrees
+    got = compile_model(m, Config())({"x": x})["out"]
+    np.testing.assert_allclose(got, out, rtol=1e-4, atol=1e-5)
+
+
+def test_region_yolo_v3_semantics():
+    """do_softmax=0 (YOLO v3): mask selects the anchor count, classes get
+    logistic, NCHW shape preserved."""
+    mask, classes, coords, h, w = (3, 4, 5), 2, 4, 3, 3
+    na = len(mask)
+    block = coords + 1 + classes
+    m = _region_model(na * block, h, w, classes=classes, num=9,
+                      anchors=[1.0] * 18, do_softmax=False, mask=mask)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, na * block, h, w)).astype(np.float32)
+    out = Interpreter(m).run({"x": x})["out"]
+    assert out.shape == x.shape
+    t = out.reshape(na, block, h, w)
+    xb = x.reshape(na, block, h, w)
+    np.testing.assert_allclose(t[:, coords + 1:], _sig(xb[:, coords + 1:]),
+                               rtol=1e-5)
+    got = compile_model(m, Config())({"x": x})["out"]
+    np.testing.assert_allclose(got, out, rtol=1e-4, atol=1e-5)
+
+
+def test_region_yolo_channel_mismatch_fails_fast():
+    with pytest.raises(ValueError, match="C=10"):
+        _region_model(10, 2, 2, classes=3, num=2, anchors=[1.0] * 4)
+
+
+# -- TopK / Select ------------------------------------------------------------
+
+def _topk_model(shape, k, **kw):
+    b = GraphBuilder("tk")
+    x = b.parameter("x", shape)
+    vals, idx = b.top_k(x, k, **kw)
+    b.result(vals, "vals")
+    b.result(idx, "idx")
+    return b.build()
+
+
+@pytest.mark.parametrize("mode", ["max", "min"])
+@pytest.mark.parametrize("sort", ["value", "index"])
+def test_topk_modes(mode, sort):
+    m = _topk_model((2, 7), 3, axis=1, mode=mode, sort=sort)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 7)).astype(np.float32)
+    ref = Interpreter(m).run({"x": x})
+    got = compile_model(m, Config())({"x": x})
+    np.testing.assert_allclose(got["vals"], ref["vals"], rtol=1e-6)
+    np.testing.assert_array_equal(got["idx"], ref["idx"])
+    sign = -1 if mode == "max" else 1
+    want_idx = np.argsort(sign * x, axis=1, kind="stable")[:, :3]
+    if sort == "index":
+        want_idx = np.sort(want_idx, axis=1)
+    np.testing.assert_array_equal(ref["idx"], want_idx)
+    assert ref["idx"].dtype == np.int32
+
+
+def test_topk_tie_break_lower_index():
+    """Equal values: both executors pick the LOWER index."""
+    m = _topk_model((1, 5), 2, axis=1, mode="max")
+    x = np.asarray([[1.0, 3.0, 3.0, 0.0, 3.0]], np.float32)
+    ref = Interpreter(m).run({"x": x})
+    got = compile_model(m, Config())({"x": x})
+    np.testing.assert_array_equal(ref["idx"], [[1, 2]])
+    np.testing.assert_array_equal(got["idx"], [[1, 2]])
+
+
+def test_topk_k_validation():
+    with pytest.raises(ValueError, match="exceeds axis extent"):
+        _topk_model((1, 3), 5, axis=1)
+
+
+def test_select_broadcast():
+    b = GraphBuilder("sel")
+    c = b.parameter("c", (2, 1))
+    x = b.parameter("x", (2, 3))
+    y = b.parameter("y", (1, 3))
+    b.result(b.select(b.convert(c, "boolean"), x, y), "out")
+    m = b.build()
+    cond = np.asarray([[1], [0]], np.float32)
+    xv = np.arange(6, dtype=np.float32).reshape(2, 3)
+    yv = np.asarray([[10, 11, 12]], np.float32)
+    want = np.where(cond.astype(bool), xv, yv)
+    ref = Interpreter(m).run({"c": cond, "x": xv, "y": yv})["out"]
+    got = compile_model(m, Config())({"c": cond, "x": xv, "y": yv})["out"]
+    np.testing.assert_array_equal(ref, want)
+    np.testing.assert_allclose(got, want)
+
+
+# -- yolo-tiny family ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def yolo():
+    return build_yolo_tiny()
+
+
+def test_yolo_tiny_differential(yolo):
+    rng = np.random.default_rng(3)
+    blob = rng.uniform(0, 255, (1, 3, 160, 160)).astype(np.float32)
+    ref = Interpreter(yolo).run({"data": blob})
+    for backend in (Backend.XLA, Backend.PALLAS):
+        out = compile_model(yolo, Config(backend=backend))({"data": blob})
+        k = next(iter(out))
+        np.testing.assert_allclose(out[k], ref[k], rtol=1e-3, atol=1e-4)
+
+
+def test_yolo_tiny_int8_decode_agreement(yolo):
+    """int8w / int8full keep the decoded detections consistent with fp32:
+    same top class at matching locations (the detection-level agreement a
+    demo user sees)."""
+    rng = np.random.default_rng(4)
+    blob = rng.uniform(0, 255, (1, 3, 160, 160)).astype(np.float32)
+    outs = {}
+    for mode in (QuantMode.NONE, QuantMode.INT8_WEIGHT, QuantMode.INT8_FULL):
+        cfg = Config(quant=mode)
+        net = compile_model(
+            yolo, cfg,
+            calibration_samples=[{"data": blob}]
+            if mode == QuantMode.INT8_FULL else None,
+        )
+        out = net({"data": blob})
+        outs[mode] = decode_region_yolo(
+            next(iter(out.values())), (GRID, GRID), ANCHORS, CLASSES,
+            conf_threshold=0.25)
+    fp32 = outs[QuantMode.NONE]
+    assert 1 <= len(fp32) <= 30  # sparse, realistic
+    confs = [c for _, c, _ in fp32]
+    assert confs == sorted(confs, reverse=True)
+    for mode in (QuantMode.INT8_WEIGHT, QuantMode.INT8_FULL):
+        got = outs[mode]
+        assert abs(len(got) - len(fp32)) <= 2, (len(got), len(fp32))
+        # top detection matches class and localizes to the same cell
+        (c0, s0, b0), (c1, s1, b1) = fp32[0], got[0]
+        assert c0 == c1
+        assert abs(s0 - s1) < 0.1
+        assert max(abs(a - b) for a, b in zip(b0, b1)) < 0.08
+
+
+def test_yolo_tiny_batched(yolo):
+    """The vmap batched path covers RegionYolo (reshape/softmax under a
+    batch dim)."""
+    rng = np.random.default_rng(5)
+    rows = rng.uniform(0, 255, (4, 3, 160, 160)).astype(np.float32)
+    net = compile_model(yolo, Config())
+    got = net.infer_batch({"data": rows})
+    k = next(iter(got))
+    for i in range(4):
+        single = net({"data": rows[i:i + 1]})[k]
+        np.testing.assert_allclose(got[k][i], single[0], rtol=1e-4,
+                                   atol=1e-5)
+
+
+def test_decode_region_yolo_geometry():
+    """Closed-form decode check: a single hot cell with known offsets
+    produces the analytically-expected box."""
+    na, classes, coords, h, w = 1, 2, 4, 4, 4
+    block = coords + 1 + classes
+    t = np.zeros((na, block, h, w), np.float32)
+    # activated values (the op applies sigmoid/softmax; decode consumes them)
+    t[0, 0, 1, 2] = 0.5      # bx -> (0.5 + 2)/4
+    t[0, 1, 1, 2] = 0.25     # by -> (0.25 + 1)/4
+    t[0, 2, 1, 2] = np.log(2.0)  # bw = 2 * aw / w
+    t[0, 3, 1, 2] = 0.0          # bh = ah / h
+    t[0, 4, 1, 2] = 0.9      # obj
+    t[0, 5, 1, 2] = 0.8      # class 0 prob
+    t[0, 6, 1, 2] = 0.2
+    dets = decode_region_yolo(
+        t.reshape(1, -1), (h, w), [(1.0, 1.5)], classes,
+        conf_threshold=0.3)
+    assert len(dets) == 1
+    cls, conf, (x0, y0, x1, y1) = dets[0]
+    assert cls == 0 and abs(conf - 0.9 * 0.8) < 1e-6
+    cx, cy = (0.5 + 2) / 4, (0.25 + 1) / 4
+    bw, bh = 2.0 * 1.0 / 4, 1.5 / 4
+    np.testing.assert_allclose(
+        (x0, y0, x1, y1),
+        (cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2), rtol=1e-6)
