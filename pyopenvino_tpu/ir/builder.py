@@ -358,10 +358,47 @@ class GraphBuilder:
             shape=info.shape, dtype=np.dtype(np.int32))
         return [vals, Port(idx.nid, idx.port, idx.shape, np.dtype(np.int32))]
 
+    def compare(self, op_type, a, b, name=None) -> Port:
+        """Equal / NotEqual / Greater / GreaterEqual / Less / LessEqual /
+        LogicalAnd / LogicalOr / LogicalXor — bool output."""
+        return self._add_node(op_type, [a, b],
+                              {"auto_broadcast": "numpy"}, name,
+                              out_dtype=np.bool_)
+
+    def logical_not(self, x, name=None) -> Port:
+        return self._add_node("LogicalNot", [x], {}, name,
+                              out_dtype=np.bool_)
+
     def select(self, cond, a, b, name=None) -> Port:
         return self._add_node("Select", [cond, a, b],
                               {"auto_broadcast": "numpy"}, name,
                               out_dtype=a.dtype)
+
+    def non_max_suppression(self, boxes, scores, max_boxes=0,
+                            iou_threshold=0.5, score_threshold=0.0,
+                            box_encoding="corner",
+                            sort_result_descending=True, name=None):
+        """opset9 NonMaxSuppression → [selected_indices, selected_scores,
+        valid_outputs] (ops/nms.py; padded static shapes)."""
+        ins = [boxes, scores,
+               self.const(np.asarray(max_boxes, np.int64)),
+               self.const(np.asarray(iou_threshold, np.float32)),
+               self.const(np.asarray(score_threshold, np.float32))]
+        idx, sel, valid = self._add_node("NonMaxSuppression", ins, {
+            "box_encoding": box_encoding,
+            "sort_result_descending":
+                "1" if sort_result_descending else "0",
+            "output_type": "i32",
+        }, name, n_outputs=3)
+        node = self._nodes[idx.nid]
+        out = []
+        for port, dt in ((idx, np.int32), (sel, np.float32),
+                         (valid, np.int32)):
+            info = node.outputs[port.port]
+            node.outputs[port.port] = TensorInfo(
+                shape=info.shape, dtype=np.dtype(dt))
+            out.append(Port(port.nid, port.port, port.shape, np.dtype(dt)))
+        return out
 
     def gather(self, x, indices, axis=0, name=None) -> Port:
         idx = self.const(np.asarray(indices, np.int64))

@@ -1295,3 +1295,84 @@ class TopK(Op):
             vp: TValue(jnp.moveaxis(vals, -1, axis), "L"),
             ip: TValue(jnp.moveaxis(idx, -1, axis).astype(dt), "L"),
         }
+
+
+def _cmp(np_ufunc, jnp_name):
+    """Comparison/logical dual fn: bool output either way."""
+    def fn(a, b):
+        if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+            return np_ufunc(a, b)
+        import jax.numpy as jnp
+
+        return getattr(jnp, jnp_name)(a, b)
+    return staticmethod(fn)
+
+
+# opset1 comparison set — bool outputs, numpy broadcasting; the mask
+# producers feeding Select in exported graphs (none exist in the
+# reference's op_plugins/).
+@register
+class Equal(_Binary):
+    type_name = "Equal"
+    np_fn = _cmp(np.equal, "equal")
+
+
+@register
+class NotEqual(_Binary):
+    type_name = "NotEqual"
+    np_fn = _cmp(np.not_equal, "not_equal")
+
+
+@register
+class Greater(_Binary):
+    type_name = "Greater"
+    np_fn = _cmp(np.greater, "greater")
+
+
+@register
+class GreaterEqual(_Binary):
+    type_name = "GreaterEqual"
+    np_fn = _cmp(np.greater_equal, "greater_equal")
+
+
+@register
+class Less(_Binary):
+    type_name = "Less"
+    np_fn = _cmp(np.less, "less")
+
+
+@register
+class LessEqual(_Binary):
+    type_name = "LessEqual"
+    np_fn = _cmp(np.less_equal, "less_equal")
+
+
+@register
+class LogicalAnd(_Binary):
+    type_name = "LogicalAnd"
+    np_fn = _cmp(np.logical_and, "logical_and")
+
+
+@register
+class LogicalOr(_Binary):
+    type_name = "LogicalOr"
+    np_fn = _cmp(np.logical_or, "logical_or")
+
+
+@register
+class LogicalXor(_Binary):
+    type_name = "LogicalXor"
+    np_fn = _cmp(np.logical_xor, "logical_xor")
+
+
+@register
+class LogicalNot(_Unary):
+    type_name = "LogicalNot"
+
+    def _apply_np(self, node, x):
+        return np.logical_not(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.logical_not(x)

@@ -906,3 +906,62 @@ def test_convert_constant_folds():
     blob = np.ones((1, 2, 2, 2), np.float32)
     out = compile_model(m, Config(backend=Backend.XLA)).infer({"in": blob})
     np.testing.assert_allclose(out["out"], blob * 2.0)
+
+
+class TestComparisonLogical:
+    """opset1 comparison/logical set: bool outputs, numpy broadcasting,
+    interpreter↔XLA parity — the mask producers feeding Select."""
+
+    CASES = [
+        ("Equal", np.equal), ("NotEqual", np.not_equal),
+        ("Greater", np.greater), ("GreaterEqual", np.greater_equal),
+        ("Less", np.less), ("LessEqual", np.less_equal),
+    ]
+
+    def _model(self, op_type, sa, sb):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("cmp")
+        x = b.parameter("x", sa)
+        y = b.parameter("y", sb)
+        b.result(b.compare(op_type, x, y), "out")
+        return b.build()
+
+    @pytest.mark.parametrize("op_type,np_fn", CASES)
+    def test_parity_and_broadcast(self, op_type, np_fn):
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        m = self._model(op_type, (2, 3), (1, 3))
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 3, (2, 3)).astype(np.float32)
+        y = rng.integers(0, 3, (1, 3)).astype(np.float32)
+        want = np_fn(x, y)
+        ref = Interpreter(m).run({"x": x, "y": y})["out"]
+        got = compile_model(m, Config())({"x": x, "y": y})["out"]
+        np.testing.assert_array_equal(ref, want)
+        np.testing.assert_array_equal(np.asarray(got, bool), want)
+
+    def test_logical_chain_feeding_select(self):
+        """(x > 0) AND NOT(y > 0) ? x : y — the exported-graph mask idiom
+        end to end."""
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        b = GraphBuilder("mask")
+        x = b.parameter("x", (2, 4))
+        y = b.parameter("y", (2, 4))
+        zero = b.const(np.zeros((1, 1), np.float32))
+        cond = b.compare("LogicalAnd", b.compare("Greater", x, zero),
+                         b.logical_not(b.compare("Greater", y, zero)))
+        b.result(b.select(cond, x, y), "out")
+        m = b.build()
+        rng = np.random.default_rng(1)
+        xv = rng.standard_normal((2, 4)).astype(np.float32)
+        yv = rng.standard_normal((2, 4)).astype(np.float32)
+        want = np.where((xv > 0) & ~(yv > 0), xv, yv)
+        np.testing.assert_array_equal(
+            Interpreter(m).run({"x": xv, "y": yv})["out"], want)
+        np.testing.assert_allclose(
+            compile_model(m, Config())({"x": xv, "y": yv})["out"], want)

@@ -231,3 +231,94 @@ def test_decode_region_yolo_geometry():
     np.testing.assert_allclose(
         (x0, y0, x1, y1),
         (cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2), rtol=1e-6)
+
+
+# -- NonMaxSuppression (opset9, ops/nms.py) -----------------------------------
+
+def _nms_model(nb, nc, n=1, **kw):
+    b = GraphBuilder("nms")
+    boxes = b.parameter("boxes", (n, nb, 4))
+    scores = b.parameter("scores", (n, nc, nb))
+    idx, sel, valid = b.non_max_suppression(boxes, scores, **kw)
+    b.result(idx, "idx")
+    b.result(sel, "sel")
+    b.result(valid, "valid")
+    return b.build()
+
+
+def _rand_nms_inputs(seed, n, nb, nc):
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0.1, 0.9, (n, nb, 2))
+    sizes = rng.uniform(0.05, 0.4, (n, nb, 2))
+    boxes = np.concatenate(
+        [centers - sizes / 2, centers + sizes / 2], axis=-1
+    ).astype(np.float32)  # (y1, x1, y2, x2)
+    scores = rng.uniform(0, 1, (n, nc, nb)).astype(np.float32)
+    return boxes, scores
+
+
+@pytest.mark.parametrize("sort_desc", [True, False])
+def test_nms_interpreter_vs_compiled(sort_desc):
+    m = _nms_model(12, 3, n=2, max_boxes=4, iou_threshold=0.5,
+                   score_threshold=0.2, sort_result_descending=sort_desc)
+    boxes, scores = _rand_nms_inputs(0, 2, 12, 3)
+    ref = Interpreter(m).run({"boxes": boxes, "scores": scores})
+    got = compile_model(m, Config())({"boxes": boxes, "scores": scores})
+    assert ref["idx"].shape == (2 * 3 * 4, 3)
+    np.testing.assert_array_equal(got["idx"], ref["idx"])
+    np.testing.assert_allclose(got["sel"], ref["sel"], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(got["valid"], ref["valid"])
+    v = int(ref["valid"][0])
+    assert 0 < v <= 24
+    assert (ref["idx"][v:] == -1).all() and (ref["idx"][:v] >= 0).all()
+    if sort_desc:
+        s = ref["sel"][:v, 2]
+        assert (np.diff(s) <= 1e-6).all()
+
+
+def test_nms_sequential_greedy_not_kill_matrix():
+    """The A>B>C overlap chain that separates true greedy NMS from the
+    kill-matrix formulation: A suppresses B, but C (overlapped only by
+    the already-suppressed B) SURVIVES."""
+    boxes = np.asarray([[
+        [0.0, 0.0, 1.0, 1.0],     # A
+        [0.0, 0.6, 1.0, 1.6],     # B: IoU(A,B) ≈ 0.25 — overlaps A
+        [0.0, 1.2, 1.0, 2.2],     # C: overlaps B (IoU≈0.25), not A
+    ]], np.float32)
+    scores = np.asarray([[[0.9, 0.8, 0.7]]], np.float32)
+    m = _nms_model(3, 1, max_boxes=3, iou_threshold=0.2)
+    ref = Interpreter(m).run({"boxes": boxes, "scores": scores})
+    got = compile_model(m, Config())({"boxes": boxes, "scores": scores})
+    assert int(ref["valid"][0]) == 2
+    np.testing.assert_array_equal(ref["idx"][:2, 2], [0, 2])  # A and C
+    np.testing.assert_array_equal(got["idx"], ref["idx"])
+
+
+def test_nms_center_encoding_and_flipped_corners():
+    # center encoding: (cx, cy, w, h); identical geometry as corner twin
+    boxes_c = np.asarray([[[0.5, 0.5, 1.0, 1.0],
+                           [0.5, 0.5, 1.0, 1.0]]], np.float32)
+    scores = np.asarray([[[0.9, 0.8]]], np.float32)
+    m = _nms_model(2, 1, max_boxes=2, iou_threshold=0.5,
+                   box_encoding="center")
+    ref = Interpreter(m).run({"boxes": boxes_c, "scores": scores})
+    assert int(ref["valid"][0]) == 1  # identical boxes: second suppressed
+    # flipped corners normalize (the spec allows either corner order)
+    boxes_f = np.asarray([[[1.0, 1.0, 0.0, 0.0],
+                           [0.0, 0.0, 1.0, 1.0]]], np.float32)
+    m2 = _nms_model(2, 1, max_boxes=2, iou_threshold=0.5)
+    ref2 = Interpreter(m2).run({"boxes": boxes_f, "scores": scores})
+    assert int(ref2["valid"][0]) == 1
+
+
+def test_nms_soft_sigma_refused():
+    b = GraphBuilder("soft")
+    boxes = b.parameter("boxes", (1, 4, 4))
+    scores = b.parameter("scores", (1, 1, 4))
+    ins = [boxes, scores,
+           b.const(np.asarray(2, np.int64)),
+           b.const(np.asarray(0.5, np.float32)),
+           b.const(np.asarray(0.0, np.float32)),
+           b.const(np.asarray(0.5, np.float32))]  # soft_nms_sigma
+    with pytest.raises(NotImplementedError, match="soft_nms_sigma"):
+        b._add_node("NonMaxSuppression", ins, {}, "n", n_outputs=3)
