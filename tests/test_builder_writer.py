@@ -129,3 +129,47 @@ class TestTrainerExport:
             jax.nn.softmax(forward(params, jnp.asarray(blob / 255.0)))
         ).reshape(-1)
         np.testing.assert_allclose(probs, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_roundtrip_yolo_family(tmp_path):
+    """The yolo-tiny family (RegionYolo, PReLU, stride-1 'same' pool)
+    serializes through the writer and re-parses bit-identically."""
+    import numpy as np
+
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.ir.writer import write_ir_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+    from tools.gen_yolo import build_yolo_tiny
+
+    m = build_yolo_tiny()
+    p = str(tmp_path / "yolo.xml")
+    write_ir_model(m, p)
+    m2 = read_ir_model(p)
+    blob = np.random.default_rng(0).uniform(
+        0, 255, (1, 3, 160, 160)).astype(np.float32)
+    a = Interpreter(m).run({"data": blob})
+    b = Interpreter(m2).run({"data": blob})
+    k = next(iter(a))
+    np.testing.assert_array_equal(a[k], b[k])
+
+
+def test_roundtrip_nms_graph(tmp_path):
+    """NonMaxSuppression's three outputs (incl. the i32 indices ports)
+    survive the writer/parser round trip exactly."""
+    import numpy as np
+
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.ir.writer import write_ir_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+    from tests.test_yolo import _nms_model, _rand_nms_inputs
+
+    m = _nms_model(12, 3, n=2, max_boxes=4, iou_threshold=0.5,
+                   score_threshold=0.2)
+    p = str(tmp_path / "nms.xml")
+    write_ir_model(m, p)
+    m2 = read_ir_model(p)
+    boxes, scores = _rand_nms_inputs(0, 2, 12, 3)
+    a = Interpreter(m).run({"boxes": boxes, "scores": scores})
+    b = Interpreter(m2).run({"boxes": boxes, "scores": scores})
+    for k in a:
+        np.testing.assert_array_equal(a[k], b[k])

@@ -42,7 +42,7 @@ def _random_graph(seed):
              "residual", "dwconv", "lrn", "concat", "transpose2",
              "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
              "act2", "mvn", "deconv", "fq", "nl2", "blockspatial",
-             "unary3", "moe"]
+             "unary3", "moe", "maskselect", "topkgate"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -178,6 +178,30 @@ def _random_graph(seed):
             mix = b.reduce("Sum", b.multiply(y, gt), axes=(0,),
                            keep_dims=False)
             out = b.multiply(src, b.reshape(b.sigmoid(mix), (1, c, 1, 1)))
+        elif kind == "maskselect":
+            # comparison → logical → Select mask idiom (ops/extended.py):
+            # keep activations above a random threshold, damp the rest
+            thr = b.const(
+                np.float32(rng.uniform(-0.2, 0.2)))
+            cond = b.compare("Greater", src, thr)
+            if rng.random() < 0.5:
+                cond = b.logical_not(cond)
+            damp = b.multiply(src, b.const(np.float32(0.5)))
+            out = b.select(cond, src, damp)
+        elif kind == "topkgate":
+            # TopK over channels on the GAP vector → per-channel binary
+            # gate (values path keeps the k strongest channels) —
+            # exercises TopK's dual outputs through scatter-free masking
+            if c < 3:
+                continue
+            k = int(rng.integers(1, c))
+            gapv = b.reduce("Mean", src, axes=(2, 3), keep_dims=False)
+            vals, _idx = b.top_k(gapv, k, axis=1, mode="max", sort="value")
+            kth = b.gather(b.reshape(vals, (k,)), [k - 1], axis=0)
+            gate = b.compare("GreaterEqual", gapv,
+                             b.reshape(kth, (1, 1)))
+            gatef = b.convert(gate, "f32")
+            out = b.multiply(src, b.reshape(gatef, (1, c, 1, 1)))
         elif kind == "deconv" and h <= 16:
             k = int(rng.choice([2, 3]))
             s = int(rng.choice([1, 2]))
