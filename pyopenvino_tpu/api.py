@@ -643,6 +643,30 @@ class IECore:
             else:
                 raise ValueError(f"unsupported config key {key!r}")
 
+    def get_config(self, device_name: str = "TPU", name: str = "CACHE_DIR"):
+        """OpenVINO 1.0 ``ie.get_config`` — reads back the supported keys
+        (today: ``CACHE_DIR``; empty string when the cache is off)."""
+        if name == "CACHE_DIR":
+            from pyopenvino_tpu.runtime.cache import current_cache_dir
+
+            return current_cache_dir() or ""
+        raise ValueError(f"unsupported config key {name!r}")
+
+    def get_metric(self, device_name: str = "TPU", name: str = ""):
+        """OpenVINO 1.0 ``ie.get_metric`` subset: the device-introspection
+        keys deployment scripts read."""
+        import jax
+
+        if name == "AVAILABLE_DEVICES":
+            return [str(i) for i in range(len(jax.devices()))]
+        if name == "FULL_DEVICE_NAME":
+            d = jax.devices()[0]
+            return f"{d.platform.upper()}:{getattr(d, 'device_kind', '')}"
+        if name == "SUPPORTED_METRICS":
+            return ["AVAILABLE_DEVICES", "FULL_DEVICE_NAME",
+                    "SUPPORTED_METRICS"]
+        raise ValueError(f"unsupported metric {name!r}")
+
     def read_network(self, model: str, weights: Optional[str] = None) -> IENetwork:
         # NOTE: unlike the reference, `weights` is honoured
         # (inference_engine.py:105-110 ignores it).
@@ -756,6 +780,15 @@ class Core:
         ``CACHE_DIR`` (persistent compiled-program cache,
         runtime/cache.py)."""
         self._ie.set_config(properties)
+
+    def get_property(self, device_name: str = "TPU",
+                     name: str = "CACHE_DIR"):
+        """OpenVINO 2.0 ``core.get_property`` — config keys read back via
+        get_config, device metrics via get_metric."""
+        try:
+            return self._ie.get_config(device_name, name)
+        except ValueError:
+            return self._ie.get_metric(device_name, name)
 
     def compile_model(
         self,

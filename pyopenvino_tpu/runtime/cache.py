@@ -47,6 +47,13 @@ def disable_model_cache() -> None:
     jax.config.update("jax_compilation_cache_dir", None)
 
 
+def current_cache_dir():
+    """The active CACHE_DIR or None (``ie.get_config`` read-back)."""
+    import jax
+
+    return jax.config.jax_compilation_cache_dir
+
+
 def cache_entries(path: str):
     """Cached program files under ``path`` (sorted, for tests/reporting)."""
     if not os.path.isdir(path):

@@ -3,6 +3,7 @@ disk and a fresh compilation (cleared in-memory caches) is served from it.
 """
 
 import numpy as np
+import pytest
 
 from tests.conftest import model_paths
 
@@ -44,3 +45,27 @@ def test_unknown_config_key_fails_fast():
 
     with pytest.raises(ValueError):
         IECore().set_config({"NOT_A_KEY": 1})
+
+
+def test_get_config_get_property_roundtrip(tmp_path):
+    """ie.get_config / core.get_property read back CACHE_DIR, and the 2.0
+    get_property also answers device metrics."""
+    from pyopenvino_tpu import Core, IECore
+
+    ie = IECore()
+    path = str(tmp_path / "cache")
+    ie.set_config({"CACHE_DIR": path})
+    try:
+        import os
+
+        assert ie.get_config("TPU", "CACHE_DIR") == os.path.abspath(path)
+        core = Core()
+        assert core.get_property("TPU", "CACHE_DIR") == os.path.abspath(path)
+        devs = core.get_property("TPU", "AVAILABLE_DEVICES")
+        assert isinstance(devs, list) and len(devs) >= 1
+        assert "CPU" in core.get_property("TPU", "FULL_DEVICE_NAME").upper()
+    finally:
+        ie.set_config({"CACHE_DIR": ""})
+    assert ie.get_config("TPU", "CACHE_DIR") == ""
+    with pytest.raises(ValueError, match="unsupported"):
+        ie.get_metric("TPU", "NOT_A_METRIC")
