@@ -1,0 +1,308 @@
+"""PyTorch → OpenVINO IR v10 converter (torch.fx front-end).
+
+The reference ecosystem reaches the engine through Model Optimizer
+conversions of TF models (reference: convert-model.sh / mnist-tf-training.py);
+this is the equivalent on-ramp for PyTorch users: an ``nn.Module`` is
+symbolically traced with ``torch.fx``, every traced node is mapped onto the
+typed GraphBuilder (pyopenvino_tpu/ir/builder.py), and the result is a
+Model that serializes via ir/writer.py, compiles via runtime/compiler.py,
+quantizes, shards and exports like any parsed IR.
+
+Conversion choices (standard MO behavior):
+  * eval-mode semantics: BatchNorm folds into per-channel Multiply→Add
+    from the RUNNING statistics; Dropout/Identity erase.
+  * ``nn.Linear`` becomes MatMul(transpose_b=1) + Add — the IR's native
+    spelling of y = x·Wᵀ + b.
+  * grouped ``nn.Conv2d`` emits GroupConvolution with the (G, Co/G,
+    Ci/G, kh, kw) weight layout the IR declares.
+  * shape-consuming ops (flatten / view / reshape) resolve their targets
+    from the builder's inferred port shapes at convert time — static
+    shapes, like every IR.
+
+Anything untraceable or unmapped fails fast with the torch op named —
+never a silently-wrong graph.
+
+Usage:
+    from tools.torch_convert import convert_torch_module
+    model = convert_torch_module(net, (1, 3, 224, 224))
+    write_ir_model(model, "net.xml")              # or compile_model(model)
+"""
+
+from __future__ import annotations
+
+import operator
+
+import numpy as np
+
+from pyopenvino_tpu.ir.builder import GraphBuilder
+
+
+def _np(t):
+    return t.detach().cpu().numpy().astype(np.float32)
+
+
+def _pair(v):
+    return tuple(v) if isinstance(v, (tuple, list)) else (int(v), int(v))
+
+
+class _Converter:
+    def __init__(self, gm, example_shape, name, input_name):
+        self.gm = gm
+        self.b = GraphBuilder(name)
+        self.example_shape = tuple(int(d) for d in example_shape)
+        self.input_name = input_name
+        self.env = {}
+
+    # -- module-level mappings ------------------------------------------------
+
+    def _conv2d(self, mod, x):
+        import torch.nn as nn
+
+        assert isinstance(mod, nn.Conv2d)
+        if isinstance(mod.padding, str):
+            raise NotImplementedError(
+                "Conv2d string padding modes are unsupported — use ints")
+        ph, pw = _pair(mod.padding)
+        w = _np(mod.weight)  # (Co, Ci/G, kh, kw)
+        if mod.groups == 1:
+            y = self.b.conv2d(
+                x, self.b.const(w), strides=_pair(mod.stride),
+                pads=((ph, ph), (pw, pw)), dilations=_pair(mod.dilation))
+        else:
+            g = mod.groups
+            co, cig, kh, kw = w.shape
+            wg = w.reshape(g, co // g, cig, kh, kw)
+            y = self.b.group_conv2d(
+                x, self.b.const(wg), strides=_pair(mod.stride),
+                pads=((ph, ph), (pw, pw)), dilations=_pair(mod.dilation))
+        if mod.bias is not None:
+            y = self.b.add(
+                y, self.b.const(_np(mod.bias).reshape(1, -1, 1, 1)))
+        return y
+
+    def _bn2d(self, mod, x):
+        s = _np(mod.weight) / np.sqrt(_np(mod.running_var) + mod.eps)
+        sh = _np(mod.bias) - _np(mod.running_mean) * s
+        y = self.b.multiply(x, self.b.const(s.reshape(1, -1, 1, 1)))
+        return self.b.add(y, self.b.const(sh.reshape(1, -1, 1, 1)))
+
+    def _linear(self, mod, x):
+        y = self.b.matmul(x, self.b.const(_np(mod.weight)),
+                          transpose_b=True)
+        if mod.bias is not None:
+            y = self.b.add(y, self.b.const(_np(mod.bias).reshape(1, -1)))
+        return y
+
+    def _maxpool(self, mod, x):
+        ph, pw = _pair(mod.padding)
+        return self.b.max_pool(
+            x, kernel=_pair(mod.kernel_size),
+            strides=_pair(mod.stride or mod.kernel_size),
+            pads=((ph, ph), (pw, pw)),
+            rounding="ceil" if mod.ceil_mode else "floor")
+
+    def _avgpool(self, mod, x):
+        ph, pw = _pair(mod.padding)
+        if (ph or pw) and getattr(mod, "count_include_pad", True):
+            raise NotImplementedError(
+                "AvgPool2d with padding and count_include_pad=True does "
+                "not match the IR's exclude-pad AvgPool — set "
+                "count_include_pad=False or padding=0")
+        return self.b.avg_pool(
+            x, kernel=_pair(mod.kernel_size),
+            strides=_pair(mod.stride or mod.kernel_size),
+            pads=((ph, ph), (pw, pw)))
+
+    def _flatten_port(self, x, start_dim=1):
+        shape = x.shape
+        lead = shape[:start_dim]
+        flat = int(np.prod(shape[start_dim:]))
+        return self.b.reshape(x, tuple(lead) + (flat,))
+
+    def call_module(self, node):
+        import torch.nn as nn
+
+        mod = self.gm.get_submodule(node.target)
+        x = self.env[node.args[0]]
+        if isinstance(mod, nn.Conv2d):
+            return self._conv2d(mod, x)
+        if isinstance(mod, nn.BatchNorm2d):
+            return self._bn2d(mod, x)
+        if isinstance(mod, nn.Linear):
+            return self._linear(mod, x)
+        if isinstance(mod, nn.MaxPool2d):
+            return self._maxpool(mod, x)
+        if isinstance(mod, nn.AvgPool2d):
+            return self._avgpool(mod, x)
+        if isinstance(mod, nn.AdaptiveAvgPool2d):
+            out = mod.output_size
+            if _pair(out) != (1, 1):
+                raise NotImplementedError(
+                    "AdaptiveAvgPool2d only supports output_size (1, 1)")
+            return self.b.reduce("Mean", x, axes=(2, 3), keep_dims=True)
+        if isinstance(mod, nn.ReLU):
+            return self.b.relu(x)
+        if isinstance(mod, nn.ReLU6):
+            return self.b.clamp(x, 0.0, 6.0)
+        if isinstance(mod, nn.Hardtanh):
+            return self.b.clamp(x, float(mod.min_val), float(mod.max_val))
+        if isinstance(mod, nn.LeakyReLU):
+            return self.b.prelu(x, float(mod.negative_slope))
+        if isinstance(mod, nn.Sigmoid):
+            return self.b.sigmoid(x)
+        if isinstance(mod, nn.SiLU):
+            return self.b.swish(x)
+        if isinstance(mod, nn.Hardswish):
+            return self.b.hswish(x)
+        if isinstance(mod, nn.GELU):
+            return self.b.gelu(
+                x, mode="tanh" if mod.approximate == "tanh" else "erf")
+        if isinstance(mod, nn.ELU):
+            return self.b.elu(x, float(mod.alpha))
+        if isinstance(mod, nn.Softmax):
+            return self.b.softmax(x, axis=int(mod.dim))
+        if isinstance(mod, nn.Flatten):
+            return self._flatten_port(x, mod.start_dim)
+        if isinstance(mod, (nn.Dropout, nn.Identity)):
+            return x
+        if isinstance(mod, nn.Upsample):
+            if mod.scale_factor is None:
+                raise NotImplementedError("Upsample needs scale_factor")
+            sf = _pair(mod.scale_factor)
+            sizes = (int(x.shape[2] * sf[0]), int(x.shape[3] * sf[1]))
+            mode = {"nearest": "nearest", "bilinear": "linear"}.get(mod.mode)
+            if mode is None:
+                raise NotImplementedError(
+                    f"Upsample mode {mod.mode!r} unsupported")
+            return self.b.interpolate(
+                x, sizes, mode=mode,
+                align_corners=bool(mod.align_corners))
+        raise NotImplementedError(
+            f"unmapped torch module {type(mod).__name__} at {node.target!r}")
+
+    # -- function / method mappings -------------------------------------------
+
+    def call_function(self, node):
+        import torch
+        import torch.nn.functional as F
+
+        fn = node.target
+        a = node.args
+
+        def p(i):
+            v = a[i]
+            return self.env[v] if v in self.env else v
+
+        if fn in (operator.add, torch.add):
+            return self.b.add(p(0), p(1))
+        if fn in (operator.mul, torch.mul):
+            return self.b.multiply(p(0), p(1))
+        if fn in (F.relu, torch.relu):
+            return self.b.relu(p(0))
+        if fn is F.relu6:
+            return self.b.clamp(p(0), 0.0, 6.0)
+        if fn in (torch.sigmoid, F.sigmoid):
+            return self.b.sigmoid(p(0))
+        if fn is F.silu:
+            return self.b.swish(p(0))
+        if fn is F.gelu:
+            return self.b.gelu(
+                p(0),
+                mode="tanh"
+                if node.kwargs.get("approximate") == "tanh" else "erf")
+        if fn is F.leaky_relu:
+            slope = a[1] if len(a) > 1 else node.kwargs.get(
+                "negative_slope", 0.01)
+            return self.b.prelu(p(0), float(slope))
+        if fn is F.softmax:
+            axis = a[1] if len(a) > 1 else node.kwargs.get("dim")
+            return self.b.softmax(p(0), axis=int(axis))
+        if fn is torch.flatten:
+            start = a[1] if len(a) > 1 else node.kwargs.get("start_dim", 0)
+            return self._flatten_port(p(0), int(start))
+        if fn is torch.cat:
+            parts = [self.env[t] for t in a[0]]
+            axis = a[1] if len(a) > 1 else node.kwargs.get("dim", 0)
+            return self.b.concat(parts, axis=int(axis))
+        if fn is F.adaptive_avg_pool2d:
+            if _pair(a[1]) != (1, 1):
+                raise NotImplementedError(
+                    "adaptive_avg_pool2d only supports output size (1, 1)")
+            return self.b.reduce("Mean", p(0), axes=(2, 3), keep_dims=True)
+        if fn is torch.mean:
+            dims = a[1] if len(a) > 1 else node.kwargs.get("dim")
+            keep = node.kwargs.get("keepdim", False)
+            dims = (dims,) if isinstance(dims, int) else tuple(dims)
+            return self.b.reduce("Mean", p(0), axes=dims, keep_dims=keep)
+        raise NotImplementedError(
+            f"unmapped torch function {getattr(fn, '__name__', fn)!r}")
+
+    def call_method(self, node):
+        x = self.env[node.args[0]]
+        m = node.target
+        if m in ("view", "reshape"):
+            dims = node.args[1:]
+            if len(dims) == 1 and isinstance(dims[0], (tuple, list)):
+                dims = tuple(dims[0])
+            total = int(np.prod(x.shape))
+            known = int(np.prod([d for d in dims if d != -1]))
+            target = tuple(
+                total // known if d == -1 else int(d) for d in dims)
+            return self.b.reshape(x, target)
+        if m == "flatten":
+            start = node.args[1] if len(node.args) > 1 else 0
+            return self._flatten_port(x, int(start))
+        if m == "permute":
+            perm = node.args[1:]
+            if len(perm) == 1 and isinstance(perm[0], (tuple, list)):
+                perm = tuple(perm[0])
+            return self.b.transpose(x, tuple(int(d) for d in perm))
+        if m == "mean":
+            dims = node.args[1] if len(node.args) > 1 else None
+            keep = node.kwargs.get("keepdim", False)
+            dims = (dims,) if isinstance(dims, int) else tuple(dims)
+            return self.b.reduce("Mean", x, axes=dims, keep_dims=keep)
+        if m == "sigmoid":
+            return self.b.sigmoid(x)
+        if m == "contiguous":
+            return x
+        raise NotImplementedError(f"unmapped tensor method {m!r}")
+
+    # -- driver ---------------------------------------------------------------
+
+    def run(self):
+        for node in self.gm.graph.nodes:
+            if node.op == "placeholder":
+                self.env[node] = self.b.parameter(
+                    self.input_name, self.example_shape)
+            elif node.op == "get_attr":
+                t = self.gm
+                for part in node.target.split("."):
+                    t = getattr(t, part)
+                self.env[node] = self.b.const(_np(t))
+            elif node.op == "call_module":
+                self.env[node] = self.call_module(node)
+            elif node.op == "call_function":
+                self.env[node] = self.call_function(node)
+            elif node.op == "call_method":
+                self.env[node] = self.call_method(node)
+            elif node.op == "output":
+                arg = node.args[0]
+                outs = arg if isinstance(arg, (tuple, list)) else (arg,)
+                for i, o in enumerate(outs):
+                    self.b.result(self.env[o], f"output{i}" if i else
+                                  "output")
+            else:  # pragma: no cover
+                raise NotImplementedError(f"fx op {node.op!r}")
+        return self.b.build()
+
+
+def convert_torch_module(module, example_shape, name="torch_model",
+                         input_name="data"):
+    """nn.Module (eval semantics) → typed IR Model.  ``example_shape`` is
+    the static input shape, e.g. (1, 3, 224, 224)."""
+    import torch.fx as fx
+
+    module = module.eval()
+    gm = fx.symbolic_trace(module)
+    return _Converter(gm, example_shape, name, input_name).run()
