@@ -1,0 +1,222 @@
+"""Keras/TensorFlow → OpenVINO IR v10 converter.
+
+THE reference pipeline, closed natively: the reference trains its models
+in TF/Keras (reference: mnist-tf-training.py) and documents an external
+Model Optimizer conversion it cannot run itself (convert-model.sh) — here
+the Keras model converts directly into the typed IR, including MO's
+``--scale`` folding (convert-model.sh:8-13 folds 1/255 into the first
+layer's weights) and the NHWC→NCHW layout move (Flatten emits
+Transpose(0,2,3,1)+Reshape so the flattened feature order matches Keras
+exactly, the same rewrite MO performs).
+
+Scope: ``keras.Sequential`` models over the CNN layer set —
+Conv2D / DepthwiseConv2D (valid+same padding, fused activations),
+BatchNormalization (folded from the running statistics),
+MaxPooling2D / AveragePooling2D / GlobalAveragePooling2D, Flatten,
+Dense, Activation / ReLU / Softmax, ZeroPadding2D, UpSampling2D,
+Rescaling, Dropout (erased).  Functional graphs and anything unmapped
+fail fast with the layer named.
+
+Usage:
+    from tools.tf_convert import convert_keras_model
+    model = convert_keras_model(keras_model, scale=255.0)
+    write_ir_model(model, "net.xml")          # or compile_model(model)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyopenvino_tpu.ir.builder import GraphBuilder
+
+
+def _pair(v):
+    return tuple(int(x) for x in v) if isinstance(v, (tuple, list)) else (
+        int(v), int(v))
+
+
+def _same_pads(h, w, kh, kw, sh, sw):
+    """TF SAME padding (extra on bottom/right — same_upper)."""
+    def one(size, k, s):
+        out = -(-size // s)
+        total = max((out - 1) * s + k - size, 0)
+        return total // 2, total - total // 2
+    (pt, pb), (pl, pr) = one(h, kh, sh), one(w, kw, sw)
+    return (pt, pb), (pl, pr)
+
+
+class _Converter:
+    def __init__(self, b: GraphBuilder):
+        self.b = b
+        self.pending_scale = None  # 1/scale to fold into the first weights
+
+    def _fold_scale(self, w, contraction_is_channel_last):
+        """Apply MO --scale folding to the FIRST weight tensor."""
+        if self.pending_scale is None:
+            return w
+        s = self.pending_scale
+        self.pending_scale = None
+        return w * s
+
+    def _activation(self, x, act):
+        b = self.b
+        if act in (None, "linear"):
+            return x
+        if act == "relu":
+            return b.relu(x)
+        if act == "relu6":
+            return b.clamp(x, 0.0, 6.0)
+        if act == "sigmoid":
+            return b.sigmoid(x)
+        if act == "tanh":
+            return b.tanh(x)
+        if act == "softmax":
+            axis = 1 if len(x.shape) == 2 else len(x.shape) - 1
+            return b.softmax(x, axis=axis)
+        if act == "gelu":
+            return b.gelu(x)
+        if act == "swish" or act == "silu":
+            return b.swish(x)
+        raise NotImplementedError(f"unmapped Keras activation {act!r}")
+
+    def convert_layer(self, layer, x):
+        import keras
+
+        b = self.b
+        name = type(layer).__name__
+        cfg = layer.get_config()
+
+        if name in ("Dropout", "InputLayer"):
+            return x
+        if name == "Rescaling":
+            sc = np.float32(cfg["scale"])
+            off = np.float32(cfg.get("offset", 0.0))
+            y = b.multiply(x, b.const(sc))
+            if float(off) != 0.0:
+                y = b.add(y, b.const(off))
+            return y
+        if name == "ZeroPadding2D":
+            (pt, pb), (pl, pr) = cfg["padding"]
+            return b.pad(x, (0, 0, pt, pl), (0, 0, pb, pr))
+        if name in ("Conv2D", "DepthwiseConv2D"):
+            weights = layer.get_weights()
+            k = weights[0]
+            sh, sw = _pair(cfg["strides"])
+            dh, dw = _pair(cfg.get("dilation_rate", 1))
+            kh, kw = k.shape[:2]
+            _, c, h, w = x.shape
+            if cfg["padding"] == "same":
+                pads = _same_pads(h, w, (kh - 1) * dh + 1,
+                                  (kw - 1) * dw + 1, sh, sw)
+            else:
+                pads = ((0, 0), (0, 0))
+            if name == "Conv2D":
+                wt = self._fold_scale(k, True).transpose(3, 2, 0, 1)
+                y = b.conv2d(x, b.const(wt.astype(np.float32)),
+                             strides=(sh, sw), pads=pads,
+                             dilations=(dh, dw))
+            else:  # DepthwiseConv2D: (kh, kw, C, mult) → (C, mult, 1, kh, kw)
+                kh_, kw_, ci, mult = k.shape
+                wt = self._fold_scale(k, True).transpose(2, 3, 0, 1)
+                wt = wt.reshape(ci, mult, 1, kh_, kw_)
+                y = b.group_conv2d(x, b.const(wt.astype(np.float32)),
+                                   strides=(sh, sw), pads=pads,
+                                   dilations=(dh, dw))
+            if cfg.get("use_bias", True) and len(weights) > 1:
+                y = b.add(y, b.const(
+                    weights[-1].reshape(1, -1, 1, 1).astype(np.float32)))
+            return self._activation(y, cfg.get("activation"))
+        if name == "BatchNormalization":
+            eps = cfg["epsilon"]
+            gamma, beta, mean, var = (w.astype(np.float64)
+                                      for w in layer.get_weights())
+            s = gamma / np.sqrt(var + eps)
+            sh_ = beta - mean * s
+            y = b.multiply(x, b.const(
+                s.reshape(1, -1, 1, 1).astype(np.float32)))
+            return b.add(y, b.const(
+                sh_.reshape(1, -1, 1, 1).astype(np.float32)))
+        if name in ("MaxPooling2D", "AveragePooling2D"):
+            kh, kw = _pair(cfg["pool_size"])
+            sh, sw = _pair(cfg["strides"] or cfg["pool_size"])
+            _, c, h, w = x.shape
+            pads = (_same_pads(h, w, kh, kw, sh, sw)
+                    if cfg["padding"] == "same" else ((0, 0), (0, 0)))
+            mk = b.max_pool if name == "MaxPooling2D" else b.avg_pool
+            return mk(x, kernel=(kh, kw), strides=(sh, sw), pads=pads)
+        if name == "GlobalAveragePooling2D":
+            return b.reduce("Mean", x, axes=(2, 3),
+                            keep_dims=bool(cfg.get("keepdims", False)))
+        if name == "Flatten":
+            if len(x.shape) == 4:
+                # Keras flattens NHWC order: move channels last first —
+                # the exact Transpose MO inserts at the layout boundary
+                n, c, h, w = x.shape
+                y = b.transpose(x, (0, 2, 3, 1))
+                return b.reshape(y, (n, c * h * w))
+            return b.reshape(x, (x.shape[0],
+                                 int(np.prod(x.shape[1:]))))
+        if name == "Dense":
+            weights = layer.get_weights()
+            wt = self._fold_scale(weights[0], False)
+            y = b.matmul(x, b.const(wt.astype(np.float32)))
+            if cfg.get("use_bias", True) and len(weights) > 1:
+                y = b.add(y, b.const(
+                    weights[-1].reshape(1, -1).astype(np.float32)))
+            return self._activation(y, cfg.get("activation"))
+        if name == "Activation":
+            return self._activation(x, cfg["activation"])
+        if name == "ReLU":
+            mv = cfg.get("max_value")
+            if mv is not None:
+                return b.clamp(x, 0.0, float(mv))
+            return b.relu(x)
+        if name == "Softmax":
+            axis = cfg.get("axis", -1)
+            rank = len(x.shape)
+            if axis == -1:
+                axis = 1 if rank == 2 else rank - 1
+            return b.softmax(x, axis=int(axis))
+        if name == "UpSampling2D":
+            sh, sw = _pair(cfg["size"])
+            sizes = (x.shape[2] * sh, x.shape[3] * sw)
+            mode = {"nearest": "nearest", "bilinear": "linear"}.get(
+                cfg.get("interpolation", "nearest"))
+            if mode is None:
+                raise NotImplementedError(
+                    f"UpSampling2D interpolation "
+                    f"{cfg.get('interpolation')!r}")
+            return b.interpolate(x, sizes, mode=mode)
+        raise NotImplementedError(
+            f"unmapped Keras layer {name} ({layer.name!r})")
+
+
+def convert_keras_model(kmodel, scale=None, name=None, input_name="data"):
+    """keras.Sequential → typed IR Model (NCHW).
+
+    ``scale``: Model Optimizer ``--scale`` parity — 1/scale is folded
+    into the first weight tensor, so callers feed RAW 0..scale pixels
+    (reference: convert-model.sh:8-13).  The Keras model itself keeps
+    normalized inputs; only the IR changes."""
+    import keras
+
+    if not isinstance(kmodel, keras.Sequential):
+        raise NotImplementedError(
+            "convert_keras_model supports keras.Sequential — trace "
+            "functional/subclassed models through tools/torch_convert.py's "
+            "approach or export layers sequentially")
+    in_shape = kmodel.input_shape  # (None, H, W, C) or (None, F)
+    if len(in_shape) == 4:
+        n, h, w, c = in_shape
+        shape = (1, int(c), int(h), int(w))
+    else:
+        shape = (1, int(in_shape[1]))
+    b = GraphBuilder(name or getattr(kmodel, "name", "keras_model"))
+    x = b.parameter(input_name, shape)
+    conv = _Converter(b)
+    if scale is not None:
+        conv.pending_scale = 1.0 / float(scale)
+    for layer in kmodel.layers:
+        x = conv.convert_layer(layer, x)
+    b.result(x, "output")
+    return b.build()
