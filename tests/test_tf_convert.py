@@ -121,9 +121,39 @@ def test_converted_keras_quantizes_and_roundtrips(tmp_path):
     np.testing.assert_allclose(ref2, want, rtol=1e-4, atol=1e-6)
 
 
-def test_functional_model_refused():
-    inp = keras.Input((8, 8, 3))
-    out = keras.layers.Conv2D(4, 3)(inp)
+def test_functional_residual_concat():
+    """Functional keras.Model graphs: residual Add, skip Concatenate
+    (NHWC axis -1 → NCHW axis 1), multi-branch node walk."""
+    inp = keras.Input((16, 16, 3))
+    a = keras.layers.Conv2D(8, 3, padding="same", activation="relu")(inp)
+    b = keras.layers.Conv2D(8, 3, padding="same")(a)
+    r = keras.layers.Add()([a, b])
+    r = keras.layers.ReLU()(r)
+    d = keras.layers.MaxPooling2D(2)(r)
+    d2 = keras.layers.Conv2D(8, 3, padding="same", activation="relu")(d)
+    u = keras.layers.UpSampling2D(2)(d2)
+    y = keras.layers.Concatenate()([u, r])
+    y = keras.layers.Conv2D(4, 1)(y)
+    out = keras.layers.GlobalAveragePooling2D()(y)
     km = keras.Model(inp, out)
-    with pytest.raises(NotImplementedError, match="Sequential"):
-        convert_keras_model(km)
+    _parity(km, (1, 3, 16, 16))
+
+
+def test_channel_softmax_axis_translation():
+    """Softmax over NHWC channels (axis -1) lands on the IR's channel
+    axis 1 — the segmentation-head case."""
+    km = keras.Sequential([
+        keras.layers.Input((8, 8, 3)),
+        keras.layers.Conv2D(5, 1),
+        keras.layers.Softmax(),
+    ])
+    _parity(km, (1, 3, 8, 8))
+
+
+def test_subclassed_model_refused():
+    class Net(keras.Model):
+        def call(self, x):
+            return x
+
+    with pytest.raises(Exception):
+        convert_keras_model(Net())

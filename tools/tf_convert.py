@@ -9,13 +9,16 @@ layer's weights) and the NHWC→NCHW layout move (Flatten emits
 Transpose(0,2,3,1)+Reshape so the flattened feature order matches Keras
 exactly, the same rewrite MO performs).
 
-Scope: ``keras.Sequential`` models over the CNN layer set —
-Conv2D / DepthwiseConv2D (valid+same padding, fused activations),
-BatchNormalization (folded from the running statistics),
+Scope: ``keras.Sequential`` AND functional ``keras.Model`` graphs over
+the CNN layer set — Conv2D / DepthwiseConv2D (valid+same padding, fused
+activations), BatchNormalization (folded from the running statistics),
 MaxPooling2D / AveragePooling2D / GlobalAveragePooling2D, Flatten,
 Dense, Activation / ReLU / Softmax, ZeroPadding2D, UpSampling2D,
-Rescaling, Dropout (erased).  Functional graphs and anything unmapped
-fail fast with the layer named.
+Rescaling, Dropout (erased), and the merge layers (Add / Multiply /
+Concatenate — residual and skip topologies).  Functional models walk
+Keras 3's node graph in topological (depth) order; anything unmapped
+fails fast with the layer named.  Axis attributes translate from the
+Keras NHWC convention to the IR's NCHW (channels: -1 → 1).
 
 Usage:
     from tools.tf_convert import convert_keras_model
@@ -71,7 +74,8 @@ class _Converter:
         if act == "tanh":
             return b.tanh(x)
         if act == "softmax":
-            axis = 1 if len(x.shape) == 2 else len(x.shape) - 1
+            # Keras softmax default axis -1 = channels (NHWC) → NCHW 1
+            axis = 1 if len(x.shape) in (2, 4) else len(x.shape) - 1
             return b.softmax(x, axis=axis)
         if act == "gelu":
             return b.gelu(x)
@@ -174,8 +178,10 @@ class _Converter:
         if name == "Softmax":
             axis = cfg.get("axis", -1)
             rank = len(x.shape)
-            if axis == -1:
-                axis = 1 if rank == 2 else rank - 1
+            if axis in (-1, rank - 1):
+                axis = 1 if rank in (2, 4) else rank - 1
+            elif rank == 4:  # NHWC → NCHW axis translation
+                axis = {0: 0, 1: 2, 2: 3, 3: 1}[axis % 4]
             return b.softmax(x, axis=int(axis))
         if name == "UpSampling2D":
             sh, sw = _pair(cfg["size"])
@@ -190,6 +196,31 @@ class _Converter:
         raise NotImplementedError(
             f"unmapped Keras layer {name} ({layer.name!r})")
 
+    def convert_merge(self, layer, ins):
+        """Multi-input merge layers (functional graphs)."""
+        b = self.b
+        name = type(layer).__name__
+        if name == "Add":
+            out = ins[0]
+            for p in ins[1:]:
+                out = b.add(out, p)
+            return out
+        if name == "Multiply":
+            out = ins[0]
+            for p in ins[1:]:
+                out = b.multiply(out, p)
+            return out
+        if name == "Concatenate":
+            axis = layer.get_config().get("axis", -1)
+            rank = len(ins[0].shape)
+            if rank == 4:
+                axis = {0: 0, 1: 2, 2: 3, 3: 1}[axis % 4]
+            else:
+                axis = axis % rank
+            return b.concat(list(ins), axis=int(axis))
+        raise NotImplementedError(
+            f"unmapped multi-input Keras layer {name} ({layer.name!r})")
+
 
 def convert_keras_model(kmodel, scale=None, name=None, input_name="data"):
     """keras.Sequential → typed IR Model (NCHW).
@@ -200,23 +231,53 @@ def convert_keras_model(kmodel, scale=None, name=None, input_name="data"):
     normalized inputs; only the IR changes."""
     import keras
 
-    if not isinstance(kmodel, keras.Sequential):
-        raise NotImplementedError(
-            "convert_keras_model supports keras.Sequential — trace "
-            "functional/subclassed models through tools/torch_convert.py's "
-            "approach or export layers sequentially")
-    in_shape = kmodel.input_shape  # (None, H, W, C) or (None, F)
-    if len(in_shape) == 4:
-        n, h, w, c = in_shape
-        shape = (1, int(c), int(h), int(w))
-    else:
-        shape = (1, int(in_shape[1]))
     b = GraphBuilder(name or getattr(kmodel, "name", "keras_model"))
-    x = b.parameter(input_name, shape)
     conv = _Converter(b)
     if scale is not None:
         conv.pending_scale = 1.0 / float(scale)
-    for layer in kmodel.layers:
-        x = conv.convert_layer(layer, x)
-    b.result(x, "output")
+
+    def to_nchw_shape(ks):
+        if len(ks) == 4:
+            _, h, w, c = ks
+            return (1, int(c), int(h), int(w))
+        return (1, int(ks[1]))
+
+    if isinstance(kmodel, keras.Sequential):
+        x = b.parameter(input_name, to_nchw_shape(kmodel.input_shape))
+        for layer in kmodel.layers:
+            x = conv.convert_layer(layer, x)
+        b.result(x, "output")
+        return b.build()
+
+    # functional keras.Model: walk the node graph deepest-first
+    # (inputs → outputs), mapping KerasTensor → Port
+    if not hasattr(kmodel, "_nodes_by_depth"):
+        raise NotImplementedError(
+            "convert_keras_model supports Sequential and functional "
+            "keras.Model graphs (subclassed models have no static graph "
+            "to walk — use tools/torch_convert.py-style tracing)")
+    env = {}
+    n_inputs = len(kmodel.inputs)
+    for depth in sorted(kmodel._nodes_by_depth, reverse=True):
+        for node in kmodel._nodes_by_depth[depth]:
+            op = node.operation
+            outs = list(node.output_tensors)
+            if isinstance(op, keras.layers.InputLayer):
+                t = outs[0]
+                pname = (input_name if n_inputs == 1
+                         else getattr(t, "name", input_name))
+                env[t.name] = b.parameter(
+                    pname, to_nchw_shape(tuple(t.shape)))
+                continue
+            ins = [env[t.name] for t in node.input_tensors]
+            if len(ins) > 1:
+                out = conv.convert_merge(op, ins)
+            else:
+                out = conv.convert_layer(op, ins[0])
+            if len(outs) != 1:
+                raise NotImplementedError(
+                    f"multi-output Keras layer {type(op).__name__}")
+            env[outs[0].name] = out
+    for i, t in enumerate(kmodel.outputs):
+        b.result(env[t.name], f"output{i}" if i else "output")
     return b.build()
