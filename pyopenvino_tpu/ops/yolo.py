@@ -46,6 +46,17 @@ def _params(node):
     )
 
 
+def _flatten_shape(shape, p):
+    """Output shape after the do_softmax [axis, end_axis] flatten."""
+    axis = _norm_axis(p["axis"], len(shape), "RegionYolo")
+    end = _norm_axis(p["end_axis"], len(shape), "RegionYolo")
+    return (
+        tuple(shape[:axis])
+        + (int(np.prod(shape[axis : end + 1])),)
+        + tuple(shape[end + 1 :])
+    )
+
+
 def _n_anchors(p) -> int:
     if p["do_softmax"] or not p["mask"]:
         return p["num"]
@@ -82,14 +93,7 @@ def region_yolo_ref(x: np.ndarray, p) -> np.ndarray:
         out[:, :, p["coords"] + 1 :] = sig(cls)
     out = out.reshape(n, c, h, w).astype(x.dtype)
     if p["do_softmax"]:
-        axis = _norm_axis(p["axis"], 4, "RegionYolo")
-        end = _norm_axis(p["end_axis"], 4, "RegionYolo")
-        shape = (
-            out.shape[:axis]
-            + (int(np.prod(out.shape[axis : end + 1])),)
-            + out.shape[end + 1 :]
-        )
-        out = out.reshape(shape)
+        out = out.reshape(_flatten_shape(out.shape, p))
     return out
 
 
@@ -102,13 +106,7 @@ class RegionYolo(Op):
         shape = in_shapes[0]
         _check_channels(shape[1], p, node.name)
         if p["do_softmax"]:
-            axis = _norm_axis(p["axis"], len(shape), "RegionYolo")
-            end = _norm_axis(p["end_axis"], len(shape), "RegionYolo")
-            shape = (
-                shape[:axis]
-                + (int(np.prod(shape[axis : end + 1])),)
-                + shape[end + 1 :]
-            )
+            shape = _flatten_shape(shape, p)
         return ShapeResult({node.out_port: tuple(shape)})
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
@@ -133,12 +131,5 @@ class RegionYolo(Op):
         )
         out = jnp.concatenate([xy, wh, obj, cls], axis=2).reshape(n, c, h, w)
         if p["do_softmax"]:
-            axis = _norm_axis(p["axis"], 4, "RegionYolo")
-            end = _norm_axis(p["end_axis"], 4, "RegionYolo")
-            shape = (
-                out.shape[:axis]
-                + (int(np.prod(out.shape[axis : end + 1])),)
-                + out.shape[end + 1 :]
-            )
-            out = out.reshape(shape)
+            out = out.reshape(_flatten_shape(out.shape, p))
         return {node.out_port: TValue(out, "L")}

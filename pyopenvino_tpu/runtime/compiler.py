@@ -423,8 +423,17 @@ class CompiledNetwork:
             values: Dict[Tuple[int, int], TValue] = {}
             captured: Dict[str, object] = {}
             # un-assigned (read-only) variables pass through: the returned
-            # state aliases the donated input buffer
+            # state aliases the donated input buffer.  Assign writes and
+            # dynamic-init commits are staged SEPARATELY and merged at the
+            # end with Assign taking precedence — emission follows topo
+            # order, so an Assign whose input does not consume the
+            # ReadValue output can be emitted BEFORE it, and a direct
+            # new_state write from the later ReadValue would silently
+            # clobber the assignment (the interpreter commits pending
+            # Assigns after the walk — runtime/interpreter.py).
             new_state = dict(state) if variables else {}
+            assigned: Dict[str, object] = {}
+            init_commit: Dict[str, object] = {}
 
             def store(key, tv):
                 """Register a produced tensor; int8-storage edges are
@@ -511,7 +520,7 @@ class CompiledNetwork:
                         )
                         fresh = state[vid + _FRESH]
                         x = jnp.where(fresh, init, x)
-                        new_state[vid] = x
+                        init_commit[vid] = x
                         new_state[vid + _FRESH] = jnp.zeros((), bool)
                     if np.issubdtype(np.dtype(x.dtype), np.floating):
                         x = x.astype(ctx.compute_dtype)
@@ -521,7 +530,7 @@ class CompiledNetwork:
 
                     vid = variable_id(node)
                     src, sport = model.in_edges[node.id][0]
-                    new_state[vid] = (
+                    assigned[vid] = (
                         tv_for(src, sport)
                         .dequant()
                         .nchw()
@@ -579,6 +588,12 @@ class CompiledNetwork:
                     key = (node.id, node.out_port)
                     if key in values:
                         captured[node.name] = values[key].dequant().nchw()
+            if variables:
+                # merge staged state writes: Assign wins over the
+                # dynamic-init commit (OpenVINO variable semantics —
+                # the assignment IS the next state)
+                new_state.update(init_commit)
+                new_state.update(assigned)
             if capture is not None:
                 if variables:
                     return outputs, new_state, captured
@@ -973,12 +988,14 @@ class CompiledNetwork:
                 var = self.variables[vid]
                 if var["dynamic_init"]:
                     # first-infer value IS the runtime init input
-                    # (interpreter semantics for an unfoldable init)
-                    outs = {
-                        node.out_port: _np.asarray(
-                            ins[0], dtype=var["dtype"]
-                        ).reshape(var["shape"])
-                    }
+                    # (interpreter semantics for an unfoldable init);
+                    # batch-baked variables broadcast the unbatched init
+                    # like _build_fn does
+                    iv = _np.asarray(ins[0], dtype=var["dtype"])
+                    iv = (iv.reshape(var["shape"])
+                          if iv.size == int(_np.prod(var["shape"]))
+                          else _np.broadcast_to(iv, var["shape"]))
+                    outs = {node.out_port: iv}
                 else:
                     outs = {node.out_port: istate[vid]}
             elif node.op_type == "Assign":

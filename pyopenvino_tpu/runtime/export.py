@@ -142,9 +142,7 @@ def export_compiled(
 
     weights = compiled.weights
     w_spec = _weights_spec(weights)
-    param_infos = {
-        n.name: n.outputs[n.out_port] for n in compiled.model.parameters
-    }
+    param_infos = _param_infos(compiled)
     in_spec = {
         name: jax.ShapeDtypeStruct(tuple(info.shape), np.dtype(info.dtype))
         for name, info in param_infos.items()
@@ -186,23 +184,13 @@ def export_compiled(
             members[f"fn_b{n}.jaxexport"] = bytes(exp_bn.serialize())
             fixed.append(n)
 
-    cfg = dataclasses.asdict(compiled.config)
-    cfg["backend"] = compiled.config.backend.value
-    cfg["quant"] = compiled.config.quant.value
     meta = {
         "format_version": _FORMAT_VERSION,
-        "config": cfg,
+        "config": _config_meta(compiled),
         "platforms": list(used_platforms),
         "batched_mode": batched_mode,
         "buckets": fixed,
-        "inputs": {
-            name: {
-                "shape": [int(d) for d in info.shape],
-                "dtype": np.dtype(info.dtype).name,
-            }
-            for name, info in param_infos.items()
-        },
-        "outputs": [n.name for n in compiled.model.results],
+        **_io_meta(compiled),
     }
 
     with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as zf:

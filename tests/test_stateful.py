@@ -402,3 +402,39 @@ def test_assign_shape_mismatch_fails_fast():
              name="out")
     with pytest.raises(ValueError, match="not a broadcast"):
         compile_model(b.build())
+
+
+def _delay_line_model():
+    """Assign topologically BEFORE its ReadValue (the Assign input does
+    not consume the ReadValue output): out = v (dynamic init 2x),
+    v' = 3x.  The hazard topology for the staged-state-merge fix in
+    _build_fn — a direct new_state write from the later ReadValue
+    dynamic-init commit used to clobber the earlier Assign."""
+    b = GraphBuilder("delay")
+    x = b.parameter("x", (1, 4))
+    three = b.multiply(x, b.const(np.float32(3.0)), name="a3")
+    b.assign(three, "v", name="write")
+    init = b.multiply(x, b.const(np.float32(2.0)), name="init2x")
+    v = b.read_value(init, "v", name="read")
+    b.result(b.add(v, b.const(np.zeros((1, 4), np.float32)), name="o"),
+             name="out")
+    return b.build()
+
+
+def test_assign_emitted_before_readvalue_not_clobbered():
+    m = _delay_line_model()
+    order = [n.op_type for n in m]
+    assert order.index("Assign") < order.index("ReadValue")  # the hazard
+    net = compile_model(_delay_line_model())
+    it = Interpreter(_delay_line_model())
+    rng = np.random.default_rng(3)
+    xs = [rng.standard_normal((1, 4)).astype(np.float32) for _ in range(3)]
+    for i, x in enumerate(xs):
+        got = net.infer({"x": x})["out"]
+        want = it.run({"x": x})["out"]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"step {i}")
+    # semantics: step0 reads the dynamic init (2*x0); step k>0 reads the
+    # PREVIOUS step's assignment (3*x_{k-1})
+    np.testing.assert_allclose(
+        net.infer({"x": xs[0]})["out"], 3 * xs[2], rtol=1e-5)

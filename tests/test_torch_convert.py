@@ -7,9 +7,11 @@ XLA backend, INT8 weight-only quantization, and the writer round trip.
 
 import numpy as np
 import pytest
-import torch
-import torch.nn as nn
-import torch.nn.functional as F
+
+torch = pytest.importorskip("torch")
+
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
 
 from pyopenvino_tpu.config import Config, QuantMode
 from pyopenvino_tpu.runtime.compiler import compile_model
@@ -143,6 +145,19 @@ def test_activation_zoo_and_methods():
             return F.softmax(self.fc(y), dim=1)
 
     _parity(Net(), (1, 3, 12, 12))
+
+
+def test_scalar_operands_and_full_mean():
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.c = nn.Conv2d(3, 8, 3, 1, 1)
+
+        def forward(self, x):
+            y = self.c(x) * 0.5 + 1.0
+            return y.mean()
+
+    _parity(Net(), (1, 3, 8, 8))
 
 
 def test_view_permute_methods():

@@ -108,18 +108,24 @@ def run_device_loop(exe, feeds, niter, t_budget, inner: int = 20):
     compiled = exe._get_compiled()
     fn, weights = compiled._fn, compiled.weights
     prepped = compiled._prep_inputs(feeds)
-    first = sorted(prepped)[0]
 
     @jax.jit
     def chain(weights, inputs):
         def body(i, carry):
-            ins = dict(inputs)
-            ins[first] = (
-                ins[first] + carry.astype(jnp.result_type(ins[first]))
-            )
+            # perturb EVERY input and fold EVERY output into the carry:
+            # a single-input/single-output dependency would let XLA hoist
+            # sub-graphs fed by the other inputs out of the loop and
+            # dead-code-eliminate the other outputs' branches —
+            # understating the per-step latency
+            ins = {
+                k: v + carry.astype(jnp.result_type(v))
+                for k, v in inputs.items()
+            }
             out = fn(weights, ins)
-            k0 = sorted(out)[0]
-            return (out[k0].ravel()[0].astype(jnp.float32)) * 1e-30
+            acc = jnp.float32(0.0)
+            for k in sorted(out):
+                acc = acc + out[k].ravel()[0].astype(jnp.float32)
+            return acc * 1e-30
 
         return lax.fori_loop(0, inner, body, jnp.float32(0.0))
 
@@ -216,13 +222,17 @@ def main():
         lat, per_iter, wall = run_async(
             exe, random_feeds(net, None, rng), args.niter, args.time,
             args.nireq)
-    elif args.hint == "throughput" and batch > 1:
-        lat, per_iter, wall = run_batched(
-            exe, random_feeds(net, batch, rng), args.niter, args.time, batch)
     elif args.device_only:
+        # device-only implies the batch=1 single-stream chain regardless
+        # of the (default-throughput) hint — silently running a batched
+        # throughput loop instead would mislabel the measurement
+        batch = 1
         lat, per_iter, wall = run_device_loop(
             exe, random_feeds(net, None, rng), args.niter, args.time,
             args.inner)
+    elif args.hint == "throughput" and batch > 1:
+        lat, per_iter, wall = run_batched(
+            exe, random_feeds(net, batch, rng), args.niter, args.time, batch)
     else:
         lat, per_iter, wall = run_sync(
             exe, random_feeds(net, None, rng), args.niter, args.time)
@@ -244,7 +254,7 @@ def main():
     print(f"[ INFO ] Mode: api={args.api}, hint={args.hint}, batch={batch}, "
           f"nireq={args.nireq}"
           + (f", device-only (on-device chain, inner={args.inner})"
-             if args.device_only and args.hint == "latency" else ""))
+             if args.device_only and args.api != "async" else ""))
     print(f"Count:        {len(lat)} iterations "
           f"({len(lat) * per_iter} samples)")
     print(f"Setup:        {setup * 1e3:.2f} ms (load + warm-up/compile)")

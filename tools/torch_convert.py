@@ -191,7 +191,13 @@ class _Converter:
 
         def p(i):
             v = a[i]
-            return self.env[v] if v in self.env else v
+            if v in self.env:
+                return self.env[v]
+            # python scalar operand (x * 0.5, x + 2): lift to a Const so
+            # the binary builders see a Port, not a float
+            if isinstance(v, (int, float)):
+                return self.b.const(np.float32(v))
+            return v
 
         if fn in (operator.add, torch.add):
             return self.b.add(p(0), p(1))
@@ -230,10 +236,13 @@ class _Converter:
                     "adaptive_avg_pool2d only supports output size (1, 1)")
             return self.b.reduce("Mean", p(0), axes=(2, 3), keep_dims=True)
         if fn is torch.mean:
+            x = p(0)
             dims = a[1] if len(a) > 1 else node.kwargs.get("dim")
             keep = node.kwargs.get("keepdim", False)
+            if dims is None:  # full reduction to a scalar
+                dims = tuple(range(len(x.shape)))
             dims = (dims,) if isinstance(dims, int) else tuple(dims)
-            return self.b.reduce("Mean", p(0), axes=dims, keep_dims=keep)
+            return self.b.reduce("Mean", x, axes=dims, keep_dims=keep)
         raise NotImplementedError(
             f"unmapped torch function {getattr(fn, '__name__', fn)!r}")
 
@@ -258,8 +267,11 @@ class _Converter:
                 perm = tuple(perm[0])
             return self.b.transpose(x, tuple(int(d) for d in perm))
         if m == "mean":
-            dims = node.args[1] if len(node.args) > 1 else None
+            dims = node.args[1] if len(node.args) > 1 else node.kwargs.get(
+                "dim")
             keep = node.kwargs.get("keepdim", False)
+            if dims is None:  # full reduction to a scalar
+                dims = tuple(range(len(x.shape)))
             dims = (dims,) if isinstance(dims, int) else tuple(dims)
             return self.b.reduce("Mean", x, axes=dims, keep_dims=keep)
         if m == "sigmoid":
