@@ -23,7 +23,18 @@ from pyopenvino_tpu.ir.model import Model
 
 # weight ports eligible for quantization: (op_type, input_port)
 _WEIGHT_PORTS = {("Convolution", 1), ("GroupConvolution", 1), ("MatMul", 1),
-                 ("ConvolutionBackpropData", 1)}
+                 ("ConvolutionBackpropData", 1),
+                 # recurrent W/R matrices (ops/recurrent.py resolves them
+                 # through ctx.weight_for, so int8 consts dequantize at
+                 # trace time like every other weight); biases stay float
+                 ("LSTMCell", 3), ("LSTMCell", 4),
+                 ("GRUCell", 2), ("GRUCell", 3),
+                 ("RNNCell", 2), ("RNNCell", 3),
+                 ("LSTMSequence", 4), ("LSTMSequence", 5),
+                 ("GRUSequence", 3), ("GRUSequence", 4)}
+
+_RECURRENT = {"LSTMCell", "GRUCell", "RNNCell",
+              "LSTMSequence", "GRUSequence"}
 
 
 def _quantize_array(
@@ -75,6 +86,10 @@ def quantize_weights(
                 return (0, 1)  # GOIHW → per-(G,O)
             if consumer.op_type == "ConvolutionBackpropData":
                 return (1,)  # IOHW (transposed layout) → per-O
+            if consumer.op_type in _RECURRENT:
+                # [gates·H, I] or [D, gates·H, H]: per output row (and
+                # direction) — reduce only the contraction (last) axis
+                return tuple(range(w.ndim - 1))
             tb = A.get_bool(consumer.attrs, "transpose_b", False)
             # MatMul: output channels are rows when transposed, cols not
             return (w.ndim - 2 if tb else w.ndim - 1,)

@@ -321,3 +321,35 @@ def test_streaming_lstm_cell_with_variable_state():
     got = np.stack([stream.infer({"x": x[:, t]})["out"][0]
                     for t in range(T)])
     np.testing.assert_allclose(got, want, rtol=RTOL, atol=ATOL)
+
+
+def test_recurrent_weights_quantize_int8w():
+    """INT8 weight-only now covers the recurrent family: the LSTM W/R
+    stacks quantize per output row (passes/quantize.py _RECURRENT) and
+    dequantize through ctx.weight_for at trace time — previously int8w
+    on an RNN model silently quantized nothing."""
+    import numpy as np
+
+    from __graft_entry__ import _model_paths
+    from pyopenvino_tpu.config import Config, QuantMode
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.passes.quantize import quantize_weights
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    m = read_ir_model(*_model_paths("lstm-tiny"))
+    q = quantize_weights(m)
+    rec_ranks = sorted(m.nodes[nid].const.ndim for nid in q)
+    assert len(q) >= 5 and 3 in rec_ranks  # the (D, 4H, I) stacks went int8
+    for nid, (qw, scale) in q.items():
+        assert qw.dtype == np.int8
+        if m.nodes[nid].const.ndim == 3:  # (D, gates*H, I) stacks
+            # per-(direction, output-row) scale: contraction axis reduced
+            assert scale.shape[:2] == qw.shape[:2] and scale.shape[2] == 1
+    blob = np.random.default_rng(0).uniform(0, 255, (1, 32, 40)).astype(
+        np.float32)
+    ref = compile_model(m, Config())({"data": blob})
+    got = compile_model(m, Config(quant=QuantMode.INT8_WEIGHT))(
+        {"data": blob})
+    k = next(iter(ref))
+    assert np.argmax(got[k]) == np.argmax(ref[k])
+    assert float(np.abs(got[k] - ref[k]).max()) < 0.01
