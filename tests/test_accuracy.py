@@ -114,7 +114,8 @@ def test_ssd_synthetic_weights_sparse_detections():
         assert max(confs) < 0.99 and min(confs) >= 0.3
 
 
-@pytest.mark.parametrize("family", ["mnist_bn_real", "shapes_resnet"])
+@pytest.mark.parametrize("family",
+                         ["mnist_bn_real", "shapes_resnet", "keras_digits"])
 def test_trained_weight_int8_gates(family):
     """The BASELINE accuracy gate on REAL trained weights with real
     labels: INT8w and INT8-FULL top-1 within 0.5% of FP32, measured
@@ -133,7 +134,9 @@ def test_trained_weight_int8_gates(family):
 
     images, labels = eval_images(family, 96)
     in_name = MODELS[family][0]
-    cx, _ = getattr(datasets, TRAINED[family][1])(8, CAL_SEED)
+    # 32 calibration samples, same as the harness — 8 underestimates the
+    # INT8-FULL activation range on the Keras-trained family (one flip)
+    cx, _ = getattr(datasets, TRAINED[family][1])(32, CAL_SEED)
     calibration = [{in_name: cx[i][None]} for i in range(len(cx))]
     ref = run_model(family, "fp32", images, calibration)
     fp32_acc, _ = score_cls(ref, ref, labels)

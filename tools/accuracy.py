@@ -15,8 +15,10 @@ the push-button path for real weights (the reference's are stripped,
 /root/reference/models/.MISSING_LARGE_BLOBS).  Mirrors the semantic
 accuracy pinning of the reference's integrity_test.py:108,133-152.
 
-Three TRAINED families carry real labels built in (no --labels file):
-``mnist_bn_real`` and ``shapes_resnet`` (top-1 vs real class labels) and
+Four TRAINED families carry real labels built in (no --labels file):
+``mnist_bn_real``, ``shapes_resnet`` and ``keras_digits`` (top-1 vs real
+class labels; keras_digits is trained in Keras and converted with
+tools/tf_convert.py, so its row also gates the converter) and
 ``shapes_ssd`` (a trained toy SSD whose mAP runs the full COCO IoU grid
 against real ground-truth boxes) — tools/train_real.py weights,
 tools/datasets.py labeled eval sets on a seed disjoint from training.
@@ -66,6 +68,8 @@ MODELS = {
     "mnist_bn_real": ("conv2d_input", (1, 1, 28, 28), "cls"),
     "shapes_resnet": ("data", (1, 3, 32, 32), "cls"),
     "shapes_ssd": ("data", (1, 3, 96, 96), "det"),
+    # Keras-trained + tf_convert'd — this row also gates the converter
+    "keras_digits": ("data", (1, 1, 28, 28), "cls"),
 }
 
 # trained family → (trained artifact name, labeled dataset fn name).
@@ -77,6 +81,7 @@ TRAINED = {
     # detector: labels are GT boxes {key: [(cls, (x0,y0,x1,y1))]} and the
     # mAP gate runs the full COCO IoU grid against real ground truth
     "shapes_ssd": ("shapes_ssd", "shapes_det"),
+    "keras_digits": ("keras_digits", "digits"),
 }
 EVAL_SEED = 777
 CAL_SEED = 778  # calibration draws its own samples, not the eval set

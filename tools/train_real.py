@@ -635,6 +635,66 @@ def _verify_export_ssd(xml: str, params):
     print(f"{os.path.basename(xml)}: IR-vs-JAX max record diff {diff:.2e}")
 
 
+# -- Keras-trained digits (the reference's OWN pipeline, end to end) ----------
+
+def train_keras_digits(steps: int):
+    """Train a Keras CNN on the labeled digits task and convert it with
+    tools/tf_convert.py — the reference's full workflow (train in
+    TF/Keras, convert with --scale 255, run in the engine:
+    mnist-tf-training.py + convert-model.sh) executed natively, so the
+    accuracy gate on this family also gates the converter itself.
+    Returns (keras_model, val_acc)."""
+    import keras
+
+    from tools.datasets import digits
+
+    x, y = digits(12000, seed=10)
+    x = (x / 255.0).transpose(0, 2, 3, 1)  # NCHW 0-255 → NHWC [0,1]
+    xv, yv = x[:1000], y[:1000]
+    xt, yt = x[1000:], y[1000:]
+
+    km = keras.Sequential([
+        keras.layers.Input((28, 28, 1)),
+        keras.layers.Conv2D(16, 3, padding="same", use_bias=False),
+        keras.layers.BatchNormalization(),
+        keras.layers.ReLU(),
+        keras.layers.MaxPooling2D(2),
+        keras.layers.Conv2D(32, 3, padding="same", use_bias=False),
+        keras.layers.BatchNormalization(),
+        keras.layers.ReLU(),
+        keras.layers.MaxPooling2D(2),
+        keras.layers.Flatten(),
+        keras.layers.Dense(64, activation="relu"),
+        keras.layers.Dense(10, activation="softmax"),
+    ])
+    km.compile(optimizer=keras.optimizers.Adam(1e-3),
+               loss="sparse_categorical_crossentropy",
+               metrics=["accuracy"])
+    batch = 128
+    epochs = max(1, (steps * batch) // len(yt))
+    km.fit(xt, yt, batch_size=batch, epochs=epochs, verbose=0)
+    val = float((km.predict(xv, verbose=0).argmax(1) == yv).mean())
+    return km, val
+
+
+def _verify_export_keras(xml: str, km):
+    """Converted IR must match keras.predict bit-tight."""
+    import numpy as _np
+
+    from pyopenvino_tpu import IECore
+
+    ie = IECore()
+    exe = ie.load_network(ie.read_network(xml), "TPU")
+    rng = _np.random.default_rng(3)
+    blob = rng.uniform(0, 255, (1, 1, 28, 28)).astype(_np.float32)
+    got = next(iter(exe.infer({"data": blob}).values())).reshape(-1)
+    want = km.predict(
+        (blob / 255.0).transpose(0, 2, 3, 1), verbose=0).reshape(-1)
+    diff = float(_np.abs(got - want).max())
+    assert diff < 1e-4, f"keras conversion parity broke: max diff {diff}"
+    print(f"{os.path.basename(xml)}: IR-vs-Keras max prob diff {diff:.2e}")
+
+
 # -- artifact cache --------------------------------------------------------------
 
 TRAINED = {
@@ -642,6 +702,7 @@ TRAINED = {
     "mnist_bn": ("conv2d_input", 800),
     "shapes_resnet": ("data", 1400),
     "shapes_ssd": ("data", 3000),
+    "keras_digits": ("data", 800),
 }
 
 
@@ -675,6 +736,15 @@ def trained_model_paths(name: str, steps: int | None = None):
         print(f"shapes_ssd final val-mAP {val:.1f}")
         export_shapes_ssd(params, xml)
         _verify_export_ssd(xml, params)
+    elif name == "keras_digits":
+        from pyopenvino_tpu.ir.writer import write_ir_model
+        from tools.tf_convert import convert_keras_model
+
+        km, val = train_keras_digits(steps)
+        print(f"keras_digits final val-acc {val:.3f}")
+        write_ir_model(
+            convert_keras_model(km, scale=255.0, input_name="data"), xml)
+        _verify_export_keras(xml, km)
     else:
         raise KeyError(name)
     _stamp_gen_version(xml, TRAINER_VERSION)
