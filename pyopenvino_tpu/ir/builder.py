@@ -290,6 +290,26 @@ class GraphBuilder:
         ax = self.const(np.asarray(axes, np.int64))
         return self._add_node("Unsqueeze", [x, ax], {}, name)
 
+    def prior_box(self, grid_hw, image_hw, min_size, max_size=(),
+                  aspect_ratio=(), flip=False, clip=False, step=0.0,
+                  offset=0.5, variance=(0.1, 0.1, 0.2, 0.2),
+                  scale_all_sizes=True, name=None) -> Port:
+        """opset1 PriorBox — the classic SSD300-VGG anchor generator
+        (ops/ssd.py prior_boxes)."""
+        g = self.const(np.asarray(grid_hw, np.int64), "pb_grid")
+        im = self.const(np.asarray(image_hw, np.int64), "pb_image")
+        return self._add_node("PriorBox", [g, im], {
+            "min_size": ",".join(str(float(v)) for v in min_size),
+            "max_size": ",".join(str(float(v)) for v in max_size),
+            "aspect_ratio": ",".join(str(float(v)) for v in aspect_ratio),
+            "flip": "1" if flip else "0",
+            "clip": "1" if clip else "0",
+            "step": str(float(step)),
+            "offset": str(float(offset)),
+            "variance": ",".join(str(float(v)) for v in variance),
+            "scale_all_sizes": "1" if scale_all_sizes else "0",
+        }, name, out_dtype=np.float32)
+
     def prior_box_clustered(self, grid_hw, image_hw, widths, heights,
                             step=0.0, offset=0.5,
                             variance=(0.1, 0.1, 0.2, 0.2),
@@ -306,7 +326,7 @@ class GraphBuilder:
             "step": str(float(step)),
             "offset": str(float(offset)),
             "variance": ",".join(str(float(v)) for v in variance),
-        }, name)
+        }, name, out_dtype=np.float32)
 
     def detection_output(self, loc, conf, priors, num_classes,
                          keep_top_k=100, top_k=-1, nms_threshold=0.45,

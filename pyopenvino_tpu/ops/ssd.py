@@ -89,6 +89,134 @@ def _pbc_params(node):
     )
 
 
+def prior_boxes(grid_hw, image_hw, p) -> np.ndarray:
+    """opset1 PriorBox (the classic SSD300-VGG anchor generator — the
+    NON-clustered sibling of prior_boxes_clustered; the reference has
+    neither beyond the clustered one its single SSD model uses).
+
+    Per-cell box order follows the OpenVINO/Caffe spec: for each
+    min_size — the square min box, then (if max_size) the
+    sqrt(min·max) square, then each aspect-ratio box (flip appending
+    1/ar).  Output (2, 4·H·W·P): row 0 corner boxes normalized by the
+    image size (optionally clipped), row 1 tiled variances."""
+    gh, gw = int(grid_hw[0]), int(grid_hw[1])
+    ih, iw = int(image_hw[0]), int(image_hw[1])
+    step = p["step"]
+    sh = ih / gh if step == 0 else step
+    sw = iw / gw if step == 0 else step
+
+    ars = [1.0]
+    for ar in p["aspect_ratio"]:
+        if any(abs(ar - a) < 1e-6 for a in ars):
+            continue
+        ars.append(float(ar))
+        if p["flip"] and abs(ar) > 1e-6:
+            ars.append(1.0 / float(ar))
+
+    wh = []  # per-cell (w, h) list in spec order, pixel units
+    min_sizes = list(p["min_size"])
+    max_sizes = list(p["max_size"])
+    for i, m in enumerate(min_sizes):
+        wh.append((m, m))
+        if i < len(max_sizes):
+            s = float(np.sqrt(m * max_sizes[i]))
+            wh.append((s, s))
+        for ar in ars:
+            if abs(ar - 1.0) < 1e-6:
+                continue
+            r = float(np.sqrt(ar))
+            wh.append((m * r, m / r))
+        if not p["scale_all_sizes"]:
+            break
+
+    npriors = len(wh)
+    cx = (np.arange(gw, dtype=np.float64) + p["offset"]) * sw
+    cy = (np.arange(gh, dtype=np.float64) + p["offset"]) * sh
+    ws = np.asarray([w for w, _ in wh], np.float64)
+    hs = np.asarray([h for _, h in wh], np.float64)
+    cx = cx[None, :, None]
+    cy = cy[:, None, None]
+    xmin = (cx - ws / 2) / iw
+    ymin = (cy - hs / 2) / ih
+    xmax = (cx + ws / 2) / iw
+    ymax = (cy + hs / 2) / ih
+    boxes = np.stack(
+        [
+            np.broadcast_to(xmin, (gh, gw, npriors)),
+            np.broadcast_to(ymin, (gh, gw, npriors)),
+            np.broadcast_to(xmax, (gh, gw, npriors)),
+            np.broadcast_to(ymax, (gh, gw, npriors)),
+        ],
+        axis=-1,
+    )
+    if p["clip"]:
+        boxes = np.clip(boxes, 0.0, 1.0)
+    boxes = boxes.reshape(-1)
+    variance = p["variance"] or (0.1,)
+    variances = np.tile(np.asarray(variance, np.float64),
+                        gh * gw * npriors * (4 // len(variance)))
+    return np.stack([boxes, variances]).astype(np.float32)
+
+
+def _pb_params(node):
+    return dict(
+        min_size=A.get_float_tuple(node.attrs, "min_size", ()),
+        max_size=A.get_float_tuple(node.attrs, "max_size", ()),
+        aspect_ratio=A.get_float_tuple(node.attrs, "aspect_ratio", ()),
+        flip=A.get_bool(node.attrs, "flip", False),
+        clip=A.get_bool(node.attrs, "clip", False),
+        step=A.get_float(node.attrs, "step", 0.0),
+        offset=A.get_float(node.attrs, "offset"),
+        variance=A.get_float_tuple(node.attrs, "variance", ()),
+        scale_all_sizes=A.get_bool(node.attrs, "scale_all_sizes", True),
+    )
+
+
+def _pb_num_priors(p) -> int:
+    ars = [1.0]
+    for ar in p["aspect_ratio"]:
+        if any(abs(ar - a) < 1e-6 for a in ars):
+            continue
+        ars.append(float(ar))
+        if p["flip"] and abs(ar) > 1e-6:
+            ars.append(1.0 / float(ar))
+    extra = len(ars) - 1
+    n = 0
+    for i, _m in enumerate(p["min_size"]):
+        n += 1 + (1 if i < len(p["max_size"]) else 0) + extra
+        if not p["scale_all_sizes"]:
+            break
+    return n
+
+
+@register
+class PriorBox(Op):
+    type_name = "PriorBox"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        grid = in_values.get(0)
+        if grid is None:
+            raise ValueError(f"PriorBox {node.name}: grid is not static")
+        p = _pb_params(node)
+        n = 4 * int(grid[0]) * int(grid[1]) * _pb_num_priors(p)
+        res = ShapeResult({node.out_port: (2, n)})
+        if in_values.get(1) is not None:
+            res.values[node.out_port] = prior_boxes(grid, in_values[1], p)
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: prior_boxes(
+            inputs[0], inputs[1], _pb_params(node))}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        out = prior_boxes(
+            ctx.static_value(node, 0), ctx.static_value(node, 1),
+            _pb_params(node))
+        return {node.out_port: TValue(jnp.asarray(out), "L")}
+
+
 @register
 class PriorBoxClustered(Op):
     type_name = "PriorBoxClustered"

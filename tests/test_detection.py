@@ -266,3 +266,68 @@ def test_batched_matches_ref_with_inverting_boxes(seed):
     ))[0]
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
                                err_msg=f"seed={seed}")
+
+
+class TestPriorBox:
+    """opset1 PriorBox (classic SSD300-VGG anchors) — ops/ssd.py
+    prior_boxes; the reference only has the clustered sibling."""
+
+    def _model(self, **kw):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("pb")
+        x = b.parameter("x", (1, 1, 2, 2))  # anchor for graph liveness
+        pri = b.prior_box((2, 2), (8, 8), **kw)
+        b.result(b.add(pri, b.const(np.zeros((1, 1), np.float32))), "out")
+        b.result(b.reshape(x, (1, 4)), "unused")
+        return b.build()
+
+    def test_box_order_and_values(self):
+        from pyopenvino_tpu.ops.ssd import prior_boxes
+
+        p = dict(min_size=(4.0,), max_size=(9.0,), aspect_ratio=(2.0,),
+                 flip=True, clip=False, step=4.0, offset=0.5,
+                 variance=(0.1, 0.1, 0.2, 0.2), scale_all_sizes=True)
+        out = prior_boxes((2, 2), (8, 8), p)
+        P = out.shape[1] // 4
+        boxes = out[0].reshape(2, 2, P // 4, 4)
+        # spec order: min square, sqrt(min*max) square, ar=2, ar=1/2
+        assert P // 4 == 4
+        cx = cy = (0 + 0.5) * 4.0  # first cell center, px
+        m, s = 4.0, np.sqrt(4.0 * 9.0)
+        r = np.sqrt(2.0)
+        want = [
+            (m, m), (s, s), (m * r, m / r), (m / r, m * r),
+        ]
+        for k, (w, h) in enumerate(want):
+            np.testing.assert_allclose(
+                boxes[0, 0, k],
+                [(cx - w / 2) / 8, (cy - h / 2) / 8,
+                 (cx + w / 2) / 8, (cy + h / 2) / 8], rtol=1e-6)
+        # variances tiled per box
+        np.testing.assert_allclose(
+            out[1][:8], [0.1, 0.1, 0.2, 0.2] * 2, rtol=1e-6)
+
+    def test_single_variance_and_clip(self):
+        from pyopenvino_tpu.ops.ssd import prior_boxes
+
+        p = dict(min_size=(16.0,), max_size=(), aspect_ratio=(),
+                 flip=False, clip=True, step=0.0, offset=0.5,
+                 variance=(0.1,), scale_all_sizes=True)
+        out = prior_boxes((2, 2), (8, 8), p)
+        assert out.shape == (2, 4 * 2 * 2 * 1)
+        assert out[0].min() >= 0.0 and out[0].max() <= 1.0  # clipped
+        np.testing.assert_allclose(out[1], 0.1)
+
+    def test_interpreter_vs_compiled_fold(self):
+        from pyopenvino_tpu.config import Config
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        m = self._model(min_size=(4.0,), max_size=(9.0,),
+                        aspect_ratio=(2.0, 3.0), flip=True)
+        blob = np.zeros((1, 1, 2, 2), np.float32)
+        ref = Interpreter(m).run({"x": blob})["out"]
+        got = compile_model(m, Config())({"x": blob})["out"]
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+        assert ref.shape[1] == 4 * 2 * 2 * 6  # 1 + 1 + 4 ar boxes
