@@ -290,6 +290,18 @@ class GraphBuilder:
         ax = self.const(np.asarray(axes, np.int64))
         return self._add_node("Unsqueeze", [x, ax], {}, name)
 
+    def roi_align(self, data, rois, batch_indices, pooled_h, pooled_w,
+                  sampling_ratio=2, spatial_scale=1.0, mode="avg",
+                  name=None) -> Port:
+        """opset3 ROIAlign (ops/roi.py)."""
+        return self._add_node("ROIAlign", [data, rois, batch_indices], {
+            "pooled_h": str(int(pooled_h)),
+            "pooled_w": str(int(pooled_w)),
+            "sampling_ratio": str(int(sampling_ratio)),
+            "spatial_scale": str(float(spatial_scale)),
+            "mode": mode,
+        }, name)
+
     def prior_box(self, grid_hw, image_hw, min_size, max_size=(),
                   aspect_ratio=(), flip=False, clip=False, step=0.0,
                   offset=0.5, variance=(0.1, 0.1, 0.2, 0.2),

@@ -19,6 +19,7 @@ from pyopenvino_tpu.ops import matmul  # noqa: F401
 from pyopenvino_tpu.ops import nms  # noqa: F401
 from pyopenvino_tpu.ops import pool  # noqa: F401
 from pyopenvino_tpu.ops import recurrent  # noqa: F401
+from pyopenvino_tpu.ops import roi  # noqa: F401
 from pyopenvino_tpu.ops import shape_ops  # noqa: F401
 from pyopenvino_tpu.ops import ssd  # noqa: F401
 from pyopenvino_tpu.ops import state_ops  # noqa: F401

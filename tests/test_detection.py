@@ -331,3 +331,73 @@ class TestPriorBox:
         got = compile_model(m, Config())({"x": blob})["out"]
         np.testing.assert_allclose(got, ref, rtol=1e-6)
         assert ref.shape[1] == 4 * 2 * 2 * 6  # 1 + 1 + 4 ar boxes
+
+
+class TestROIAlign:
+    """opset3 ROIAlign (ops/roi.py) — no analogue in the reference."""
+
+    def _model(self, n, c, h, w, r, **kw):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("roi")
+        data = b.parameter("data", (n, c, h, w))
+        rois = b.parameter("rois", (r, 4))
+        idx = b.parameter("idx", (r,), dtype=np.int32)
+        b.result(b.roi_align(data, rois, idx, **kw), "out")
+        return b.build()
+
+    def test_constant_region_average(self):
+        """A constant image pools to that constant regardless of the roi
+        geometry — pins the bilinear/bin plumbing."""
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        m = self._model(1, 2, 8, 8, 2, pooled_h=3, pooled_w=3,
+                        sampling_ratio=2)
+        data = np.full((1, 2, 8, 8), 5.0, np.float32)
+        rois = np.asarray([[0, 0, 7, 7], [1.5, 2.0, 6.0, 5.5]], np.float32)
+        idx = np.zeros(2, np.int32)
+        out = Interpreter(m).run(
+            {"data": data, "rois": rois, "idx": idx})["out"]
+        assert out.shape == (2, 2, 3, 3)
+        np.testing.assert_allclose(out, 5.0, rtol=1e-6)
+
+    def test_linear_ramp_exact(self):
+        """On a linear ramp image, bilinear sampling is EXACT, so each
+        bin's average equals the ramp at the bin's sample centroid."""
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        h = w = 8
+        m = self._model(1, 1, h, w, 1, pooled_h=2, pooled_w=2,
+                        sampling_ratio=2)
+        data = np.broadcast_to(
+            np.arange(w, dtype=np.float32), (1, 1, h, w)).copy()  # ramp in x
+        rois = np.asarray([[1.0, 1.0, 5.0, 5.0]], np.float32)
+        out = Interpreter(m).run({
+            "data": data, "rois": rois, "idx": np.zeros(1, np.int32)
+        })["out"]
+        # bin width 2; sample xs at 1+{0.5,1.5} and 1+{2.5,3.5}
+        np.testing.assert_allclose(out[0, 0, 0], [2.0, 4.0], rtol=1e-6)
+
+    def test_interpreter_vs_compiled_and_modes(self):
+        from pyopenvino_tpu.config import Backend, Config
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        rng = np.random.default_rng(0)
+        data = rng.standard_normal((2, 3, 10, 12)).astype(np.float32)
+        rois = np.asarray(
+            [[0, 0, 11, 9], [2.3, 1.1, 8.7, 7.5], [5, 5, 9, 9]], np.float32)
+        idx = np.asarray([0, 1, 0], np.int32)
+        for mode in ("avg", "max"):
+            m = self._model(2, 3, 10, 12, 3, pooled_h=4, pooled_w=5,
+                            sampling_ratio=3, spatial_scale=0.5, mode=mode)
+            feeds = {"data": data, "rois": rois, "idx": idx}
+            ref = Interpreter(m).run(feeds)["out"]
+            for backend in (Backend.XLA, Backend.PALLAS):
+                got = compile_model(m, Config(backend=backend))(feeds)["out"]
+                np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+    def test_adaptive_sampling_refused(self):
+        with pytest.raises(NotImplementedError, match="sampling_ratio"):
+            self._model(1, 1, 4, 4, 1, pooled_h=2, pooled_w=2,
+                        sampling_ratio=0)
