@@ -62,9 +62,13 @@ def _sample_points(roi, p):
 
 
 def _bilinear_np(img, ys, xs):
-    """img (C, H, W), ys (A,), xs (B,) → (C, A, B) bilinear samples with
-    border clamping (the ROIAlign convention)."""
+    """img (C, H, W), ys (A,), xs (B,) → (C, A, B) bilinear samples.
+    Caffe2/OpenVINO convention: a sample whose coordinate lies beyond
+    [-1, size] contributes ZERO; in-range coordinates clamp to the
+    border."""
     c, h, w = img.shape
+    valid = ((ys >= -1.0) & (ys <= h))[:, None] & (
+        (xs >= -1.0) & (xs <= w))[None, :]
     y = np.clip(ys, 0, h - 1)
     x = np.clip(xs, 0, w - 1)
     y0 = np.floor(y).astype(np.int64)
@@ -75,7 +79,7 @@ def _bilinear_np(img, ys, xs):
     wx = (x - x0)[None, None, :]
     top = (1 - wx) * img[:, y0][:, :, x0] + wx * img[:, y0][:, :, x1]
     bot = (1 - wx) * img[:, y1][:, :, x0] + wx * img[:, y1][:, :, x1]
-    return (1 - wy) * top + wy * bot
+    return ((1 - wy) * top + wy * bot) * valid[None]
 
 
 def roi_align_ref(data, rois, batch_idx, p) -> np.ndarray:
@@ -123,6 +127,9 @@ class ROIAlign(Op):
         def one(roi, bi):
             img = jnp.take(data, bi, axis=0)  # (C, H, W)
             ys, xs = _sample_points(roi, p)
+            # Caffe2/OpenVINO: samples beyond [-1, size] contribute zero
+            valid = ((ys >= -1.0) & (ys <= h))[:, None] & (
+                (xs >= -1.0) & (xs <= w))[None, :]
             y = jnp.clip(ys, 0, h - 1)
             x = jnp.clip(xs, 0, w - 1)
             y0 = jnp.floor(y).astype(jnp.int32)
@@ -134,7 +141,8 @@ class ROIAlign(Op):
             g = lambda yy, xx: img[:, yy][:, :, xx]  # noqa: E731
             top = (1 - wx) * g(y0, x0) + wx * g(y0, x1)
             bot = (1 - wx) * g(y1, x0) + wx * g(y1, x1)
-            s = ((1 - wy) * top + wy * bot).reshape(c, ph, sr, pw, sr)
+            s = (((1 - wy) * top + wy * bot) * valid[None]).reshape(
+                c, ph, sr, pw, sr)
             return (s.mean(axis=(2, 4)) if p["mode"] == "avg"
                     else s.max(axis=(2, 4)))
 

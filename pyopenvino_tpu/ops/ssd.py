@@ -102,36 +102,16 @@ def prior_boxes(grid_hw, image_hw, p) -> np.ndarray:
     gh, gw = int(grid_hw[0]), int(grid_hw[1])
     ih, iw = int(image_hw[0]), int(image_hw[1])
     step = p["step"]
+    # step==0: cell-sized steps with the OpenVINO reference's FIXED 0.5
+    # center offset (the offset attr applies only with an explicit step)
     sh = ih / gh if step == 0 else step
     sw = iw / gw if step == 0 else step
+    offset = 0.5 if step == 0 else p["offset"]
 
-    ars = [1.0]
-    for ar in p["aspect_ratio"]:
-        if any(abs(ar - a) < 1e-6 for a in ars):
-            continue
-        ars.append(float(ar))
-        if p["flip"] and abs(ar) > 1e-6:
-            ars.append(1.0 / float(ar))
-
-    wh = []  # per-cell (w, h) list in spec order, pixel units
-    min_sizes = list(p["min_size"])
-    max_sizes = list(p["max_size"])
-    for i, m in enumerate(min_sizes):
-        wh.append((m, m))
-        if i < len(max_sizes):
-            s = float(np.sqrt(m * max_sizes[i]))
-            wh.append((s, s))
-        for ar in ars:
-            if abs(ar - 1.0) < 1e-6:
-                continue
-            r = float(np.sqrt(ar))
-            wh.append((m * r, m / r))
-        if not p["scale_all_sizes"]:
-            break
-
+    wh = _pb_wh_list(p)
     npriors = len(wh)
-    cx = (np.arange(gw, dtype=np.float64) + p["offset"]) * sw
-    cy = (np.arange(gh, dtype=np.float64) + p["offset"]) * sh
+    cx = (np.arange(gw, dtype=np.float64) + offset) * sw
+    cy = (np.arange(gh, dtype=np.float64) + offset) * sh
     ws = np.asarray([w for w, _ in wh], np.float64)
     hs = np.asarray([h for _, h in wh], np.float64)
     cx = cx[None, :, None]
@@ -153,6 +133,10 @@ def prior_boxes(grid_hw, image_hw, p) -> np.ndarray:
         boxes = np.clip(boxes, 0.0, 1.0)
     boxes = boxes.reshape(-1)
     variance = p["variance"] or (0.1,)
+    if len(variance) not in (1, 4):
+        raise ValueError(
+            f"PriorBox: variance must have 1 or 4 entries, got "
+            f"{len(variance)}")
     variances = np.tile(np.asarray(variance, np.float64),
                         gh * gw * npriors * (4 // len(variance)))
     return np.stack([boxes, variances]).astype(np.float32)
@@ -172,7 +156,15 @@ def _pb_params(node):
     )
 
 
-def _pb_num_priors(p) -> int:
+def _pb_wh_list(p):
+    """Per-cell (w, h) anchor list in spec order, pixel units — the ONE
+    enumeration both the box generator and shape inference consume.
+
+    scale_all_sizes=True (default): per min_size — the square min box,
+    the sqrt(min·max) square when a max_size is paired, then the
+    aspect-ratio boxes.  scale_all_sizes=False (the Caffe/MxNet-SSD
+    layout): max_size is IGNORED; one square per min_size, plus
+    aspect-ratio boxes for min_size[0] only."""
     ars = [1.0]
     for ar in p["aspect_ratio"]:
         if any(abs(ar - a) < 1e-6 for a in ars):
@@ -180,13 +172,36 @@ def _pb_num_priors(p) -> int:
         ars.append(float(ar))
         if p["flip"] and abs(ar) > 1e-6:
             ars.append(1.0 / float(ar))
-    extra = len(ars) - 1
-    n = 0
-    for i, _m in enumerate(p["min_size"]):
-        n += 1 + (1 if i < len(p["max_size"]) else 0) + extra
-        if not p["scale_all_sizes"]:
-            break
-    return n
+    ar_boxes = []
+
+    def add_ar(out, m):
+        for ar in ars:
+            if abs(ar - 1.0) < 1e-6:
+                continue
+            r = float(np.sqrt(ar))
+            out.append((m * r, m / r))
+
+    wh = []
+    min_sizes = list(p["min_size"])
+    max_sizes = list(p["max_size"])
+    if p["scale_all_sizes"]:
+        for i, m in enumerate(min_sizes):
+            wh.append((m, m))
+            if i < len(max_sizes):
+                s = float(np.sqrt(m * max_sizes[i]))
+                wh.append((s, s))
+            add_ar(wh, m)
+    else:
+        for m in min_sizes:
+            wh.append((m, m))
+        if min_sizes:
+            add_ar(ar_boxes, min_sizes[0])
+        wh.extend(ar_boxes)
+    return wh
+
+
+def _pb_num_priors(p) -> int:
+    return len(_pb_wh_list(p))
 
 
 @register

@@ -401,3 +401,67 @@ class TestROIAlign:
         with pytest.raises(NotImplementedError, match="sampling_ratio"):
             self._model(1, 1, 4, 4, 1, pooled_h=2, pooled_w=2,
                         sampling_ratio=0)
+
+
+class TestPriorBoxSpecCorners:
+    """Spec corners surfaced by review: scale_all_sizes=False layout,
+    fixed 0.5 offset at step==0, variance arity validation."""
+
+    def test_scale_all_sizes_false_mxnet_layout(self):
+        from pyopenvino_tpu.ops.ssd import _pb_wh_list, prior_boxes
+
+        p = dict(min_size=(4.0, 8.0), max_size=(9.0,),
+                 aspect_ratio=(2.0,), flip=True, clip=False, step=4.0,
+                 offset=0.5, variance=(0.1,), scale_all_sizes=False)
+        wh = _pb_wh_list(p)
+        # one square per min_size + ar boxes for min_size[0]; NO max box
+        r = np.sqrt(2.0)
+        np.testing.assert_allclose(
+            wh, [(4, 4), (8, 8), (4 * r, 4 / r), (4 / r, 4 * r)],
+            rtol=1e-6)
+        out = prior_boxes((1, 1), (8, 8), p)
+        assert out.shape[1] == 4 * len(wh)
+
+    def test_step_zero_uses_fixed_half_offset(self):
+        from pyopenvino_tpu.ops.ssd import prior_boxes
+
+        base = dict(min_size=(4.0,), max_size=(), aspect_ratio=(),
+                    flip=False, clip=False, variance=(0.1,),
+                    scale_all_sizes=True)
+        a = prior_boxes((2, 2), (8, 8), dict(base, step=0.0, offset=0.9))
+        b = prior_boxes((2, 2), (8, 8), dict(base, step=0.0, offset=0.5))
+        np.testing.assert_allclose(a, b)  # offset ignored at step==0
+        c = prior_boxes((2, 2), (8, 8), dict(base, step=4.0, offset=0.9))
+        assert np.abs(a[0] - c[0]).max() > 1e-3  # but honoured with step
+
+    def test_variance_arity_validated(self):
+        from pyopenvino_tpu.ops.ssd import prior_boxes
+
+        p = dict(min_size=(4.0,), max_size=(), aspect_ratio=(),
+                 flip=False, clip=False, step=4.0, offset=0.5,
+                 variance=(0.1, 0.1, 0.2), scale_all_sizes=True)
+        with pytest.raises(ValueError, match="1 or 4"):
+            prior_boxes((2, 2), (8, 8), p)
+
+
+def test_roi_align_out_of_range_samples_zero():
+    """Caffe2/OpenVINO convention: samples beyond [-1, size] contribute
+    ZERO (not the clamped border value) — an edge roi on a constant-1
+    image pools to < 1."""
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    m = TestROIAlign()._model(1, 1, 4, 4, 2, pooled_h=1, pooled_w=1,
+                              sampling_ratio=2)
+    data = np.ones((1, 1, 4, 4), np.float32)
+    rois = np.asarray([[0, 0, 3, 3],      # fully inside → 1.0
+                       [2, 2, 12, 12]],   # mostly outside → < 1
+                      np.float32)
+    idx = np.zeros(2, np.int32)
+    feeds = {"data": data, "rois": rois, "idx": idx}
+    ref = Interpreter(m).run(feeds)["out"]
+    got = compile_model(m, Config())(feeds)["out"]
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
+    assert abs(float(ref[0]) - 1.0) < 1e-6
+    assert float(ref[1]) < 0.99  # out-of-range samples zeroed the average
