@@ -123,7 +123,9 @@ def main():
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
-    iters = 20 if on_tpu else 3
+    # 30 steady-state dispatches: the tunnel adds per-dispatch jitter that
+    # 20 iters left visible as a ~2% run-to-run spread on the tail metric
+    iters = 30 if on_tpu else 3
 
     for family, stem, batch, baseline in HEADLINES:
         if not on_tpu:
