@@ -326,6 +326,33 @@ class ExecutableNetwork:
             self._server = None
             self._requests = None
 
+    def shard(self, mesh=None, tensor_parallel: bool = False,
+              spatial_parallel: bool = False, data: int = 0,
+              model: int = 1, spatial: int = 1):
+        """Place this network on a device mesh (parallel/mesh.py
+        shard_compiled).  Pass a prebuilt ``jax.sharding.Mesh`` or axis
+        sizes (``data`` defaults to all remaining devices).  Returns
+        self; subsequent ``infer_batch`` calls run sharded.
+
+            exe.shard(model=2, tensor_parallel=True)   # DP×TP
+            exe.shard(spatial=4, spatial_parallel=True) # DP×SP
+        """
+        import jax
+
+        from pyopenvino_tpu.parallel.mesh import (
+            MeshConfig, build_mesh, shard_compiled,
+        )
+
+        if mesh is None:
+            n = len(jax.devices())
+            d = data or max(1, n // (model * spatial))
+            mesh = build_mesh(MeshConfig(data=d, model=model,
+                                         spatial=spatial))
+        shard_compiled(self._get_compiled(), mesh,
+                       tensor_parallel=tensor_parallel,
+                       spatial_parallel=spatial_parallel)
+        return self
+
     def export(self, path: str, buckets=(8, 32)) -> None:
         """OpenVINO ``ExecutableNetwork.export`` parity: serialize the
         compiled program (StableHLO via ``jax.export``) + processed weights

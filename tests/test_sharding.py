@@ -227,3 +227,25 @@ def test_config_declared_spatial_mesh():
     out = net.infer_batch({"conv2d_input": blob})
     name = next(iter(ref))
     np.testing.assert_allclose(out[name], ref[name], rtol=1e-4, atol=1e-5)
+
+
+def test_api_level_shard_facade():
+    """ExecutableNetwork.shard: the public mesh entry (docs/GUIDE.md) —
+    DP x TP via axis sizes, batch parity vs unsharded."""
+    import numpy as np
+
+    from pyopenvino_tpu.api import IECore
+    from tests.conftest import model_paths
+
+    ie = IECore()
+    xml, binp = model_paths("mnist")
+    plain = ie.load_network(ie.read_network(xml, binp), "TPU")
+    rng = np.random.default_rng(0)
+    rows = rng.uniform(0, 255, (8, 1, 28, 28)).astype(np.float32)
+    want = plain.infer_batch({"conv2d_input": rows})
+
+    exe = ie.load_network(ie.read_network(xml, binp), "TPU")
+    exe.shard(model=2, tensor_parallel=True)
+    got = exe.infer_batch({"conv2d_input": rows})
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-4, atol=1e-5)
