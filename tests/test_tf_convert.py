@@ -157,3 +157,15 @@ def test_subclassed_model_refused():
 
     with pytest.raises(Exception):
         convert_keras_model(Net())
+
+
+def test_conv2d_transpose_decoder():
+    km = keras.Sequential([
+        keras.layers.Input((8, 8, 3)),
+        keras.layers.Conv2D(8, 3, strides=2, padding="same",
+                            activation="relu"),
+        keras.layers.Conv2DTranspose(4, 2, strides=2, padding="same"),
+        keras.layers.Conv2DTranspose(2, 3, strides=1, padding="valid",
+                                     activation="sigmoid"),
+    ])
+    _parity(km, (1, 3, 8, 8))

@@ -222,3 +222,16 @@ def test_unmapped_module_fails_fast():
 
     with pytest.raises(Exception, match="EmbeddingBag|unmapped|trace"):
         convert_torch_module(Net(), (1, 4))
+
+
+def test_conv_transpose2d():
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.d = nn.Conv2d(3, 8, 3, 2, 1)
+            self.u = nn.ConvTranspose2d(8, 4, 2, 2)
+
+        def forward(self, x):
+            return self.u(F.relu(self.d(x)))
+
+    _parity(Net(), (1, 3, 16, 16))

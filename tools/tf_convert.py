@@ -102,6 +102,34 @@ class _Converter:
         if name == "ZeroPadding2D":
             (pt, pb), (pl, pr) = cfg["padding"]
             return b.pad(x, (0, 0, pt, pl), (0, 0, pb, pr))
+        if name == "Conv2DTranspose":
+            weights = layer.get_weights()
+            k = weights[0]  # (kh, kw, Co, Ci)
+            sh, sw = _pair(cfg["strides"])
+            kh, kw = k.shape[:2]
+            _, c, hin, win = x.shape
+            if cfg["padding"] == "same":
+                # Keras same-transpose: out = in*stride; OpenVINO pads
+                # relation: out = (in-1)*s + k - pt - pb (+opad).
+                # total = k - s distributed TF-style (extra at
+                # bottom/right); opad absorbs any negative remainder
+                total = max(kh - sh, 0)
+                pt, pb = total // 2, total - total // 2
+                total_w = max(kw - sw, 0)
+                pl, pr = total_w // 2, total_w - total_w // 2
+                oph = hin * sh - ((hin - 1) * sh + kh - pt - pb)
+                opw = win * sw - ((win - 1) * sw + kw - pl - pr)
+                pads, opad = ((pt, pb), (pl, pr)), (oph, opw)
+            else:
+                pads, opad = ((0, 0), (0, 0)), (0, 0)
+            wt = self._fold_scale(k, True).transpose(3, 2, 0, 1)  # Ci,Co,kh,kw
+            y = b.conv_transpose2d(
+                x, b.const(wt.astype(np.float32)), strides=(sh, sw),
+                pads=pads, output_padding=opad)
+            if cfg.get("use_bias", True) and len(weights) > 1:
+                y = b.add(y, b.const(
+                    weights[-1].reshape(1, -1, 1, 1).astype(np.float32)))
+            return self._activation(y, cfg.get("activation"))
         if name in ("Conv2D", "DepthwiseConv2D"):
             weights = layer.get_weights()
             k = weights[0]

@@ -124,6 +124,20 @@ class _Converter:
 
         mod = self.gm.get_submodule(node.target)
         x = self.env[node.args[0]]
+        if isinstance(mod, nn.ConvTranspose2d):
+            if mod.groups != 1:
+                raise NotImplementedError(
+                    "grouped ConvTranspose2d is unsupported")
+            ph, pw = _pair(mod.padding)
+            oph, opw = _pair(mod.output_padding)
+            y = self.b.conv_transpose2d(
+                x, self.b.const(_np(mod.weight)),  # torch (Ci, Co, kh, kw)
+                strides=_pair(mod.stride), pads=((ph, ph), (pw, pw)),
+                dilations=_pair(mod.dilation), output_padding=(oph, opw))
+            if mod.bias is not None:
+                y = self.b.add(y, self.b.const(
+                    _np(mod.bias).reshape(1, -1, 1, 1)))
+            return y
         if isinstance(mod, nn.Conv2d):
             return self._conv2d(mod, x)
         if isinstance(mod, nn.BatchNorm2d):
