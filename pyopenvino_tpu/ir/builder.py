@@ -290,6 +290,23 @@ class GraphBuilder:
         ax = self.const(np.asarray(axes, np.int64))
         return self._add_node("Unsqueeze", [x, ax], {}, name)
 
+    def proposal(self, probs, deltas, im_info, base_size, feat_stride,
+                 ratio, scale, pre_nms_topn=6000, post_nms_topn=300,
+                 nms_thresh=0.7, min_size=16, name=None):
+        """opset4 Proposal (ops/proposal.py) → [rois (N*post, 5),
+        scores (N*post,)]."""
+        idx, sc = self._add_node("Proposal", [probs, deltas, im_info], {
+            "base_size": str(int(base_size)),
+            "feat_stride": str(int(feat_stride)),
+            "ratio": ",".join(str(float(r)) for r in ratio),
+            "scale": ",".join(str(float(s)) for s in scale),
+            "pre_nms_topn": str(int(pre_nms_topn)),
+            "post_nms_topn": str(int(post_nms_topn)),
+            "nms_thresh": str(float(nms_thresh)),
+            "min_size": str(int(min_size)),
+        }, name, n_outputs=2)
+        return [idx, sc]
+
     def roi_align(self, data, rois, batch_indices, pooled_h, pooled_w,
                   sampling_ratio=2, spatial_scale=1.0, mode="avg",
                   name=None) -> Port:

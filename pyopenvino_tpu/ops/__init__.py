@@ -18,6 +18,7 @@ from pyopenvino_tpu.ops import io_ops  # noqa: F401
 from pyopenvino_tpu.ops import matmul  # noqa: F401
 from pyopenvino_tpu.ops import nms  # noqa: F401
 from pyopenvino_tpu.ops import pool  # noqa: F401
+from pyopenvino_tpu.ops import proposal  # noqa: F401
 from pyopenvino_tpu.ops import recurrent  # noqa: F401
 from pyopenvino_tpu.ops import roi  # noqa: F401
 from pyopenvino_tpu.ops import shape_ops  # noqa: F401

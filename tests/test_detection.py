@@ -465,3 +465,129 @@ def test_roi_align_out_of_range_samples_zero():
     np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-7)
     assert abs(float(ref[0]) - 1.0) < 1e-6
     assert float(ref[1]) < 0.99  # out-of-range samples zeroed the average
+
+
+class TestProposal:
+    """opset4 Proposal (ops/proposal.py) — the RPN stage completing the
+    two-stage set (Proposal → ROIAlign)."""
+
+    def _model(self, n, a, h, w, **kw):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("rpn")
+        probs = b.parameter("probs", (n, 2 * a, h, w))
+        deltas = b.parameter("deltas", (n, 4 * a, h, w))
+        info = b.const(np.asarray([32.0, 32.0, 1.0], np.float32), "im")
+        rois, sc = b.proposal(probs, deltas, info, **kw)
+        b.result(rois, "rois")
+        b.result(sc, "scores")
+        return b.build()
+
+    def test_interpreter_vs_compiled(self):
+        from pyopenvino_tpu.config import Config
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        rng = np.random.default_rng(0)
+        n, a, h, w = 2, 2, 4, 4  # A = len(ratio)*len(scale) = 2
+        m = self._model(n, a, h, w, base_size=8, feat_stride=8,
+                        ratio=(0.5, 1.0), scale=(1.0,),
+                        pre_nms_topn=20, post_nms_topn=6,
+                        nms_thresh=0.5, min_size=2)
+        feeds = {
+            "probs": rng.uniform(0, 1, (n, 2 * a, h, w)).astype(np.float32),
+            "deltas": rng.normal(0, 0.2, (n, 4 * a, h, w)).astype(
+                np.float32),
+        }
+        ref = Interpreter(m).run(feeds)
+        got = compile_model(m, Config())(feeds)
+        assert ref["rois"].shape == (n * 6, 5)
+        np.testing.assert_allclose(got["rois"], ref["rois"], rtol=1e-4,
+                                   atol=1e-3)
+        np.testing.assert_allclose(got["scores"], ref["scores"],
+                                   rtol=1e-4, atol=1e-5)
+        # structural invariants: batch column, clipped boxes, score order
+        rois = ref["rois"]
+        live = ref["scores"] > 0
+        assert live.any()
+        assert set(np.unique(rois[live, 0])) <= {0.0, 1.0}
+        assert rois[live, 1:].min() >= 0 and rois[live, 1:].max() <= 31
+        for b in range(n):
+            s = ref["scores"][b * 6:(b + 1) * 6]
+            s = s[s > 0]
+            assert (np.diff(s) <= 1e-6).all()
+
+    def test_nms_suppresses_duplicates(self):
+        """Two cells proposing the SAME box: only the higher score
+        survives the RPN NMS."""
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        n, a, h, w = 1, 1, 1, 2
+        m = self._model(n, a, h, w, base_size=16, feat_stride=1,
+                        ratio=(1.0,), scale=(1.0,),
+                        pre_nms_topn=10, post_nms_topn=4,
+                        nms_thresh=0.5, min_size=2)
+        probs = np.zeros((1, 2, 1, 2), np.float32)
+        probs[0, 1] = [[0.9, 0.8]]  # foreground scores
+        deltas = np.zeros((1, 4, 1, 2), np.float32)
+        # feat_stride=1: the two anchors overlap almost fully (IoU ~ 15/17)
+        out = Interpreter(m).run({"probs": probs, "deltas": deltas})
+        live = out["scores"] > 0
+        assert live.sum() == 1 and abs(out["scores"][0] - 0.9) < 1e-6
+
+    def test_tensorflow_framework_refused(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("x")
+        probs = b.parameter("p", (1, 2, 2, 2))
+        deltas = b.parameter("d", (1, 4, 2, 2))
+        info = b.const(np.asarray([8.0, 8.0, 1.0], np.float32))
+        with pytest.raises(NotImplementedError, match="framework"):
+            b._add_node("Proposal", [probs, deltas, info], {
+                "base_size": "8", "feat_stride": "8", "ratio": "1.0",
+                "scale": "1.0", "pre_nms_topn": "10",
+                "post_nms_topn": "4", "nms_thresh": "0.5",
+                "min_size": "2", "framework": "tensorflow",
+            }, "p2", n_outputs=2)
+
+
+def test_two_stage_proposal_roialign_composition():
+    """The full RPN → ROIAlign stage composed in ONE graph: proposals
+    feed roi_align's boxes with the batch column gathered off — the
+    Faster-RCNN wiring, end to end under jit."""
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(1)
+    n, a, h, w = 1, 2, 4, 4
+    post = 4
+    b = GraphBuilder("faster")
+    feat = b.parameter("feat", (n, 8, 4, 4))
+    probs = b.parameter("probs", (n, 2 * a, h, w))
+    deltas = b.parameter("deltas", (n, 4 * a, h, w))
+    info = b.const(np.asarray([32.0, 32.0, 1.0], np.float32), "im")
+    rois, _sc = b.proposal(probs, deltas, info, base_size=8,
+                           feat_stride=8, ratio=(0.5, 1.0), scale=(1.0,),
+                           pre_nms_topn=20, post_nms_topn=post,
+                           nms_thresh=0.5, min_size=2)
+    # split the (post, 5) rois into batch indices + boxes
+    boxes = b.gather(rois, [1, 2, 3, 4], axis=1)
+    bidx = b.convert(
+        b.reshape(b.gather(rois, [0], axis=1), (post,)), "i32")
+    pooled = b.roi_align(feat, boxes, bidx, pooled_h=2, pooled_w=2,
+                         sampling_ratio=2, spatial_scale=4.0 / 32.0)
+    b.result(pooled, "pooled")
+    m = b.build()
+
+    feeds = {
+        "feat": rng.standard_normal((n, 8, 4, 4)).astype(np.float32),
+        "probs": rng.uniform(0, 1, (n, 2 * a, h, w)).astype(np.float32),
+        "deltas": rng.normal(0, 0.2, (n, 4 * a, h, w)).astype(np.float32),
+    }
+    ref = Interpreter(m).run(feeds)["pooled"]
+    got = compile_model(m, Config())(feeds)["pooled"]
+    assert ref.shape == (post, 8, 2, 2)
+    np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
+    assert np.abs(ref).max() > 0
