@@ -110,6 +110,29 @@ def _ports(node):
     return [node.out_port + i for i in range(3)]
 
 
+def greedy_nms_sweep(iou_sorted, valid_sorted, iou_thr, max_keep):
+    """The sequential greedy-NMS kernel shared by NonMaxSuppression and
+    Proposal: candidates ALREADY sorted by descending score; a candidate
+    is kept iff it is valid, the keep budget is not exhausted, and no
+    KEPT earlier (higher-score) candidate overlaps it beyond iou_thr.
+    Returns (keep mask over sorted candidates, kept count)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = iou_sorted.shape[0]
+    pos = jnp.arange(n)
+
+    def body(i, carry):
+        keep, cnt = carry
+        sup = ((iou_sorted[i] > iou_thr) & keep & (pos < i)).any()
+        ok = valid_sorted[i] & (cnt < max_keep) & ~sup
+        keep = keep.at[i].set(ok)
+        return keep, cnt + ok.astype(jnp.int32)
+
+    return jax.lax.fori_loop(
+        0, n, body, (jnp.zeros(n, bool), jnp.int32(0)))
+
+
 def nms_greedy_np(boxes, scores, max_boxes, iou_thr, score_thr, p):
     """Reference sequential greedy NMS.  boxes (N, B, 4), scores
     (N, C, B) → (indices (S, 3), sel_scores (S, 3), valid)."""
@@ -201,25 +224,13 @@ class NonMaxSuppression(Op):
             return jnp.where(union > 0, inter / union, 0.0)
 
         def one_class(iou, s):
-            """Sequential greedy sweep in score order (fori_loop carries
-            the kept mask + count) → (keep mask over boxes, count)."""
+            """Sequential greedy sweep in score order → (keep mask over
+            boxes, count)."""
             order = jnp.argsort(-s, stable=True)
-            s_sorted = s[order]
+            valid_sorted = s[order] > score_thr
             iou_sorted = iou[order][:, order]
-
-            pos = jnp.arange(num_boxes)
-
-            def body(i, carry):
-                keep, cnt = carry
-                # suppressed by any KEPT earlier (higher-score) box
-                sup = ((iou_sorted[i] > iou_thr) & keep & (pos < i)).any()
-                ok = (s_sorted[i] > score_thr) & (cnt < per_class) & ~sup
-                keep = keep.at[i].set(ok)
-                return keep, cnt + ok.astype(jnp.int32)
-
-            keep_sorted, cnt = jax.lax.fori_loop(
-                0, num_boxes, body,
-                (jnp.zeros(num_boxes, bool), jnp.int32(0)))
+            keep_sorted, cnt = greedy_nms_sweep(
+                iou_sorted, valid_sorted, iou_thr, per_class)
             keep = jnp.zeros(num_boxes, bool).at[order].set(keep_sorted)
             return keep, cnt
 

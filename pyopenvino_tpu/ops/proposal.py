@@ -92,7 +92,8 @@ def proposal_ref(probs, deltas, im_info, p) -> tuple:
     anchors = _anchors(p)
     na = len(anchors)
     img_h, img_w = float(im_info[0]), float(im_info[1])
-    im_scale = float(im_info[2]) if len(im_info) > 2 else 1.0
+    scale_h = float(im_info[2]) if len(im_info) > 2 else 1.0
+    scale_w = float(im_info[3]) if len(im_info) > 3 else scale_h
     post = p["post_nms_topn"]
 
     rois = np.zeros((n * post, 5), np.float32)
@@ -127,8 +128,8 @@ def proposal_ref(probs, deltas, im_info, p) -> tuple:
             y1 = np.clip(y1, 0, img_h - 1)
             x2 = np.clip(x2, 0, img_w - 1)
             y2 = np.clip(y2, 0, img_h - 1)
-        ms = p["min_size"] * im_scale
-        keep_sz = ((x2 - x1 + 1) >= ms) & ((y2 - y1 + 1) >= ms)
+        keep_sz = (((x2 - x1 + 1) >= p["min_size"] * scale_w)
+                   & ((y2 - y1 + 1) >= p["min_size"] * scale_h))
         s = np.where(keep_sz, sc, -np.inf).reshape(-1)
         boxes = np.stack([x1, y1, x2, y2], axis=-1).reshape(-1, 4)
         order = np.argsort(-s, kind="stable")[: p["pre_nms_topn"]]
@@ -197,7 +198,8 @@ class Proposal(Op):
         anchors = jnp.asarray(_anchors(p), jnp.float32)
         na = anchors.shape[0]
         img_h, img_w = im_info[0], im_info[1]
-        im_scale = im_info[2] if im_info.shape[0] > 2 else jnp.float32(1.0)
+        scale_h = im_info[2] if im_info.shape[0] > 2 else jnp.float32(1.0)
+        scale_w = im_info[3] if im_info.shape[0] > 3 else scale_h
         post = p["post_nms_topn"]
         P = na * h * w
         pre = min(p["pre_nms_topn"], P)
@@ -230,8 +232,8 @@ class Proposal(Op):
                 y1 = jnp.clip(y1, 0, img_h - 1)
                 x2 = jnp.clip(x2, 0, img_w - 1)
                 y2 = jnp.clip(y2, 0, img_h - 1)
-            ms = p["min_size"] * im_scale
-            valid = ((x2 - x1 + 1) >= ms) & ((y2 - y1 + 1) >= ms)
+            valid = (((x2 - x1 + 1) >= p["min_size"] * scale_w)
+                     & ((y2 - y1 + 1) >= p["min_size"] * scale_h))
             s = jnp.where(valid, sc, -jnp.inf).reshape(-1)
             boxes = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(-1, 4)
 
@@ -247,21 +249,27 @@ class Proposal(Op):
                      * jnp.clip(iy2 - iy1 + 1, 0))
             union = area[:, None] + area[None, :] - inter
             iou = jnp.where(union > 0, inter / union, 0.0)
+
+            from pyopenvino_tpu.ops.nms import greedy_nms_sweep
+
+            keep, _cnt = greedy_nms_sweep(
+                iou, jnp.isfinite(ss), p["nms_thresh"], post)
+            # pad the candidate pool so [:post] selection is well-defined
+            # even when pre < post (small feature maps)
+            padn = max(post, pre)
             pos = jnp.arange(pre)
-
-            def body(i, carry):
-                keep, cnt = carry
-                sup = ((iou[i] > p["nms_thresh"]) & keep & (pos < i)).any()
-                ok = jnp.isfinite(ss[i]) & (cnt < post) & ~sup
-                keep = keep.at[i].set(ok)
-                return keep, cnt + ok.astype(jnp.int32)
-
-            keep, _cnt = jax.lax.fori_loop(
-                0, pre, body, (jnp.zeros(pre, bool), jnp.int32(0)))
-            rank_key = jnp.where(keep, pos, pre + 1)
+            rank_key = jnp.concatenate(
+                [jnp.where(keep, pos, padn + 1),
+                 jnp.full((padn - pre,), padn + 1, pos.dtype)])
+            keep_p = jnp.concatenate(
+                [keep, jnp.zeros((padn - pre,), bool)])
+            bs_p = jnp.concatenate(
+                [bs, jnp.zeros((padn - pre, 4), bs.dtype)])
+            ss_p = jnp.concatenate(
+                [ss, jnp.zeros((padn - pre,), ss.dtype)])
             sel = jnp.argsort(rank_key, stable=True)[:post]
-            ok = keep[sel]
-            out_boxes = bs[sel]
+            ok = keep_p[sel]
+            out_boxes = bs_p[sel]
             if p["clip_after_nms"]:
                 out_boxes = jnp.clip(
                     out_boxes,
@@ -272,12 +280,14 @@ class Proposal(Op):
                 out_boxes = out_boxes / jnp.asarray(
                     [img_w, img_h, img_w, img_h])
             out_boxes = jnp.where(ok[:, None], out_boxes, 0.0)
-            out_scores = jnp.where(ok, ss[sel], 0.0)
-            return out_boxes, out_scores
+            out_scores = jnp.where(ok, ss_p[sel], 0.0)
+            return out_boxes, out_scores, ok
 
-        boxes, scores = jax.vmap(one)(probs, deltas)  # (N, post, 4/())
-        bcol = jnp.repeat(
-            jnp.arange(n, dtype=jnp.float32), post)[:, None]
+        boxes, scores, ok = jax.vmap(one)(probs, deltas)  # (N, post, ...)
+        # padding rows are ALL-zero (batch column included), matching the
+        # numpy reference
+        bcol = (jnp.repeat(jnp.arange(n, dtype=jnp.float32), post)
+                * ok.reshape(-1))[:, None]
         rois = jnp.concatenate(
             [bcol, boxes.reshape(n * post, 4)], axis=1)
         p0, p1 = _ports(node)

@@ -591,3 +591,43 @@ def test_two_stage_proposal_roialign_composition():
     assert ref.shape == (post, 8, 2, 2)
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-4)
     assert np.abs(ref).max() > 0
+
+
+def test_proposal_small_pool_and_padding_parity():
+    """Review regressions: (a) builder defaults (pre=6000, post=300) on a
+    tiny feature map — the candidate pool is smaller than post_nms_topn
+    and the compiled path must zero-pad instead of crashing at reshape;
+    (b) padding rows are ALL-zero (batch column included) in both
+    executors for an underfull batch>=2."""
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    n, a, h, w = 2, 2, 3, 3  # pool = 2*3*3 = 18 << post default 300
+    b = GraphBuilder("rpn_small")
+    probs = b.parameter("probs", (n, 2 * a, h, w))
+    deltas = b.parameter("deltas", (n, 4 * a, h, w))
+    info = b.const(np.asarray([24.0, 24.0, 1.0], np.float32), "im")
+    rois, sc = b.proposal(probs, deltas, info, base_size=8, feat_stride=8,
+                          ratio=(0.5, 1.0), scale=(1.0,))  # defaults
+    b.result(rois, "rois")
+    b.result(sc, "scores")
+    m = b.build()
+    rng = np.random.default_rng(2)
+    feeds = {
+        "probs": rng.uniform(0, 1, (n, 2 * a, h, w)).astype(np.float32),
+        "deltas": rng.normal(0, 0.2, (n, 4 * a, h, w)).astype(np.float32),
+    }
+    ref = Interpreter(m).run(feeds)
+    got = compile_model(m, Config())(feeds)
+    assert ref["rois"].shape == (n * 300, 5)
+    np.testing.assert_allclose(got["rois"], ref["rois"], rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(got["scores"], ref["scores"], rtol=1e-4,
+                               atol=1e-5)
+    # batch 1 is underfull: its padding rows are all-zero incl. column 0
+    pad_rows = ref["rois"][300:][ref["scores"][300:] == 0]
+    assert pad_rows.size and np.all(pad_rows == 0)
+    got_pad = got["rois"][300:][got["scores"][300:] == 0]
+    assert np.all(got_pad == 0)
