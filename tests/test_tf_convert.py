@@ -169,3 +169,18 @@ def test_conv2d_transpose_decoder():
                                      activation="sigmoid"),
     ])
     _parity(km, (1, 3, 8, 8))
+
+
+def test_conv2d_transpose_output_padding_and_dilation_guard():
+    km = keras.Sequential([
+        keras.layers.Input((5, 5, 3)),
+        keras.layers.Conv2DTranspose(4, 3, strides=2, padding="valid",
+                                     output_padding=1),
+    ])
+    _parity(km, (1, 3, 5, 5))
+    bad = keras.Sequential([
+        keras.layers.Input((5, 5, 3)),
+        keras.layers.Conv2DTranspose(4, 3, dilation_rate=2),
+    ])
+    with pytest.raises(NotImplementedError, match="dilation_rate"):
+        convert_keras_model(bad)

@@ -108,6 +108,15 @@ class _Converter:
             sh, sw = _pair(cfg["strides"])
             kh, kw = k.shape[:2]
             _, c, hin, win = x.shape
+            if _pair(cfg.get("dilation_rate", 1)) != (1, 1):
+                raise NotImplementedError(
+                    "Conv2DTranspose with dilation_rate != 1 is "
+                    "unsupported")
+            # Keras 3 omits output_padding from get_config — read the
+            # layer attribute
+            cfg_opad = (cfg.get("output_padding")
+                        if "output_padding" in cfg
+                        else getattr(layer, "output_padding", None))
             if cfg["padding"] == "same":
                 # Keras same-transpose: out = in*stride; OpenVINO pads
                 # relation: out = (in-1)*s + k - pt - pb (+opad).
@@ -121,7 +130,13 @@ class _Converter:
                 opw = win * sw - ((win - 1) * sw + kw - pl - pr)
                 pads, opad = ((pt, pb), (pl, pr)), (oph, opw)
             else:
-                pads, opad = ((0, 0), (0, 0)), (0, 0)
+                pads = ((0, 0), (0, 0))
+                opad = _pair(cfg_opad) if cfg_opad is not None else (0, 0)
+            if cfg["padding"] == "same" and cfg_opad is not None:
+                raise NotImplementedError(
+                    "Conv2DTranspose: explicit output_padding with "
+                    "padding='same' is unsupported (same already pins "
+                    "out = in * stride)")
             wt = self._fold_scale(k, True).transpose(3, 2, 0, 1)  # Ci,Co,kh,kw
             y = b.conv_transpose2d(
                 x, b.const(wt.astype(np.float32)), strides=(sh, sw),
