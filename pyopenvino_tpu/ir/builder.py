@@ -449,6 +449,11 @@ class GraphBuilder:
             out.append(Port(port.nid, port.port, port.shape, np.dtype(dt)))
         return out
 
+    def gather_nd(self, data, indices, batch_dims=0, name=None) -> Port:
+        return self._add_node("GatherND", [data, indices],
+                              {"batch_dims": str(int(batch_dims))}, name,
+                              out_dtype=data.dtype)
+
     def gather(self, x, indices, axis=0, name=None) -> Port:
         idx = self.const(np.asarray(indices, np.int64))
         ax = self.const(np.asarray(axis, np.int64))

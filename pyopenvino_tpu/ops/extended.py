@@ -1376,3 +1376,58 @@ class LogicalNot(_Unary):
         import jax.numpy as jnp
 
         return jnp.logical_not(x)
+
+
+@register
+class GatherND(Op):
+    """opset8 GatherND: gather slices addressed by the trailing dim of
+    ``indices``, with ``batch_dims`` leading axes shared — the
+    coordinate-addressed gather TF-exported detection post-blocks use."""
+
+    type_name = "GatherND"
+
+    @staticmethod
+    def _bd(node) -> int:
+        from pyopenvino_tpu.ir import attrs as A
+
+        return A.get_int(node.attrs, "batch_dims", 0)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        data, idx = in_shapes[0], in_shapes[1]
+        bd = self._bd(node)
+        k = idx[-1]
+        if bd + k > len(data):
+            raise ValueError(
+                f"GatherND: indices depth {k} + batch_dims {bd} exceeds "
+                f"data rank {len(data)}")
+        out = tuple(idx[:-1]) + tuple(data[bd + k:])
+        return ShapeResult({node.out_port: out})
+
+    @staticmethod
+    def _gather(xp, data, idx, bd):
+        k = idx.shape[-1]
+        if bd == 0:
+            tup = tuple(idx[..., i] for i in range(k))
+            return data[tup]
+        # batch_dims: flatten the shared leading axes, offset indices
+        b = int(np.prod(data.shape[:bd]))
+        dflat = data.reshape((b,) + tuple(data.shape[bd:]))
+        iflat = idx.reshape((b,) + tuple(idx.shape[bd:]))
+        brange = xp.arange(b).reshape((b,) + (1,) * (iflat.ndim - 2))
+        tup = (xp.broadcast_to(brange, iflat.shape[:-1]),) + tuple(
+            iflat[..., i] for i in range(k))
+        out = dflat[tup]
+        return out.reshape(
+            tuple(idx.shape[:-1]) + tuple(data.shape[bd + k:]))
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: self._gather(
+            np, inputs[0], np.asarray(inputs[1], np.int64), self._bd(node))}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        out = self._gather(
+            jnp, inputs[0].nchw(),
+            inputs[1].nchw().astype(jnp.int32), self._bd(node))
+        return {node.out_port: TValue(out, "L")}

@@ -965,3 +965,51 @@ class TestComparisonLogical:
             Interpreter(m).run({"x": xv, "y": yv})["out"], want)
         np.testing.assert_allclose(
             compile_model(m, Config())({"x": xv, "y": yv})["out"], want)
+
+
+class TestGatherND:
+    def _model(self, dshape, ishape, bd=0):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("gnd")
+        d = b.parameter("d", dshape)
+        i = b.parameter("i", ishape, dtype=np.int32)
+        b.result(b.gather_nd(d, i, batch_dims=bd), "out")
+        return b.build()
+
+    def _run(self, dshape, ishape, bd, d, i):
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        m = self._model(dshape, ishape, bd)
+        ref = Interpreter(m).run({"d": d, "i": i})["out"]
+        got = compile_model(m, Config())({"d": d, "i": i})["out"]
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+        return ref
+
+    def test_coordinate_gather(self):
+        rng = np.random.default_rng(0)
+        d = rng.standard_normal((4, 5, 6)).astype(np.float32)
+        i = np.asarray([[0, 1], [3, 4], [2, 0]], np.int32)  # (3, 2)
+        ref = self._run((4, 5, 6), (3, 2), 0, d, i)
+        assert ref.shape == (3, 6)
+        np.testing.assert_allclose(ref[1], d[3, 4])
+
+    def test_full_depth_scalar_gather(self):
+        rng = np.random.default_rng(1)
+        d = rng.standard_normal((3, 4)).astype(np.float32)
+        i = np.asarray([[2, 3], [0, 0]], np.int32)
+        ref = self._run((3, 4), (2, 2), 0, d, i)
+        np.testing.assert_allclose(ref, [d[2, 3], d[0, 0]])
+
+    def test_batch_dims(self):
+        rng = np.random.default_rng(2)
+        d = rng.standard_normal((2, 5, 6)).astype(np.float32)
+        i = rng.integers(0, 5, (2, 3, 1)).astype(np.int32)
+        ref = self._run((2, 5, 6), (2, 3, 1), 1, d, i)
+        assert ref.shape == (2, 3, 6)
+        np.testing.assert_allclose(ref[1, 2], d[1, i[1, 2, 0]])
+
+    def test_depth_validation(self):
+        with pytest.raises(ValueError, match="exceeds data rank"):
+            self._model((2, 3), (2, 3), 1)
