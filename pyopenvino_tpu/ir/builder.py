@@ -449,6 +449,15 @@ class GraphBuilder:
             out.append(Port(port.nid, port.port, port.shape, np.dtype(dt)))
         return out
 
+    def gather_elements(self, data, indices, axis=0, name=None) -> Port:
+        return self._add_node("GatherElements", [data, indices],
+                              {"axis": str(int(axis))}, name,
+                              out_dtype=data.dtype)
+
+    def scatter_nd_update(self, data, indices, updates, name=None) -> Port:
+        return self._add_node("ScatterNDUpdate", [data, indices, updates],
+                              {}, name, out_dtype=data.dtype)
+
     def gather_nd(self, data, indices, batch_dims=0, name=None) -> Port:
         return self._add_node("GatherND", [data, indices],
                               {"batch_dims": str(int(batch_dims))}, name,

@@ -1431,3 +1431,68 @@ class GatherND(Op):
             jnp, inputs[0].nchw(),
             inputs[1].nchw().astype(jnp.int32), self._bd(node))
         return {node.out_port: TValue(out, "L")}
+
+
+@register
+class GatherElements(Op):
+    """opset6 GatherElements: per-element take_along_axis."""
+
+    type_name = "GatherElements"
+
+    @staticmethod
+    def _axis(node, rank):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return _norm_axis(A.get_int(node.attrs, "axis", 0), rank,
+                          "GatherElements")
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        self._axis(node, len(in_shapes[0]))  # validates
+        return ShapeResult({node.out_port: in_shapes[1]})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        ax = self._axis(node, inputs[0].ndim)
+        return {node.out_port: np.take_along_axis(
+            inputs[0], np.asarray(inputs[1], np.int64), axis=ax)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        ax = self._axis(node, len(inputs[0].shape))
+        out = jnp.take_along_axis(
+            inputs[0].nchw(), inputs[1].nchw().astype(jnp.int32), axis=ax)
+        return {node.out_port: TValue(out, "L")}
+
+
+@register
+class ScatterNDUpdate(Op):
+    """opset4 ScatterNDUpdate: data with slices at ``indices`` replaced
+    by ``updates`` — the write-side sibling of GatherND."""
+
+    type_name = "ScatterNDUpdate"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        data, idx, upd = (in_shapes[i] for i in range(3))
+        k = idx[-1]
+        want = tuple(idx[:-1]) + tuple(data[k:])
+        if tuple(upd) != want:
+            raise ValueError(
+                f"ScatterNDUpdate: updates shape {tuple(upd)} != "
+                f"{want} implied by data/indices")
+        return ShapeResult({node.out_port: data})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        data = np.array(inputs[0])
+        idx = np.asarray(inputs[1], np.int64)
+        tup = tuple(idx[..., i] for i in range(idx.shape[-1]))
+        data[tup] = inputs[2]
+        return {node.out_port: data}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        data = inputs[0].nchw()
+        idx = inputs[1].nchw().astype(jnp.int32)
+        upd = inputs[2].nchw().astype(data.dtype)
+        tup = tuple(idx[..., i] for i in range(idx.shape[-1]))
+        return {node.out_port: TValue(data.at[tup].set(upd), "L")}

@@ -1013,3 +1013,52 @@ class TestGatherND:
     def test_depth_validation(self):
         with pytest.raises(ValueError, match="exceeds data rank"):
             self._model((2, 3), (2, 3), 1)
+
+
+def test_gather_elements_take_along_axis():
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(3)
+    d = rng.standard_normal((3, 5)).astype(np.float32)
+    i = rng.integers(0, 5, (3, 2)).astype(np.int32)
+    b = GraphBuilder("ge")
+    dp = b.parameter("d", (3, 5))
+    ip = b.parameter("i", (3, 2), dtype=np.int32)
+    b.result(b.gather_elements(dp, ip, axis=1), "out")
+    m = b.build()
+    want = np.take_along_axis(d, i.astype(np.int64), axis=1)
+    np.testing.assert_allclose(
+        Interpreter(m).run({"d": d, "i": i})["out"], want)
+    np.testing.assert_allclose(
+        compile_model(m, Config())({"d": d, "i": i})["out"], want)
+
+
+def test_scatter_nd_update():
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(4)
+    d = rng.standard_normal((4, 3)).astype(np.float32)
+    idx = np.asarray([[0], [2]], np.int32)
+    upd = np.asarray([[9, 9, 9], [7, 7, 7]], np.float32)
+    b = GraphBuilder("snd")
+    dp = b.parameter("d", (4, 3))
+    ip = b.parameter("i", (2, 1), dtype=np.int32)
+    up = b.parameter("u", (2, 3))
+    b.result(b.scatter_nd_update(dp, ip, up), "out")
+    m = b.build()
+    want = d.copy(); want[0] = 9; want[2] = 7
+    feeds = {"d": d, "i": idx, "u": upd}
+    np.testing.assert_allclose(Interpreter(m).run(feeds)["out"], want)
+    np.testing.assert_allclose(
+        compile_model(m, Config())(feeds)["out"], want)
+    # shape validation
+    b2 = GraphBuilder("bad")
+    dp2 = b2.parameter("d", (4, 3))
+    ip2 = b2.parameter("i", (2, 1), dtype=np.int32)
+    up2 = b2.parameter("u", (2, 2))
+    with pytest.raises(ValueError, match="updates shape"):
+        b2.scatter_nd_update(dp2, ip2, up2)
