@@ -1496,3 +1496,174 @@ class ScatterNDUpdate(Op):
         upd = inputs[2].nchw().astype(data.dtype)
         tup = tuple(idx[..., i] for i in range(idx.shape[-1]))
         return {node.out_port: TValue(data.at[tup].set(upd), "L")}
+
+
+@register
+class ReduceL1(_Reduce):
+    type_name = "ReduceL1"
+    np_fn = staticmethod(
+        lambda x, axis, keepdims: np.sum(np.abs(x), axis=axis,
+                                         keepdims=keepdims))
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        axes = self._axes(ctx.static_value(node, 1), x.ndim)
+        out = jnp.sum(jnp.abs(x), axis=axes, keepdims=self._keep(node))
+        return {node.out_port: TValue(out.astype(x.dtype), "L")}
+
+
+@register
+class ReduceL2(_Reduce):
+    type_name = "ReduceL2"
+    np_fn = staticmethod(
+        lambda x, axis, keepdims: np.sqrt(
+            np.sum(np.square(x), axis=axis, keepdims=keepdims)))
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        axes = self._axes(ctx.static_value(node, 1), x.ndim)
+        out = jnp.sqrt(jnp.sum(jnp.square(x), axis=axes,
+                               keepdims=self._keep(node)))
+        return {node.out_port: TValue(out.astype(x.dtype), "L")}
+
+
+@register
+class Broadcast(Op):
+    """opset3 Broadcast, numpy and bidirectional modes (static target
+    shape — input 1 must be constant)."""
+
+    type_name = "Broadcast"
+
+    @staticmethod
+    def _mode(node) -> str:
+        from pyopenvino_tpu.ir import attrs as A
+
+        mode = A.get_str(node.attrs, "mode", "numpy")
+        if mode not in ("numpy", "bidirectional"):
+            raise NotImplementedError(
+                f"Broadcast mode {mode!r} unsupported (numpy/"
+                "bidirectional)")
+        return mode
+
+    def _target(self, node, in_shape, tval):
+        if tval is None:
+            raise ValueError("Broadcast: target shape must be constant")
+        t = tuple(int(d) for d in np.asarray(tval).reshape(-1))
+        if self._mode(node) == "bidirectional":
+            return tuple(int(d) for d in np.broadcast_shapes(in_shape, t))
+        return t
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        out = self._target(node, in_shapes[0], in_values.get(1))
+        res = ShapeResult({node.out_port: out})
+        if in_values.get(0) is not None:
+            res.values[node.out_port] = np.broadcast_to(
+                in_values[0], out)
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        out = self._target(node, inputs[0].shape, inputs[1])
+        return {node.out_port: np.ascontiguousarray(
+            np.broadcast_to(inputs[0], out))}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        out = self._target(node, x.shape, ctx.static_value(node, 1))
+        return {node.out_port: TValue(jnp.broadcast_to(x, out), "L")}
+
+
+@register
+class Range(Op):
+    """opset4 Range over constant bounds — always constant-folded (the
+    shape-arithmetic producer in exported post-blocks)."""
+
+    type_name = "Range"
+
+    @staticmethod
+    def _fold(in_values, node):
+        vals = [in_values.get(i) for i in range(3)]
+        if any(v is None for v in vals):
+            raise ValueError(
+                f"Range {node.name}: start/stop/step must be constant")
+        start, stop, step = (float(np.asarray(v).reshape(())) for v in vals)
+        from pyopenvino_tpu.ir import attrs as A
+        from pyopenvino_tpu.ir.model import ELEMENT_TYPE_TO_DTYPE
+
+        dt = np.dtype(ELEMENT_TYPE_TO_DTYPE[
+            A.get_str(node.attrs, "output_type", "f32")])
+        return np.arange(start, stop, step).astype(dt)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        out = self._fold(in_values, node)
+        res = ShapeResult({node.out_port: out.shape})
+        res.values[node.out_port] = out
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        return {node.out_port: self._fold(inputs, node)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        vals = {i: ctx.static_value(node, i) for i in range(3)}
+        return {node.out_port: TValue(
+            jnp.asarray(self._fold(vals, node)), "L")}
+
+
+@register
+class CumSum(Op):
+    """opset3 CumSum along a constant axis, exclusive/reverse attrs."""
+
+    type_name = "CumSum"
+
+    @staticmethod
+    def _flags(node):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return (A.get_bool(node.attrs, "exclusive", False),
+                A.get_bool(node.attrs, "reverse", False))
+
+    @staticmethod
+    def _axis(source, rank):
+        if source is None:
+            return 0  # axis input is optional; spec default 0
+        return _norm_axis(source, rank, "CumSum")
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def _apply(self, xp, x, axis, exclusive, reverse):
+        if reverse:
+            x = xp.flip(x, axis=axis)
+        out = xp.cumsum(x, axis=axis)
+        if exclusive:
+            pad = [(0, 0)] * x.ndim
+            pad[axis] = (1, 0)
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(0, x.shape[axis])
+            out = xp.pad(out, pad)[tuple(sl)]
+        if reverse:
+            out = xp.flip(out, axis=axis)
+        return out
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        ex, rev = self._flags(node)
+        ax = self._axis(inputs.get(1), inputs[0].ndim)
+        out = self._apply(np, inputs[0].astype(np.float64), ax, ex, rev)
+        return {node.out_port: out.astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        ex, rev = self._flags(node)
+        x = inputs[0].nchw()
+        ax = self._axis(
+            ctx.static_value(node, 1) if 1 in node.inputs else None, x.ndim)
+        out = self._apply(jnp, x, ax, ex, rev)
+        return {node.out_port: TValue(out.astype(x.dtype), "L")}

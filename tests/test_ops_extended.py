@@ -1062,3 +1062,112 @@ def test_scatter_nd_update():
     up2 = b2.parameter("u", (2, 2))
     with pytest.raises(ValueError, match="updates shape"):
         b2.scatter_nd_update(dp2, ip2, up2)
+
+
+class TestMiscOpsetBatch:
+    """ReduceL1/L2, Broadcast, Range, CumSum — the remaining small-op
+    batch; every op checked interpreter vs XLA."""
+
+    def _both(self, build, feeds):
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        m = build()
+        ref = Interpreter(m).run(feeds)["out"]
+        got = compile_model(m, Config())(feeds)["out"]
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+        return ref
+
+    def test_reduce_l1_l2(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 3, 4)).astype(np.float32)
+        for kind, np_fn in (
+            ("L1", lambda v: np.abs(v).sum(axis=(1, 2))),
+            ("L2", lambda v: np.sqrt((v ** 2).sum(axis=(1, 2)))),
+        ):
+            def build():
+                b = GraphBuilder("r")
+                p = b.parameter("x", (2, 3, 4))
+                b.result(b.reduce(kind.capitalize() if kind[0] != "L"
+                                  else kind, p, axes=(1, 2),
+                                  keep_dims=False), "out")
+                return b.build()
+
+            ref = self._both(build, {"x": x})
+            np.testing.assert_allclose(ref, np_fn(x), rtol=1e-5)
+
+    def test_broadcast_modes(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        x = np.arange(3, dtype=np.float32).reshape(1, 3)
+
+        def build():
+            b = GraphBuilder("bc")
+            p = b.parameter("x", (1, 3))
+            t = b.const(np.asarray([4, 3], np.int64))
+            b.result(b._add_node("Broadcast", [p, t],
+                                 {"mode": "numpy"}), "out")
+            return b.build()
+
+        ref = self._both(build, {"x": x})
+        np.testing.assert_allclose(ref, np.broadcast_to(x, (4, 3)))
+
+        def build2():
+            b = GraphBuilder("bc2")
+            p = b.parameter("x", (2, 1, 3))
+            t = b.const(np.asarray([5, 1], np.int64))
+            b.result(b._add_node("Broadcast", [p, t],
+                                 {"mode": "bidirectional"}), "out")
+            return b.build()
+
+        x2 = np.arange(6, dtype=np.float32).reshape(2, 1, 3)
+        ref2 = self._both(build2, {"x": x2})
+        assert ref2.shape == (2, 5, 3)
+
+    def test_range_folds(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        def build():
+            b = GraphBuilder("rg")
+            x = b.parameter("x", (1, 4))
+            r = b._add_node("Range", [
+                b.const(np.asarray(0.0, np.float32)),
+                b.const(np.asarray(4.0, np.float32)),
+                b.const(np.asarray(1.0, np.float32)),
+            ], {"output_type": "f32"})
+            b.result(b.add(x, b.reshape(r, (1, 4))), "out")
+            return b.build()
+
+        x = np.zeros((1, 4), np.float32)
+        ref = self._both(build, {"x": x})
+        np.testing.assert_allclose(ref, [[0, 1, 2, 3]])
+
+    @pytest.mark.parametrize("exclusive", [False, True])
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_cumsum(self, exclusive, reverse):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((3, 5)).astype(np.float32)
+
+        def build():
+            b = GraphBuilder("cs")
+            p = b.parameter("x", (3, 5))
+            ax = b.const(np.asarray(1, np.int64))
+            b.result(b._add_node("CumSum", [p, ax], {
+                "exclusive": "1" if exclusive else "0",
+                "reverse": "1" if reverse else "0",
+            }), "out")
+            return b.build()
+
+        ref = self._both(build, {"x": x})
+        v = x[:, ::-1] if reverse else x
+        want = np.cumsum(v, axis=1)
+        if exclusive:
+            want = np.concatenate(
+                [np.zeros((3, 1), np.float32), want[:, :-1]], axis=1)
+        if reverse:
+            want = want[:, ::-1]
+        np.testing.assert_allclose(ref, want, rtol=1e-5, atol=1e-6)
