@@ -449,6 +449,22 @@ class GraphBuilder:
             out.append(Port(port.nid, port.port, port.shape, np.dtype(dt)))
         return out
 
+    def space_to_batch(self, x, block, pads_begin, pads_end,
+                       name=None) -> Port:
+        return self._add_node("SpaceToBatch", [
+            x, self.const(np.asarray(block, np.int64)),
+            self.const(np.asarray(pads_begin, np.int64)),
+            self.const(np.asarray(pads_end, np.int64)),
+        ], {}, name)
+
+    def batch_to_space(self, x, block, crops_begin, crops_end,
+                       name=None) -> Port:
+        return self._add_node("BatchToSpace", [
+            x, self.const(np.asarray(block, np.int64)),
+            self.const(np.asarray(crops_begin, np.int64)),
+            self.const(np.asarray(crops_end, np.int64)),
+        ], {}, name)
+
     def gather_elements(self, data, indices, axis=0, name=None) -> Port:
         return self._add_node("GatherElements", [data, indices],
                               {"axis": str(int(axis))}, name,

@@ -1667,3 +1667,104 @@ class CumSum(Op):
             ctx.static_value(node, 1) if 1 in node.inputs else None, x.ndim)
         out = self._apply(jnp, x, ax, ex, rev)
         return {node.out_port: TValue(out.astype(x.dtype), "L")}
+
+
+def _s2b_compute(xp, x, block, pads_begin, pads_end):
+    """SpaceToBatch core shared by both twins: pad, split each dim by its
+    block factor, move the factors into batch (TF space_to_batch_nd
+    semantics generalized to any rank; block[0] == 1 per spec)."""
+    rank = x.ndim
+    pad = [(int(pads_begin[i]), int(pads_end[i])) for i in range(rank)]
+    xpad = xp.pad(x, pad)
+    s = xpad.shape
+    # interleave: (s0, s1/b1, b1, s2/b2, b2, ...)
+    split = [s[0]]
+    for i in range(1, rank):
+        split += [s[i] // int(block[i]), int(block[i])]
+    y = xpad.reshape(split)
+    # block factors (positions 2i) to the front, then s0, then quotients
+    perm = ([2 * i for i in range(1, rank)] + [0]
+            + [2 * i - 1 for i in range(1, rank)])
+    y = xp.transpose(y, perm)
+    out_shape = [int(np.prod([int(b) for b in block])) * s[0]]
+    out_shape += [s[i] // int(block[i]) for i in range(1, rank)]
+    return y.reshape(out_shape)
+
+
+def _b2s_compute(xp, x, block, crops_begin, crops_end):
+    """BatchToSpace core (inverse of _s2b_compute)."""
+    rank = x.ndim
+    nb = int(np.prod([int(b) for b in block]))
+    n0 = x.shape[0] // nb
+    lead = [int(block[i]) for i in range(1, rank)] + [n0]
+    y = x.reshape(lead + list(x.shape[1:]))
+    # (b1..b_{R-1}, n0, d1..d_{R-1}) → (n0, d1, b1, d2, b2, ...)
+    perm = [rank - 1] + [v for i in range(1, rank)
+                         for v in (rank - 1 + i, i - 1)]
+    y = xp.transpose(y, perm)
+    merged = [n0] + [x.shape[i] * int(block[i]) for i in range(1, rank)]
+    y = y.reshape(merged)
+    sl = [slice(None)] + [
+        slice(int(crops_begin[i]),
+              merged[i] - int(crops_end[i]))
+        for i in range(1, rank)]
+    return y[tuple(sl)]
+
+
+class _BlockOp(Op):
+    """Shared plumbing for SpaceToBatch/BatchToSpace: three I64 const
+    inputs (block_shape, begin, end)."""
+
+    core = None  # _s2b_compute or _b2s_compute
+
+    @staticmethod
+    def _consts(node, vals):
+        out = []
+        for i in (1, 2, 3):
+            v = vals.get(i)
+            if v is None:
+                raise ValueError(
+                    f"{node.op_type} {node.name}: input {i} must be "
+                    "constant")
+            out.append(np.asarray(v, np.int64).reshape(-1))
+        return out
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        block, b0, b1 = self._consts(node, inputs)
+        return {node.out_port: type(self).core(np, inputs[0], block, b0, b1)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        block, b0, b1 = self._consts(
+            node, {i: ctx.static_value(node, i) for i in (1, 2, 3)})
+        return {node.out_port: TValue(
+            type(self).core(jnp, inputs[0].nchw(), block, b0, b1), "L")}
+
+
+@register
+class SpaceToBatch(_BlockOp):
+    type_name = "SpaceToBatch"
+    core = staticmethod(_s2b_compute)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        block, pb, pe = self._consts(node, in_values)
+        shape = in_shapes[0]
+        out = [int(np.prod(block)) * shape[0]]
+        for i in range(1, len(shape)):
+            out.append((shape[i] + int(pb[i]) + int(pe[i])) // int(block[i]))
+        return ShapeResult({node.out_port: tuple(out)})
+
+
+@register
+class BatchToSpace(_BlockOp):
+    type_name = "BatchToSpace"
+    core = staticmethod(_b2s_compute)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        block, cb, ce = self._consts(node, in_values)
+        shape = in_shapes[0]
+        out = [shape[0] // int(np.prod(block))]
+        for i in range(1, len(shape)):
+            out.append(shape[i] * int(block[i]) - int(cb[i]) - int(ce[i]))
+        return ShapeResult({node.out_port: tuple(out)})

@@ -1171,3 +1171,45 @@ class TestMiscOpsetBatch:
         if reverse:
             want = want[:, ::-1]
         np.testing.assert_allclose(ref, want, rtol=1e-5, atol=1e-6)
+
+
+class TestSpaceBatch:
+    """SpaceToBatch/BatchToSpace — the TF dilated-conv lowering pair,
+    validated against tf.space_to_batch_nd itself plus both twins."""
+
+    def test_against_tensorflow_and_roundtrip(self):
+        tf = pytest.importorskip("tensorflow")
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((2, 3, 6, 8)).astype(np.float32)
+        block = [1, 1, 2, 4]
+        pb, pe = [0, 0, 2, 0], [0, 0, 0, 4]
+
+        b = GraphBuilder("sb")
+        p = b.parameter("x", (2, 3, 6, 8))
+        s2b = b.space_to_batch(p, block, pb, pe)
+        b.result(s2b, "s2b")
+        b.result(b.batch_to_space(s2b, block, pb, pe), "round")
+        m = b.build()
+        ref = Interpreter(m).run({"x": x})
+        got = compile_model(m, Config())({"x": x})
+        want = tf.space_to_batch_nd(
+            x, block_shape=block[1:],
+            paddings=np.stack([pb[1:], pe[1:]], 1)).numpy()
+        np.testing.assert_allclose(ref["s2b"], want, rtol=1e-6)
+        np.testing.assert_allclose(got["s2b"], want, rtol=1e-6)
+        np.testing.assert_allclose(ref["round"], x, rtol=1e-6)
+        np.testing.assert_allclose(got["round"], x, rtol=1e-6)
+
+    def test_nonconst_block_refused(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("bad")
+        x = b.parameter("x", (2, 3, 4, 4))
+        blk = b.parameter("blk", (4,), dtype=np.int64)
+        zero = b.const(np.zeros(4, np.int64))
+        with pytest.raises(ValueError, match="must be"):
+            b._add_node("SpaceToBatch", [x, blk, zero, zero], {}, "s")
