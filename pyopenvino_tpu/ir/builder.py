@@ -449,6 +449,17 @@ class GraphBuilder:
             out.append(Port(port.nid, port.port, port.shape, np.dtype(dt)))
         return out
 
+    def range_(self, start, stop, step, output_type="f32",
+               name=None) -> Port:
+        from pyopenvino_tpu.ir.model import ELEMENT_TYPE_TO_DTYPE
+
+        dt = np.dtype(ELEMENT_TYPE_TO_DTYPE[output_type])
+        return self._add_node("Range", [
+            self.const(np.asarray(start, dt)),
+            self.const(np.asarray(stop, dt)),
+            self.const(np.asarray(step, dt)),
+        ], {"output_type": output_type}, name, out_dtype=dt)
+
     def space_to_batch(self, x, block, pads_begin, pads_end,
                        name=None) -> Port:
         return self._add_node("SpaceToBatch", [

@@ -95,6 +95,10 @@ def parse_ir(xml_text: str, blob: Optional[bytes], name: Optional[str] = None) -
         op_type = layer.attrib["type"]
         data = layer.find("data")
         attrs = dict(data.attrib) if data is not None else {}
+        # retain the opset version for version-sensitive ops (e.g.
+        # GatherND's opset5 flattened-batch output layout)
+        if "version" in layer.attrib:
+            attrs.setdefault("_opset", layer.attrib["version"])
         node = Node(
             id=nid,
             name=layer.attrib.get("name", str(nid)),

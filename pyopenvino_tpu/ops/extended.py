@@ -1380,9 +1380,12 @@ class LogicalNot(_Unary):
 
 @register
 class GatherND(Op):
-    """opset8 GatherND: gather slices addressed by the trailing dim of
+    """GatherND: gather slices addressed by the trailing dim of
     ``indices``, with ``batch_dims`` leading axes shared — the
-    coordinate-addressed gather TF-exported detection post-blocks use."""
+    coordinate-addressed gather TF-exported detection post-blocks use.
+    opset8 keeps the batch dims in the output; an IR declaring
+    version="opset5" gets the old flattened-batch layout (the parser
+    retains the layer version as the ``_opset`` attr)."""
 
     type_name = "GatherND"
 
@@ -1391,6 +1394,10 @@ class GatherND(Op):
         from pyopenvino_tpu.ir import attrs as A
 
         return A.get_int(node.attrs, "batch_dims", 0)
+
+    @staticmethod
+    def _flat5(node) -> bool:
+        return node.attrs.get("_opset") == "opset5"
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         data, idx = in_shapes[0], in_shapes[1]
@@ -1401,6 +1408,8 @@ class GatherND(Op):
                 f"GatherND: indices depth {k} + batch_dims {bd} exceeds "
                 f"data rank {len(data)}")
         out = tuple(idx[:-1]) + tuple(data[bd + k:])
+        if bd and self._flat5(node):  # opset5: batch dims flatten
+            out = (int(np.prod(out[:bd])),) + tuple(out[bd:])
         return ShapeResult({node.out_port: out})
 
     @staticmethod
@@ -1421,15 +1430,22 @@ class GatherND(Op):
             tuple(idx.shape[:-1]) + tuple(data.shape[bd + k:]))
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
-        return {node.out_port: self._gather(
-            np, inputs[0], np.asarray(inputs[1], np.int64), self._bd(node))}
+        bd = self._bd(node)
+        out = self._gather(
+            np, inputs[0], np.asarray(inputs[1], np.int64), bd)
+        if bd and self._flat5(node):
+            out = out.reshape((-1,) + out.shape[bd:])
+        return {node.out_port: out}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         import jax.numpy as jnp
 
+        bd = self._bd(node)
         out = self._gather(
             jnp, inputs[0].nchw(),
-            inputs[1].nchw().astype(jnp.int32), self._bd(node))
+            inputs[1].nchw().astype(jnp.int32), bd)
+        if bd and self._flat5(node):
+            out = out.reshape((-1,) + out.shape[bd:])
         return {node.out_port: TValue(out, "L")}
 
 
@@ -1447,7 +1463,14 @@ class GatherElements(Op):
                           "GatherElements")
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
-        self._axis(node, len(in_shapes[0]))  # validates
+        data, idx = in_shapes[0], in_shapes[1]
+        ax = self._axis(node, len(data))
+        if len(idx) != len(data) or any(
+            i != ax and idx[i] != data[i] for i in range(len(data))
+        ):
+            raise ValueError(
+                f"GatherElements: indices shape {tuple(idx)} must match "
+                f"data {tuple(data)} on every axis except {ax}")
         return ShapeResult({node.out_port: in_shapes[1]})
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
@@ -1474,6 +1497,10 @@ class ScatterNDUpdate(Op):
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         data, idx, upd = (in_shapes[i] for i in range(3))
         k = idx[-1]
+        if k > len(data):
+            raise ValueError(
+                f"ScatterNDUpdate: indices depth {k} exceeds data rank "
+                f"{len(data)}")
         want = tuple(idx[:-1]) + tuple(data[k:])
         if tuple(upd) != want:
             raise ValueError(
@@ -1655,7 +1682,9 @@ class CumSum(Op):
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
         ex, rev = self._flags(node)
         ax = self._axis(inputs.get(1), inputs[0].ndim)
-        out = self._apply(np, inputs[0].astype(np.float64), ax, ex, rev)
+        # native dtype: a float64 round-trip would corrupt wide int64
+        # values and diverge from the compiled path's native cumsum
+        out = self._apply(np, inputs[0], ax, ex, rev)
         return {node.out_port: out.astype(inputs[0].dtype)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
@@ -1750,9 +1779,18 @@ class SpaceToBatch(_BlockOp):
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         block, pb, pe = self._consts(node, in_values)
         shape = in_shapes[0]
+        if int(block[0]) != 1 or int(pb[0]) or int(pe[0]):
+            raise ValueError(
+                f"SpaceToBatch {node.name}: block[0] must be 1 and the "
+                "batch dim unpadded (spec)")
         out = [int(np.prod(block)) * shape[0]]
         for i in range(1, len(shape)):
-            out.append((shape[i] + int(pb[i]) + int(pe[i])) // int(block[i]))
+            padded = shape[i] + int(pb[i]) + int(pe[i])
+            if padded % int(block[i]):
+                raise ValueError(
+                    f"SpaceToBatch {node.name}: padded dim {i} = {padded} "
+                    f"not divisible by block {int(block[i])}")
+            out.append(padded // int(block[i]))
         return ShapeResult({node.out_port: tuple(out)})
 
 
@@ -1764,7 +1802,16 @@ class BatchToSpace(_BlockOp):
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         block, cb, ce = self._consts(node, in_values)
         shape = in_shapes[0]
-        out = [shape[0] // int(np.prod(block))]
+        nb = int(np.prod(block))
+        if int(block[0]) != 1 or int(cb[0]) or int(ce[0]):
+            raise ValueError(
+                f"BatchToSpace {node.name}: block[0] must be 1 and the "
+                "batch dim uncropped (spec)")
+        if shape[0] % nb:
+            raise ValueError(
+                f"BatchToSpace {node.name}: batch {shape[0]} not "
+                f"divisible by prod(block) {nb}")
+        out = [shape[0] // nb]
         for i in range(1, len(shape)):
             out.append(shape[i] * int(block[i]) - int(cb[i]) - int(ce[i]))
         return ShapeResult({node.out_port: tuple(out)})

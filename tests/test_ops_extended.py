@@ -1213,3 +1213,59 @@ class TestSpaceBatch:
         zero = b.const(np.zeros(4, np.int64))
         with pytest.raises(ValueError, match="must be"):
             b._add_node("SpaceToBatch", [x, blk, zero, zero], {}, "s")
+
+
+def test_block_op_and_scatter_validation_regressions():
+    """Fourth-review regressions: spec-invariant/divisibility validation
+    at BUILD time with named errors, and the Range builder's declared
+    dtype honoring output_type."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    b = GraphBuilder("v")
+    x = b.parameter("x", (2, 4))
+    with pytest.raises(ValueError, match="block\\[0\\] must be 1"):
+        b.space_to_batch(x, (2, 2), (0, 0), (0, 0))
+    with pytest.raises(ValueError, match="not divisible by block"):
+        b.space_to_batch(x, (1, 3), (0, 0), (0, 0))
+    x5 = b.parameter("x5", (5, 4))
+    with pytest.raises(ValueError, match="not\\s+divisible by prod"):
+        b.batch_to_space(x5, (1, 2), (0, 0), (0, 0))
+    d = b.parameter("d", (4, 3))
+    i3 = b.parameter("i3", (2, 3), dtype=np.int32)
+    u = b.parameter("u", (2,))
+    with pytest.raises(ValueError, match="exceeds data rank"):
+        b.scatter_nd_update(d, i3, u)
+    ib = b.parameter("ib", (5, 2), dtype=np.int32)  # off-axis 5 != 4
+    with pytest.raises(ValueError, match="must match"):
+        b.gather_elements(d, ib, axis=1)
+
+    r = b.range_(0, 4, 1, output_type="i32")
+    assert r.dtype == np.int32 and r.shape == (4,)
+
+
+def test_gather_nd_opset5_flattened_batch():
+    """An IR declaring GatherND version=opset5 flattens the batch dims in
+    the output (the parser retains the layer version as _opset)."""
+    import tempfile
+
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.ir.writer import write_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(6)
+    d = rng.standard_normal((2, 3, 5, 6)).astype(np.float32)
+    i = rng.integers(0, 5, (2, 3, 4, 1)).astype(np.int32)
+
+    b = GraphBuilder("g5")
+    dp = b.parameter("d", (2, 3, 5, 6))
+    ip = b.parameter("i", (2, 3, 4, 1), dtype=np.int32)
+    node = b._add_node("GatherND", [dp, ip],
+                       {"batch_dims": "2", "_opset": "opset5"})
+    b.result(node, "out")
+    m = b.build()
+    ref = Interpreter(m).run({"d": d, "i": i})["out"]
+    got = compile_model(m, Config())({"d": d, "i": i})["out"]
+    assert ref.shape == (6, 4, 6)  # opset5: (2,3) batch dims flattened
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
