@@ -1815,3 +1815,114 @@ class BatchToSpace(_BlockOp):
         for i in range(1, len(shape)):
             out.append(shape[i] * int(block[i]) - int(cb[i]) - int(ce[i]))
         return ShapeResult({node.out_port: tuple(out)})
+
+
+@register
+class Einsum(Op):
+    """opset7 Einsum over any number of inputs (transformer-export
+    contractions).  Shape inference evaluates the equation on zero-size
+    stand-ins, so every numpy-legal equation (ellipsis included) is
+    supported without a hand-rolled parser."""
+
+    type_name = "Einsum"
+
+    @staticmethod
+    def _eq(node) -> str:
+        from pyopenvino_tpu.ir import attrs as A
+
+        return A.get_str(node.attrs, "equation").replace(" ", "")
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        dummies = [np.zeros(in_shapes[i], np.float32)
+                   for i in sorted(in_shapes)]
+        try:
+            out = np.einsum(self._eq(node), *dummies)
+        except ValueError as e:
+            raise ValueError(
+                f"Einsum {node.name}: bad equation "
+                f"{self._eq(node)!r} for input shapes "
+                f"{[tuple(in_shapes[i]) for i in sorted(in_shapes)]}: {e}")
+        return ShapeResult({node.out_port: tuple(out.shape)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        arrs = [inputs[i] for i in sorted(inputs)]
+        out = np.einsum(self._eq(node), *arrs, optimize=True)
+        return {node.out_port: np.asarray(out, dtype=arrs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        arrs = [inputs[i].nchw() for i in sorted(inputs)]
+        out = jnp.einsum(
+            self._eq(node), *arrs,
+            preferred_element_type=jnp.float32)
+        return {node.out_port: TValue(out.astype(arrs[0].dtype), "L")}
+
+
+@register
+class HardSigmoid(Op):
+    """opset1 HardSigmoid: clamp(alpha·x + beta, 0, 1) with alpha/beta
+    as const inputs 1 and 2 (distinct from opset5's HSigmoid, which
+    fixes the 1/6, 1/2 coefficients)."""
+
+    type_name = "HardSigmoid"
+
+    @staticmethod
+    def _ab(vals, node):
+        a, b = vals.get(1), vals.get(2)
+        if a is None or b is None:
+            raise ValueError(
+                f"HardSigmoid {node.name}: alpha/beta must be constant")
+        return (float(np.asarray(a).reshape(())),
+                float(np.asarray(b).reshape(())))
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        a, b = self._ab(inputs, node)
+        return {node.out_port: np.clip(
+            a * inputs[0] + b, 0.0, 1.0).astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        a, b = self._ab(
+            {i: ctx.static_value(node, i) for i in (1, 2)}, node)
+        x = inputs[0].arr
+        return {node.out_port: TValue(
+            jnp.clip(a * x + b, 0.0, 1.0), inputs[0].layout)}
+
+
+@register
+class LogSoftmax(Op):
+    """opset5 LogSoftmax along an axis attr (max-subtracted, stable)."""
+
+    type_name = "LogSoftmax"
+
+    @staticmethod
+    def _axis(node, rank):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return _norm_axis(A.get_int(node.attrs, "axis", -1), rank,
+                          "LogSoftmax")
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        self._axis(node, len(in_shapes[0]))
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        ax = self._axis(node, inputs[0].ndim)
+        x = inputs[0].astype(np.float64)
+        m = x.max(axis=ax, keepdims=True)
+        z = x - m
+        out = z - np.log(np.exp(z).sum(axis=ax, keepdims=True))
+        return {node.out_port: out.astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax
+
+        ax = self._axis(node, len(inputs[0].shape))
+        x = inputs[0].nchw()
+        return {node.out_port: TValue(
+            jax.nn.log_softmax(x, axis=ax), "L")}

@@ -1269,3 +1269,75 @@ def test_gather_nd_opset5_flattened_batch():
     got = compile_model(m, Config())({"d": d, "i": i})["out"]
     assert ref.shape == (6, 4, 6)  # opset5: (2,3) batch dims flattened
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+
+class TestEinsumAndFriends:
+    def _both(self, build, feeds, atol=1e-5):
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        m = build()
+        ref = Interpreter(m).run(feeds)["out"]
+        got = compile_model(m, Config())(feeds)["out"]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=atol)
+        return ref
+
+    def test_einsum_attention_shape(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        rng = np.random.default_rng(0)
+        q = rng.standard_normal((2, 4, 8)).astype(np.float32)
+        k = rng.standard_normal((2, 5, 8)).astype(np.float32)
+
+        def build():
+            b = GraphBuilder("es")
+            qp = b.parameter("q", (2, 4, 8))
+            kp = b.parameter("k", (2, 5, 8))
+            b.result(b._add_node("Einsum", [qp, kp],
+                                 {"equation": "bqd,bkd->bqk"}), "out")
+            return b.build()
+
+        ref = self._both(build, {"q": q, "k": k})
+        np.testing.assert_allclose(
+            ref, np.einsum("bqd,bkd->bqk", q, k), rtol=1e-4, atol=1e-5)
+
+    def test_einsum_bad_equation_fails_fast(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("bad")
+        x = b.parameter("x", (2, 3))
+        with pytest.raises(ValueError, match="bad equation"):
+            b._add_node("Einsum", [x], {"equation": "ij,jk->ik"})
+
+    def test_hard_sigmoid(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        x = np.linspace(-3, 3, 13).astype(np.float32).reshape(1, 13)
+
+        def build():
+            b = GraphBuilder("hs")
+            p = b.parameter("x", (1, 13))
+            b.result(b._add_node("HardSigmoid", [
+                p, b.const(np.float32(0.4)), b.const(np.float32(0.3))
+            ], {}), "out")
+            return b.build()
+
+        ref = self._both(build, {"x": x})
+        np.testing.assert_allclose(
+            ref, np.clip(0.4 * x + 0.3, 0, 1), rtol=1e-6)
+
+    def test_log_softmax(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        rng = np.random.default_rng(1)
+        x = (rng.standard_normal((3, 7)) * 20).astype(np.float32)
+
+        def build():
+            b = GraphBuilder("ls")
+            p = b.parameter("x", (3, 7))
+            b.result(b._add_node("LogSoftmax", [p], {"axis": "1"}), "out")
+            return b.build()
+
+        ref = self._both(build, {"x": x}, atol=1e-4)
+        np.testing.assert_allclose(
+            np.exp(ref).sum(axis=1), np.ones(3), rtol=1e-5)
