@@ -1851,11 +1851,18 @@ class Einsum(Op):
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         import jax.numpy as jnp
+        from jax import lax
 
         arrs = [inputs[i].nchw() for i in sorted(inputs)]
         out = jnp.einsum(
             self._eq(node), *arrs,
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            # f32 means full f32: without HIGHEST the TPU MXU contracts
+            # in bf16 and the interpreter twin diverges by ~3e-2 (the
+            # same rule as conv/matmul)
+            precision=(lax.Precision.HIGHEST
+                       if arrs[0].dtype == jnp.float32
+                       else lax.Precision.DEFAULT))
         return {node.out_port: TValue(out.astype(arrs[0].dtype), "L")}
 
 
