@@ -1933,3 +1933,218 @@ class LogSoftmax(Op):
         x = inputs[0].nchw()
         return {node.out_port: TValue(
             jax.nn.log_softmax(x, axis=ax), "L")}
+
+
+@register
+class Sin(_Unary):
+    type_name = "Sin"
+
+    def _apply_np(self, node, x):
+        return np.sin(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.sin(x)
+
+@register
+class Cos(_Unary):
+    type_name = "Cos"
+
+    def _apply_np(self, node, x):
+        return np.cos(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.cos(x)
+
+@register
+class Tan(_Unary):
+    type_name = "Tan"
+
+    def _apply_np(self, node, x):
+        return np.tan(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.tan(x)
+
+@register
+class Asin(_Unary):
+    type_name = "Asin"
+
+    def _apply_np(self, node, x):
+        return np.asin(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.asin(x)
+
+@register
+class Acos(_Unary):
+    type_name = "Acos"
+
+    def _apply_np(self, node, x):
+        return np.acos(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.acos(x)
+
+@register
+class Atan(_Unary):
+    type_name = "Atan"
+
+    def _apply_np(self, node, x):
+        return np.atan(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.atan(x)
+
+@register
+class Sinh(_Unary):
+    type_name = "Sinh"
+
+    def _apply_np(self, node, x):
+        return np.sinh(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.sinh(x)
+
+@register
+class Cosh(_Unary):
+    type_name = "Cosh"
+
+    def _apply_np(self, node, x):
+        return np.cosh(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.cosh(x)
+
+@register
+class Asinh(_Unary):
+    type_name = "Asinh"
+
+    def _apply_np(self, node, x):
+        return np.asinh(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.asinh(x)
+
+@register
+class Acosh(_Unary):
+    type_name = "Acosh"
+
+    def _apply_np(self, node, x):
+        return np.acosh(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.acosh(x)
+
+@register
+class Atanh(_Unary):
+    type_name = "Atanh"
+
+    def _apply_np(self, node, x):
+        return np.atanh(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.atanh(x)
+
+@register
+class Sign(_Unary):
+    type_name = "Sign"
+
+    def _apply_np(self, node, x):
+        return np.sign(x)
+
+    def _apply_jx(self, node, x):
+        import jax.numpy as jnp
+
+        return jnp.sign(x)
+
+@register
+class Round(_Unary):
+    """opset5 Round, half_to_even (banker's) mode — numpy/jax rint
+    semantics; half_away_from_zero is refused."""
+
+    type_name = "Round"
+
+    @staticmethod
+    def _check(node):
+        from pyopenvino_tpu.ir import attrs as A
+
+        mode = A.get_str(node.attrs, "mode", "half_to_even")
+        if mode != "half_to_even":
+            raise NotImplementedError(
+                f"Round mode {mode!r} unsupported (half_to_even only)")
+
+    def _apply_np(self, node, x):
+        self._check(node)
+        return np.rint(x)
+
+    def _apply_jx(self, node, x):
+        self._check(node)
+        import jax.numpy as jnp
+
+        return jnp.rint(x)
+
+
+@register
+class ShuffleChannels(Op):
+    """opset1 ShuffleChannels: the fused channel-shuffle MO emits for
+    ShuffleNet IRs (our programmatic family spells it as
+    reshape/transpose; exported IRs carry this op)."""
+
+    type_name = "ShuffleChannels"
+
+    @staticmethod
+    def _ag(node, rank):
+        from pyopenvino_tpu.ir import attrs as A
+
+        axis = _norm_axis(A.get_int(node.attrs, "axis", 1), rank,
+                          "ShuffleChannels")
+        return axis, A.get_int(node.attrs, "group", 1)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        axis, g = self._ag(node, len(in_shapes[0]))
+        if in_shapes[0][axis] % g:
+            raise ValueError(
+                f"ShuffleChannels {node.name}: axis extent "
+                f"{in_shapes[0][axis]} not divisible by group {g}")
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    @staticmethod
+    def _shuffle(xp, x, axis, g):
+        s = x.shape
+        split = s[:axis] + (g, s[axis] // g) + s[axis + 1:]
+        perm = list(range(len(split)))
+        perm[axis], perm[axis + 1] = perm[axis + 1], perm[axis]
+        return xp.transpose(x.reshape(split), perm).reshape(s)
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axis, g = self._ag(node, inputs[0].ndim)
+        return {node.out_port: self._shuffle(np, inputs[0], axis, g)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        axis, g = self._ag(node, x.ndim)
+        return {node.out_port: TValue(self._shuffle(jnp, x, axis, g), "L")}

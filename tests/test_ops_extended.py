@@ -1341,3 +1341,60 @@ class TestEinsumAndFriends:
         ref = self._both(build, {"x": x}, atol=1e-4)
         np.testing.assert_allclose(
             np.exp(ref).sum(axis=1), np.ones(3), rtol=1e-5)
+
+
+def test_trig_family_and_round_and_shuffle():
+    """Sin..Atanh + Sign + Round(half_to_even) + ShuffleChannels —
+    interpreter vs XLA on every op."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-0.9, 0.9, (2, 8)).astype(np.float32)
+    for op, np_fn in [
+        ("Sin", np.sin), ("Cos", np.cos), ("Tan", np.tan),
+        ("Asin", np.arcsin), ("Acos", np.arccos), ("Atan", np.arctan),
+        ("Sinh", np.sinh), ("Cosh", np.cosh), ("Atanh", np.arctanh),
+        ("Sign", np.sign), ("Round", np.rint),
+    ]:
+        b = GraphBuilder(op.lower())
+        p = b.parameter("x", (2, 8))
+        b.result(b.unary(op, p), "out")
+        m = b.build()
+        want = np_fn(x).astype(np.float32)
+        np.testing.assert_allclose(
+            Interpreter(m).run({"x": x})["out"], want, rtol=1e-5,
+            atol=1e-6, err_msg=op)
+        np.testing.assert_allclose(
+            compile_model(m, Config())({"x": x})["out"], want,
+            rtol=1e-4, atol=1e-5, err_msg=op)
+
+    # Acosh/Asinh need their own domains
+    xa = rng.uniform(1.1, 3.0, (2, 8)).astype(np.float32)
+    for op, np_fn in [("Acosh", np.arccosh), ("Asinh", np.arcsinh)]:
+        b = GraphBuilder(op.lower())
+        p = b.parameter("x", (2, 8))
+        b.result(b.unary(op, p), "out")
+        m = b.build()
+        np.testing.assert_allclose(
+            compile_model(m, Config())({"x": xa})["out"],
+            np_fn(xa).astype(np.float32), rtol=1e-4, atol=1e-5,
+            err_msg=op)
+
+    # ShuffleChannels == the reshape/transpose shuffle
+    xs = rng.standard_normal((1, 12, 3, 3)).astype(np.float32)
+    b = GraphBuilder("sc")
+    p = b.parameter("x", (1, 12, 3, 3))
+    b.result(b._add_node("ShuffleChannels", [p],
+                         {"axis": "1", "group": "3"}), "out")
+    m = b.build()
+    want = xs.reshape(1, 3, 4, 3, 3).transpose(0, 2, 1, 3, 4).reshape(
+        1, 12, 3, 3)
+    np.testing.assert_allclose(Interpreter(m).run({"x": xs})["out"], want)
+    np.testing.assert_allclose(
+        compile_model(m, Config())({"x": xs})["out"], want, rtol=1e-6)
+    bb = GraphBuilder("bad")
+    pb = bb.parameter("x", (1, 10, 2, 2))
+    with pytest.raises(ValueError, match="not divisible"):
+        bb._add_node("ShuffleChannels", [pb], {"axis": "1", "group": "3"})
