@@ -114,8 +114,9 @@ def test_ssd_synthetic_weights_sparse_detections():
         assert max(confs) < 0.99 and min(confs) >= 0.3
 
 
-@pytest.mark.parametrize("family",
-                         ["mnist_bn_real", "shapes_resnet", "keras_digits"])
+@pytest.mark.parametrize(
+    "family",
+    ["mnist_bn_real", "shapes_resnet", "keras_digits", "torch_digits"])
 def test_trained_weight_int8_gates(family):
     """The BASELINE accuracy gate on REAL trained weights with real
     labels: INT8w and INT8-FULL top-1 within 0.5% of FP32, measured

@@ -15,10 +15,11 @@ the push-button path for real weights (the reference's are stripped,
 /root/reference/models/.MISSING_LARGE_BLOBS).  Mirrors the semantic
 accuracy pinning of the reference's integrity_test.py:108,133-152.
 
-Four TRAINED families carry real labels built in (no --labels file):
-``mnist_bn_real``, ``shapes_resnet`` and ``keras_digits`` (top-1 vs real
-class labels; keras_digits is trained in Keras and converted with
-tools/tf_convert.py, so its row also gates the converter) and
+Five TRAINED families carry real labels built in (no --labels file):
+``mnist_bn_real``, ``shapes_resnet``, ``keras_digits`` and
+``torch_digits`` (top-1 vs real class labels; the latter two are trained
+in Keras/PyTorch and converted with tools/tf_convert.py /
+tools/torch_convert.py, so their rows also gate the converters) and
 ``shapes_ssd`` (a trained toy SSD whose mAP runs the full COCO IoU grid
 against real ground-truth boxes) — tools/train_real.py weights,
 tools/datasets.py labeled eval sets on a seed disjoint from training.
@@ -70,6 +71,8 @@ MODELS = {
     "shapes_ssd": ("data", (1, 3, 96, 96), "det"),
     # Keras-trained + tf_convert'd — this row also gates the converter
     "keras_digits": ("data", (1, 1, 28, 28), "cls"),
+    # Torch-trained + torch_convert'd — gates the torch on-ramp
+    "torch_digits": ("data", (1, 1, 28, 28), "cls"),
 }
 
 # trained family → (trained artifact name, labeled dataset fn name).
@@ -82,6 +85,7 @@ TRAINED = {
     # mAP gate runs the full COCO IoU grid against real ground truth
     "shapes_ssd": ("shapes_ssd", "shapes_det"),
     "keras_digits": ("keras_digits", "digits"),
+    "torch_digits": ("torch_digits", "digits"),
 }
 EVAL_SEED = 777
 CAL_SEED = 778  # calibration draws its own samples, not the eval set

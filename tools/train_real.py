@@ -695,6 +695,78 @@ def _verify_export_keras(xml: str, km):
     print(f"{os.path.basename(xml)}: IR-vs-Keras max prob diff {diff:.2e}")
 
 
+# -- Torch-trained digits (gates tools/torch_convert.py end to end) ----------
+
+def train_torch_digits(steps: int):
+    """Train a small torch CNN (with BatchNorm — the fold must reproduce
+    real running stats) on the labeled digits task; returns
+    (module.eval(), val_acc).  The converted-IR gate on this family
+    validates tools/torch_convert.py the way keras_digits validates the
+    TF on-ramp."""
+    import torch
+    import torch.nn as nn
+
+    from tools.datasets import digits
+
+    x, y = digits(12000, seed=20)
+    x = (x / 255.0).astype(np.float32)
+    xv = torch.from_numpy(x[:1000])
+    yv = torch.from_numpy(y[:1000].astype(np.int64))
+    xt = torch.from_numpy(x[1000:])
+    yt = torch.from_numpy(y[1000:].astype(np.int64))
+
+    torch.manual_seed(0)
+    net = nn.Sequential(
+        nn.Conv2d(1, 16, 3, padding=1, bias=False),
+        nn.BatchNorm2d(16), nn.ReLU(), nn.MaxPool2d(2),
+        nn.Conv2d(16, 32, 3, padding=1, bias=False),
+        nn.BatchNorm2d(32), nn.ReLU(), nn.MaxPool2d(2),
+        nn.Flatten(),
+        nn.Linear(32 * 7 * 7, 64), nn.ReLU(),
+        nn.Linear(64, 10),
+    )
+    opt = torch.optim.Adam(net.parameters(), 1e-3)
+    loss_fn = nn.CrossEntropyLoss()
+    g = torch.Generator().manual_seed(1)
+    net.train()
+    for i in range(steps):
+        idx = torch.randint(0, len(yt), (128,), generator=g)
+        opt.zero_grad()
+        loss = loss_fn(net(xt[idx]), yt[idx])
+        loss.backward()
+        opt.step()
+        if (i + 1) % 200 == 0:
+            net.eval()
+            with torch.no_grad():
+                acc = float((net(xv).argmax(1) == yv).float().mean())
+            print(f"torch_digits step {i + 1}: loss {float(loss):.4f} "
+                  f"val-acc {acc:.3f}")
+            net.train()
+    net.eval()
+    with torch.no_grad():
+        val = float((net(xv).argmax(1) == yv).float().mean())
+    return net, val
+
+
+def _verify_export_torch(xml: str, net):
+    """Converted IR must match the torch eval forward bit-tight."""
+    import numpy as _np
+    import torch
+
+    from pyopenvino_tpu import IECore
+
+    ie = IECore()
+    exe = ie.load_network(ie.read_network(xml), "TPU")
+    rng = _np.random.default_rng(3)
+    blob = rng.uniform(0, 255, (1, 1, 28, 28)).astype(_np.float32)
+    got = next(iter(exe.infer({"data": blob}).values())).reshape(-1)
+    with torch.no_grad():
+        want = net(torch.from_numpy(blob / 255.0)).numpy().reshape(-1)
+    diff = float(_np.abs(got - want).max())
+    assert diff < 1e-4, f"torch conversion parity broke: max diff {diff}"
+    print(f"{os.path.basename(xml)}: IR-vs-torch max logit diff {diff:.2e}")
+
+
 # -- artifact cache --------------------------------------------------------------
 
 TRAINED = {
@@ -703,6 +775,7 @@ TRAINED = {
     "shapes_resnet": ("data", 1400),
     "shapes_ssd": ("data", 3000),
     "keras_digits": ("data", 800),
+    "torch_digits": ("data", 1600),
 }
 
 
@@ -745,6 +818,20 @@ def trained_model_paths(name: str, steps: int | None = None):
         write_ir_model(
             convert_keras_model(km, scale=255.0, input_name="data"), xml)
         _verify_export_keras(xml, km)
+    elif name == "torch_digits":
+        from pyopenvino_tpu.ir.writer import write_ir_model
+        from tools.torch_convert import convert_torch_module
+
+        tnet, val = train_torch_digits(steps)
+        print(f"torch_digits final val-acc {val:.3f}")
+        m = convert_torch_module(tnet, (1, 1, 28, 28), "torch_digits")
+        # MO --scale parity: fold 1/255 into the first conv like every
+        # other family (callers feed raw 0-255 pixels)
+        first = next(n for n in m.nodes.values() if n.op_type == "Const"
+                     and n.const is not None and n.const.ndim == 4)
+        first.const = (first.const / 255.0).astype(np.float32)
+        write_ir_model(m, xml)
+        _verify_export_torch(xml, tnet)
     else:
         raise KeyError(name)
     _stamp_gen_version(xml, TRAINER_VERSION)
