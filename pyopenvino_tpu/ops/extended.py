@@ -1817,12 +1817,67 @@ class BatchToSpace(_BlockOp):
         return ShapeResult({node.out_port: tuple(out)})
 
 
+def _einsum_out_shape(eq, shapes):
+    """Label-based einsum output shape (no tensor materialization —
+    shape inference runs per compile/interpret pass, so evaluating the
+    contraction on dummies would cost real FLOPs and peak-sized
+    allocations).  Supports explicit and implicit outputs and one
+    ellipsis per operand with numpy broadcasting."""
+    if "->" in eq:
+        lhs, rhs = eq.split("->")
+    else:
+        lhs, rhs = eq, None
+    terms = lhs.split(",")
+    if len(terms) != len(shapes):
+        raise ValueError(
+            f"{len(terms)} equation operands != {len(shapes)} inputs")
+    dims = {}
+    batch_shape = ()
+    counts = {}
+    for term, shape in zip(terms, shapes):
+        if "..." in term:
+            head, tail = term.split("...")
+            labels = list(head) + list(tail)
+            if len(labels) > len(shape):
+                raise ValueError(f"term {term!r} too long for {shape}")
+            n_ell = len(shape) - len(labels)
+            ell = shape[len(head):len(head) + n_ell]
+            batch_shape = tuple(
+                int(d) for d in np.broadcast_shapes(batch_shape, ell))
+            axes = list(shape[:len(head)]) + list(shape[len(head) + n_ell:])
+        else:
+            labels = list(term)
+            if len(labels) != len(shape):
+                raise ValueError(f"term {term!r} rank != {shape}")
+            axes = list(shape)
+        for lab, d in zip(labels, axes):
+            if lab in dims and dims[lab] != d and 1 not in (dims[lab], d):
+                raise ValueError(
+                    f"label {lab!r} bound to both {dims[lab]} and {d}")
+            dims[lab] = max(dims.get(lab, 1), int(d))
+            counts[lab] = counts.get(lab, 0) + 1
+    if rhs is None:
+        rhs = ("..." if any("..." in t for t in terms) else "") + "".join(
+            sorted(lab for lab, c in counts.items() if c == 1))
+    out = []
+    for part in rhs.split("..."):
+        out.append(tuple(dims[lab] if lab in dims else _raise_lab(lab)
+                         for lab in part))
+    if "..." in rhs:
+        return out[0] + batch_shape + out[1]
+    return out[0]
+
+
+def _raise_lab(lab):
+    raise ValueError(f"output label {lab!r} not present in inputs")
+
+
 @register
 class Einsum(Op):
     """opset7 Einsum over any number of inputs (transformer-export
-    contractions).  Shape inference evaluates the equation on zero-size
-    stand-ins, so every numpy-legal equation (ellipsis included) is
-    supported without a hand-rolled parser."""
+    contractions).  Output shapes come from label arithmetic
+    (_einsum_out_shape) — nothing is materialized at shape-inference
+    time."""
 
     type_name = "Einsum"
 
@@ -1833,16 +1888,14 @@ class Einsum(Op):
         return A.get_str(node.attrs, "equation").replace(" ", "")
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
-        dummies = [np.zeros(in_shapes[i], np.float32)
-                   for i in sorted(in_shapes)]
+        shapes = [tuple(in_shapes[i]) for i in sorted(in_shapes)]
         try:
-            out = np.einsum(self._eq(node), *dummies)
+            out = _einsum_out_shape(self._eq(node), shapes)
         except ValueError as e:
             raise ValueError(
                 f"Einsum {node.name}: bad equation "
-                f"{self._eq(node)!r} for input shapes "
-                f"{[tuple(in_shapes[i]) for i in sorted(in_shapes)]}: {e}")
-        return ShapeResult({node.out_port: tuple(out.shape)})
+                f"{self._eq(node)!r} for input shapes {shapes}: {e}")
+        return ShapeResult({node.out_port: out})
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
         arrs = [inputs[i] for i in sorted(inputs)]
@@ -1911,7 +1964,8 @@ class LogSoftmax(Op):
     def _axis(node, rank):
         from pyopenvino_tpu.ir import attrs as A
 
-        return _norm_axis(A.get_int(node.attrs, "axis", -1), rank,
+        # opset5 default axis is 1, like this repo's SoftMax
+        return _norm_axis(A.get_int(node.attrs, "axis", 1), rank,
                           "LogSoftmax")
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
@@ -1936,153 +1990,94 @@ class LogSoftmax(Op):
 
 
 @register
-class Sin(_Unary):
+class Sin(_UnaryAttr):
     type_name = "Sin"
 
-    def _apply_np(self, node, x):
-        return np.sin(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.sin(x)
+    def _formula(self, node, x, m):
+        return m.sin(x)
 
 @register
-class Cos(_Unary):
+class Cos(_UnaryAttr):
     type_name = "Cos"
 
-    def _apply_np(self, node, x):
-        return np.cos(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.cos(x)
+    def _formula(self, node, x, m):
+        return m.cos(x)
 
 @register
-class Tan(_Unary):
+class Tan(_UnaryAttr):
     type_name = "Tan"
 
-    def _apply_np(self, node, x):
-        return np.tan(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.tan(x)
+    def _formula(self, node, x, m):
+        return m.tan(x)
 
 @register
-class Asin(_Unary):
+class Asin(_UnaryAttr):
     type_name = "Asin"
 
-    def _apply_np(self, node, x):
-        return np.asin(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.asin(x)
+    def _formula(self, node, x, m):
+        return m.arcsin(x)
 
 @register
-class Acos(_Unary):
+class Acos(_UnaryAttr):
     type_name = "Acos"
 
-    def _apply_np(self, node, x):
-        return np.acos(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.acos(x)
+    def _formula(self, node, x, m):
+        return m.arccos(x)
 
 @register
-class Atan(_Unary):
+class Atan(_UnaryAttr):
     type_name = "Atan"
 
-    def _apply_np(self, node, x):
-        return np.atan(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.atan(x)
+    def _formula(self, node, x, m):
+        return m.arctan(x)
 
 @register
-class Sinh(_Unary):
+class Sinh(_UnaryAttr):
     type_name = "Sinh"
 
-    def _apply_np(self, node, x):
-        return np.sinh(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.sinh(x)
+    def _formula(self, node, x, m):
+        return m.sinh(x)
 
 @register
-class Cosh(_Unary):
+class Cosh(_UnaryAttr):
     type_name = "Cosh"
 
-    def _apply_np(self, node, x):
-        return np.cosh(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.cosh(x)
+    def _formula(self, node, x, m):
+        return m.cosh(x)
 
 @register
-class Asinh(_Unary):
+class Asinh(_UnaryAttr):
     type_name = "Asinh"
 
-    def _apply_np(self, node, x):
-        return np.asinh(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.asinh(x)
+    def _formula(self, node, x, m):
+        return m.arcsinh(x)
 
 @register
-class Acosh(_Unary):
+class Acosh(_UnaryAttr):
     type_name = "Acosh"
 
-    def _apply_np(self, node, x):
-        return np.acosh(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.acosh(x)
+    def _formula(self, node, x, m):
+        return m.arccosh(x)
 
 @register
-class Atanh(_Unary):
+class Atanh(_UnaryAttr):
     type_name = "Atanh"
 
-    def _apply_np(self, node, x):
-        return np.atanh(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.atanh(x)
+    def _formula(self, node, x, m):
+        return m.arctanh(x)
 
 @register
-class Sign(_Unary):
+class Sign(_UnaryAttr):
     type_name = "Sign"
 
-    def _apply_np(self, node, x):
-        return np.sign(x)
-
-    def _apply_jx(self, node, x):
-        import jax.numpy as jnp
-
-        return jnp.sign(x)
+    def _formula(self, node, x, m):
+        return m.sign(x)
 
 @register
-class Round(_Unary):
+class Round(_UnaryAttr):
     """opset5 Round, half_to_even (banker's) mode — numpy/jax rint
-    semantics; half_away_from_zero is refused."""
+    semantics; half_away_from_zero is refused AT BUILD TIME (fail-fast
+    convention)."""
 
     type_name = "Round"
 
@@ -2095,15 +2090,13 @@ class Round(_Unary):
             raise NotImplementedError(
                 f"Round mode {mode!r} unsupported (half_to_even only)")
 
-    def _apply_np(self, node, x):
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         self._check(node)
-        return np.rint(x)
+        return super().infer_shapes(node, in_shapes, in_values)
 
-    def _apply_jx(self, node, x):
+    def _formula(self, node, x, m):
         self._check(node)
-        import jax.numpy as jnp
-
-        return jnp.rint(x)
+        return m.rint(x)
 
 
 @register

@@ -1398,3 +1398,32 @@ def test_trig_family_and_round_and_shuffle():
     pb = bb.parameter("x", (1, 10, 2, 2))
     with pytest.raises(ValueError, match="not divisible"):
         bb._add_node("ShuffleChannels", [pb], {"axis": "1", "group": "3"})
+
+
+def test_einsum_shape_arithmetic_no_materialization():
+    """Einsum output shapes come from label arithmetic: implicit outputs
+    follow the numpy sorted-once rule and one ellipsis per operand
+    broadcasts — no dummy tensors are built (the old dummy-evaluation
+    path cost real FLOPs per shape-inference pass)."""
+    from pyopenvino_tpu.ops.extended import _einsum_out_shape
+
+    assert _einsum_out_shape("ij,jk->ik", [(2, 3), (3, 4)]) == (2, 4)
+    assert _einsum_out_shape("ij,jk", [(2, 3), (3, 4)]) == (2, 4)
+    assert _einsum_out_shape("ii", [(5, 5)]) == ()
+    assert _einsum_out_shape("...ij,...jk->...ik",
+                             [(7, 1, 2, 3), (4, 3, 5)]) == (7, 4, 2, 5)
+    assert _einsum_out_shape("bqd,bkd->bqk",
+                             [(2, 4, 8), (2, 5, 8)]) == (2, 4, 5)
+    with pytest.raises(ValueError, match="bound to both"):
+        _einsum_out_shape("ij,jk->ik", [(2, 3), (4, 5)])
+    with pytest.raises(ValueError, match="not present"):
+        _einsum_out_shape("ij->iz", [(2, 3)])
+
+
+def test_round_bad_mode_fails_at_build():
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    b = GraphBuilder("rm")
+    x = b.parameter("x", (1, 4))
+    with pytest.raises(NotImplementedError, match="half_to_even"):
+        b._add_node("Round", [x], {"mode": "half_away_from_zero"})

@@ -825,11 +825,13 @@ def trained_model_paths(name: str, steps: int | None = None):
         tnet, val = train_torch_digits(steps)
         print(f"torch_digits final val-acc {val:.3f}")
         m = convert_torch_module(tnet, (1, 1, 28, 28), "torch_digits")
-        # MO --scale parity: fold 1/255 into the first conv like every
-        # other family (callers feed raw 0-255 pixels)
-        first = next(n for n in m.nodes.values() if n.op_type == "Const"
-                     and n.const is not None and n.const.ndim == 4)
-        first.const = (first.const / 255.0).astype(np.float32)
+        # MO --scale parity: fold 1/255 into the FIRST Convolution's
+        # weight (selected via its weight edge, not a first-4D-const
+        # heuristic that would silently mis-scale if node order changed)
+        conv1 = next(n for n in m if n.op_type == "Convolution")
+        wsrc, _ = m.in_edges[conv1.id][1]
+        wnode = m.nodes[wsrc]
+        wnode.const = (wnode.const / 255.0).astype(np.float32)
         write_ir_model(m, xml)
         _verify_export_torch(xml, tnet)
     else:
