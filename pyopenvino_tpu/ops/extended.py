@@ -2141,3 +2141,47 @@ class ShuffleChannels(Op):
         x = inputs[0].nchw()
         axis, g = self._ag(node, x.ndim)
         return {node.out_port: TValue(self._shuffle(jnp, x, axis, g), "L")}
+
+
+@register
+class Selu(Op):
+    """opset1 Selu: alpha/lambda as const inputs 1 and 2."""
+
+    type_name = "Selu"
+
+    @staticmethod
+    def _al(vals, node):
+        a, l = vals.get(1), vals.get(2)
+        if a is None or l is None:
+            raise ValueError(
+                f"Selu {node.name}: alpha/lambda must be constant")
+        return (float(np.asarray(a).reshape(())),
+                float(np.asarray(l).reshape(())))
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        a, l = self._al(inputs, node)
+        x = inputs[0]
+        out = l * np.where(x > 0, x, a * (np.exp(np.minimum(x, 0)) - 1))
+        return {node.out_port: out.astype(x.dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        a, l = self._al(
+            {i: ctx.static_value(node, i) for i in (1, 2)}, node)
+        x = inputs[0].arr
+        out = l * jnp.where(x > 0, x, a * (jnp.exp(jnp.minimum(x, 0)) - 1))
+        return {node.out_port: TValue(out, inputs[0].layout)}
+
+
+@register
+class SoftSign(_UnaryAttr):
+    """opset9 SoftSign: x / (1 + |x|)."""
+
+    type_name = "SoftSign"
+
+    def _formula(self, node, x, m):
+        return x / (1.0 + m.abs(x))

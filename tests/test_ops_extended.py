@@ -1427,3 +1427,36 @@ def test_round_bad_mode_fails_at_build():
     x = b.parameter("x", (1, 4))
     with pytest.raises(NotImplementedError, match="half_to_even"):
         b._add_node("Round", [x], {"mode": "half_away_from_zero"})
+
+
+def test_selu_softsign():
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 9)).astype(np.float32)
+
+    b = GraphBuilder("selu")
+    p = b.parameter("x", (2, 9))
+    b.result(b._add_node("Selu", [
+        p, b.const(np.float32(1.6733)), b.const(np.float32(1.0507))
+    ], {}), "out")
+    m = b.build()
+    want = 1.0507 * np.where(x > 0, x, 1.6733 * (np.exp(x) - 1))
+    np.testing.assert_allclose(
+        Interpreter(m).run({"x": x})["out"], want, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        compile_model(m, Config())({"x": x})["out"], want, rtol=1e-4,
+        atol=1e-5)
+
+    b2 = GraphBuilder("ss")
+    p2 = b2.parameter("x", (2, 9))
+    b2.result(b2.unary("SoftSign", p2), "out")
+    m2 = b2.build()
+    want2 = x / (1 + np.abs(x))
+    np.testing.assert_allclose(
+        Interpreter(m2).run({"x": x})["out"], want2, rtol=1e-6)
+    np.testing.assert_allclose(
+        compile_model(m2, Config())({"x": x})["out"], want2, rtol=1e-5,
+        atol=1e-6)
