@@ -2185,3 +2185,96 @@ class SoftSign(_UnaryAttr):
 
     def _formula(self, node, x, m):
         return x / (1.0 + m.abs(x))
+
+
+@register
+class FloorMod(_Binary):
+    """opset1 FloorMod: remainder with the divisor's sign (python %)."""
+
+    type_name = "FloorMod"
+    np_fn = _cmp(np.mod, "mod")
+
+
+@register
+class Mod(_Binary):
+    """opset1 Mod: C-style truncated remainder (dividend's sign)."""
+
+    type_name = "Mod"
+
+    @staticmethod
+    def np_fn(a, b):
+        if isinstance(a, np.ndarray) and isinstance(b, np.ndarray):
+            return np.fmod(a, b)
+        import jax.numpy as jnp
+
+        return jnp.fmod(a, b)
+
+
+@register
+class SquaredDifference(_Binary):
+    type_name = "SquaredDifference"
+
+    @staticmethod
+    def np_fn(a, b):
+        d = a - b
+        return d * d
+
+
+@register
+class ReverseSequence(Op):
+    """opset1 ReverseSequence: per-batch-row, reverse the first
+    seq_lengths[b] elements along seq_axis (the bidirectional-RNN
+    export helper)."""
+
+    type_name = "ReverseSequence"
+
+    @staticmethod
+    def _axes(node, rank):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return (_norm_axis(A.get_int(node.attrs, "batch_axis", 0), rank,
+                           "ReverseSequence"),
+                _norm_axis(A.get_int(node.attrs, "seq_axis", 1), rank,
+                           "ReverseSequence"))
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        ba, sa = self._axes(node, len(in_shapes[0]))
+        if ba == sa:
+            raise ValueError(
+                "ReverseSequence: batch_axis == seq_axis")
+        if in_shapes[1][0] != in_shapes[0][ba]:
+            raise ValueError(
+                f"ReverseSequence: seq_lengths size {in_shapes[1][0]} != "
+                f"batch extent {in_shapes[0][ba]}")
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    @staticmethod
+    def _index(xp, shape, lens, ba, sa):
+        """Gather index along seq_axis: t < len → len-1-t, else t."""
+        t = xp.arange(shape[sa])
+        view_t = [1] * len(shape)
+        view_t[sa] = shape[sa]
+        view_l = [1] * len(shape)
+        view_l[ba] = shape[ba]
+        tt = t.reshape(view_t)
+        ll = xp.asarray(lens).reshape(view_l)
+        return xp.where(tt < ll, ll - 1 - tt, tt)
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        x = inputs[0]
+        ba, sa = self._axes(node, x.ndim)
+        idx = self._index(np, x.shape, np.asarray(inputs[1], np.int64),
+                          ba, sa)
+        idx = np.broadcast_to(idx, x.shape)
+        return {node.out_port: np.take_along_axis(x, idx, axis=sa)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        ba, sa = self._axes(node, x.ndim)
+        idx = self._index(jnp, x.shape,
+                          inputs[1].nchw().astype(jnp.int32), ba, sa)
+        idx = jnp.broadcast_to(idx, x.shape)
+        return {node.out_port: TValue(
+            jnp.take_along_axis(x, idx, axis=sa), "L")}

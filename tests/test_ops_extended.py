@@ -1460,3 +1460,51 @@ def test_selu_softsign():
     np.testing.assert_allclose(
         compile_model(m2, Config())({"x": x})["out"], want2, rtol=1e-5,
         atol=1e-6)
+
+
+def test_mod_family_and_reverse_sequence():
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(8)
+    a = (rng.standard_normal((2, 6)) * 5).astype(np.float32)
+    bb = np.where(np.abs(rng.standard_normal((2, 6))) < 0.1, 1.0,
+                  rng.standard_normal((2, 6)) * 3).astype(np.float32)
+    for op, np_fn in [("FloorMod", np.mod), ("Mod", np.fmod),
+                      ("SquaredDifference", lambda x, y: (x - y) ** 2)]:
+        b = GraphBuilder(op.lower())
+        pa = b.parameter("a", (2, 6))
+        pb = b.parameter("b", (2, 6))
+        b.result(b._add_node(op, [pa, pb],
+                             {"auto_broadcast": "numpy"}), "out")
+        m = b.build()
+        want = np_fn(a, bb).astype(np.float32)
+        np.testing.assert_allclose(
+            Interpreter(m).run({"a": a, "b": bb})["out"], want,
+            rtol=1e-5, atol=1e-5, err_msg=op)
+        np.testing.assert_allclose(
+            compile_model(m, Config())({"a": a, "b": bb})["out"], want,
+            rtol=1e-4, atol=1e-4, err_msg=op)
+
+    # ReverseSequence: rows reverse only their first seq_lengths[b] steps
+    x = np.arange(2 * 5 * 3, dtype=np.float32).reshape(2, 5, 3)
+    lens = np.asarray([3, 5], np.int32)
+    b = GraphBuilder("rs")
+    px = b.parameter("x", (2, 5, 3))
+    pl = b.parameter("l", (2,), dtype=np.int32)
+    b.result(b._add_node("ReverseSequence", [px, pl],
+                         {"batch_axis": "0", "seq_axis": "1"}), "out")
+    m = b.build()
+    want = x.copy()
+    want[0, :3] = x[0, :3][::-1]
+    want[1, :5] = x[1, :5][::-1]
+    np.testing.assert_allclose(
+        Interpreter(m).run({"x": x, "l": lens})["out"], want)
+    np.testing.assert_allclose(
+        compile_model(m, Config())({"x": x, "l": lens})["out"], want)
+    bbad = GraphBuilder("bad")
+    pxb = bbad.parameter("x", (2, 5))
+    plb = bbad.parameter("l", (3,), dtype=np.int32)
+    with pytest.raises(ValueError, match="batch extent"):
+        bbad._add_node("ReverseSequence", [pxb, plb], {})
