@@ -2278,3 +2278,215 @@ class ReverseSequence(Op):
         idx = jnp.broadcast_to(idx, x.shape)
         return {node.out_port: TValue(
             jnp.take_along_axis(x, idx, axis=sa), "L")}
+
+
+@register
+class BatchNormInference(Op):
+    """opset5 BatchNormInference: (x - mean)/sqrt(var + eps) · gamma +
+    beta per channel (axis 1).  Input order: x, gamma, beta, mean, var.
+    (MO usually folds BN into Multiply/Add — passes/fold_scale.py — but
+    IRs that keep the explicit op run it directly.)"""
+
+    type_name = "BatchNormInference"
+
+    @staticmethod
+    def _eps(node) -> float:
+        from pyopenvino_tpu.ir import attrs as A
+
+        return A.get_float(node.attrs, "epsilon", 1e-5)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        c = in_shapes[0][1]
+        for i in range(1, 5):
+            if int(np.prod(in_shapes[i])) != c:
+                raise ValueError(
+                    f"BatchNormInference {node.name}: input {i} has "
+                    f"{in_shapes[i]} elements for C={c}")
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    @staticmethod
+    def _bn(xp, x, g, b, mean, var, eps):
+        view = (1, -1) + (1,) * (x.ndim - 2)
+        s = (g / xp.sqrt(var + eps)).reshape(view)
+        sh = (b - mean * (g / xp.sqrt(var + eps))).reshape(view)
+        return x * s + sh
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        x = inputs[0]
+        args = [np.asarray(inputs[i], np.float64).reshape(-1)
+                for i in range(1, 5)]
+        out = self._bn(np, x.astype(np.float64), *args, self._eps(node))
+        return {node.out_port: out.astype(x.dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        args = [inputs[i].nchw().astype(jnp.float32).reshape(-1)
+                for i in range(1, 5)]
+        out = self._bn(jnp, x.astype(jnp.float32), *args, self._eps(node))
+        return {node.out_port: TValue(out.astype(x.dtype), "L")}
+
+
+@register
+class GroupNormalization(Op):
+    """opset12 GroupNormalization: per-(sample, group) mean/var
+    normalization, then per-channel scale/bias (inputs 1, 2)."""
+
+    type_name = "GroupNormalization"
+
+    @staticmethod
+    def _p(node):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return (A.get_int(node.attrs, "num_groups"),
+                A.get_float(node.attrs, "epsilon", 1e-5))
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        g, _ = self._p(node)
+        if in_shapes[0][1] % g:
+            raise ValueError(
+                f"GroupNormalization {node.name}: C={in_shapes[0][1]} "
+                f"not divisible by num_groups {g}")
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    @staticmethod
+    def _gn(xp, x, scale, bias, g, eps):
+        n, c = x.shape[:2]
+        rest = x.shape[2:]
+        xg = x.reshape((n, g, c // g) + rest)
+        axes = tuple(range(2, xg.ndim))
+        mean = xg.mean(axis=axes, keepdims=True)
+        var = ((xg - mean) ** 2).mean(axis=axes, keepdims=True)
+        y = ((xg - mean) / xp.sqrt(var + eps)).reshape(x.shape)
+        view = (1, c) + (1,) * len(rest)
+        return y * scale.reshape(view) + bias.reshape(view)
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        g, eps = self._p(node)
+        out = self._gn(np, inputs[0].astype(np.float64),
+                       np.asarray(inputs[1], np.float64).reshape(-1),
+                       np.asarray(inputs[2], np.float64).reshape(-1),
+                       g, eps)
+        return {node.out_port: out.astype(inputs[0].dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        g, eps = self._p(node)
+        x = inputs[0].nchw()
+        out = self._gn(jnp, x.astype(jnp.float32),
+                       inputs[1].nchw().astype(jnp.float32).reshape(-1),
+                       inputs[2].nchw().astype(jnp.float32).reshape(-1),
+                       g, eps)
+        return {node.out_port: TValue(out.astype(x.dtype), "L")}
+
+
+@register
+class OneHot(Op):
+    """opset1 OneHot: indices → one-hot along `axis`; depth (input 1)
+    must be static; on/off values are inputs 2 and 3."""
+
+    type_name = "OneHot"
+
+    @staticmethod
+    def _axis(node):
+        from pyopenvino_tpu.ir import attrs as A
+
+        return A.get_int(node.attrs, "axis", -1)
+
+    @staticmethod
+    def _depth(vals, node):
+        d = vals.get(1)
+        if d is None:
+            raise ValueError(f"OneHot {node.name}: depth must be constant")
+        return int(np.asarray(d).reshape(()))
+
+    def _out_shape(self, in_shape, depth, axis):
+        rank = len(in_shape) + 1
+        axis = axis % rank
+        return tuple(in_shape[:axis]) + (depth,) + tuple(in_shape[axis:])
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        depth = self._depth(in_values, node)
+        return ShapeResult({node.out_port: self._out_shape(
+            in_shapes[0], depth, self._axis(node))})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        depth = self._depth(inputs, node)
+        axis = self._axis(node) % (inputs[0].ndim + 1)
+        on = np.asarray(inputs[2]).reshape(())
+        off = np.asarray(inputs[3]).reshape(())
+        idx = np.asarray(inputs[0], np.int64)
+        eye = np.moveaxis(
+            (idx[..., None] == np.arange(depth)), -1, axis)
+        return {node.out_port: np.where(eye, on, off).astype(on.dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        depth = self._depth(
+            {1: ctx.static_value(node, 1)}, node)
+        axis = self._axis(node) % (len(inputs[0].shape) + 1)
+        on = inputs[2].arr.reshape(())
+        off = inputs[3].arr.reshape(())
+        idx = inputs[0].nchw().astype(jnp.int32)
+        eye = jnp.moveaxis(
+            idx[..., None] == jnp.arange(depth), -1, axis)
+        return {node.out_port: TValue(jnp.where(eye, on, off), "L")}
+
+
+@register
+class ScatterElementsUpdate(Op):
+    """opset3 ScatterElementsUpdate: put_along_axis over a constant
+    axis (input 3)."""
+
+    type_name = "ScatterElementsUpdate"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        if tuple(in_shapes[1]) != tuple(in_shapes[2]):
+            raise ValueError(
+                f"ScatterElementsUpdate: indices {tuple(in_shapes[1])} "
+                f"!= updates {tuple(in_shapes[2])}")
+        ax = in_values.get(3)
+        if ax is None:
+            raise ValueError(
+                "ScatterElementsUpdate: axis must be constant")
+        _norm_axis(ax, len(in_shapes[0]), "ScatterElementsUpdate")
+        return ShapeResult({node.out_port: in_shapes[0]})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        ax = _norm_axis(inputs[3], inputs[0].ndim, "ScatterElementsUpdate")
+        data = np.array(inputs[0])
+        np.put_along_axis(
+            data, np.asarray(inputs[1], np.int64), inputs[2], axis=ax)
+        return {node.out_port: data}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        data = inputs[0].nchw()
+        ax = _norm_axis(ctx.static_value(node, 3), data.ndim,
+                        "ScatterElementsUpdate")
+        idx = inputs[1].nchw().astype(jnp.int32)
+        upd = inputs[2].nchw().astype(data.dtype)
+        # build full coordinate tuple: arange everywhere, idx on `ax`
+        coords = list(jnp.meshgrid(
+            *[jnp.arange(s) for s in idx.shape], indexing="ij"))
+        coords[ax] = idx
+        return {node.out_port: TValue(
+            data.at[tuple(coords)].set(upd), "L")}
+
+
+@register
+class ReduceLogicalAnd(_Reduce):
+    type_name = "ReduceLogicalAnd"
+    np_fn = staticmethod(np.all)
+    jnp_name = "all"
+
+
+@register
+class ReduceLogicalOr(_Reduce):
+    type_name = "ReduceLogicalOr"
+    np_fn = staticmethod(np.any)
+    jnp_name = "any"

@@ -1508,3 +1508,111 @@ def test_mod_family_and_reverse_sequence():
     plb = bbad.parameter("l", (3,), dtype=np.int32)
     with pytest.raises(ValueError, match="batch extent"):
         bbad._add_node("ReverseSequence", [pxb, plb], {})
+
+
+class TestNormOneHotScatter:
+    def _both(self, m, feeds, atol=1e-5):
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        ref = Interpreter(m).run(feeds)["out"]
+        got = compile_model(m, Config())(feeds)["out"]
+        np.testing.assert_allclose(got, ref, rtol=1e-4, atol=atol)
+        return ref
+
+    def test_batch_norm_inference_vs_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 4, 5, 5)).astype(np.float32)
+        g = rng.uniform(0.5, 1.5, 4).astype(np.float32)
+        bb = rng.standard_normal(4).astype(np.float32)
+        mean = rng.standard_normal(4).astype(np.float32)
+        var = rng.uniform(0.5, 2.0, 4).astype(np.float32)
+
+        b = GraphBuilder("bn")
+        p = b.parameter("x", (2, 4, 5, 5))
+        b.result(b._add_node("BatchNormInference", [
+            p, b.const(g), b.const(bb), b.const(mean), b.const(var)
+        ], {"epsilon": "1e-5"}), "out")
+        ref = self._both(b.build(), {"x": x})
+        want = F.batch_norm(
+            torch.from_numpy(x), torch.from_numpy(mean),
+            torch.from_numpy(var), torch.from_numpy(g),
+            torch.from_numpy(bb), training=False, eps=1e-5).numpy()
+        np.testing.assert_allclose(ref, want, rtol=1e-4, atol=1e-5)
+
+    def test_group_norm_vs_torch(self):
+        import torch
+        import torch.nn.functional as F
+
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((2, 6, 4, 4)).astype(np.float32)
+        g = rng.uniform(0.5, 1.5, 6).astype(np.float32)
+        bb = rng.standard_normal(6).astype(np.float32)
+        b = GraphBuilder("gn")
+        p = b.parameter("x", (2, 6, 4, 4))
+        b.result(b._add_node("GroupNormalization", [
+            p, b.const(g), b.const(bb)
+        ], {"num_groups": "3", "epsilon": "1e-5"}), "out")
+        ref = self._both(b.build(), {"x": x}, atol=1e-4)
+        want = F.group_norm(torch.from_numpy(x), 3,
+                            torch.from_numpy(g), torch.from_numpy(bb),
+                            eps=1e-5).numpy()
+        np.testing.assert_allclose(ref, want, rtol=1e-3, atol=1e-4)
+
+    def test_one_hot(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        b = GraphBuilder("oh")
+        p = b.parameter("i", (2, 3), dtype=np.int32)
+        b.result(b._add_node("OneHot", [
+            p, b.const(np.asarray(4, np.int64)),
+            b.const(np.float32(1.0)), b.const(np.float32(0.0))
+        ], {"axis": "-1"}), "out")
+        m = b.build()
+        idx = np.asarray([[0, 3, 1], [2, 2, 0]], np.int32)
+        ref = self._both(m, {"i": idx})
+        assert ref.shape == (2, 3, 4)
+        np.testing.assert_allclose(ref.argmax(-1), idx)
+        np.testing.assert_allclose(ref.sum(), 6)
+
+    def test_scatter_elements_update(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        rng = np.random.default_rng(2)
+        d = rng.standard_normal((3, 5)).astype(np.float32)
+        idx = np.asarray([[1, 3], [0, 4], [2, 2]], np.int32)
+        upd = np.full((3, 2), 9.0, np.float32)
+        b = GraphBuilder("seu")
+        dp = b.parameter("d", (3, 5))
+        ip = b.parameter("i", (3, 2), dtype=np.int32)
+        up = b.parameter("u", (3, 2))
+        b.result(b._add_node("ScatterElementsUpdate", [
+            dp, ip, up, b.const(np.asarray(1, np.int64))
+        ], {}), "out")
+        ref = self._both(b.build(), {"d": d, "i": idx, "u": upd})
+        want = d.copy()
+        np.put_along_axis(want, idx.astype(np.int64), upd, axis=1)
+        np.testing.assert_allclose(ref, want)
+
+    def test_reduce_logical(self):
+        from pyopenvino_tpu.ir.builder import GraphBuilder
+
+        x = np.asarray([[1, 0, 1], [1, 1, 1]], np.float32)
+        for op, np_fn in (("ReduceLogicalAnd", np.all),
+                          ("ReduceLogicalOr", np.any)):
+            b = GraphBuilder(op.lower())
+            p = b.parameter("x", (2, 3), dtype=np.bool_)
+            ax = b.const(np.asarray([1], np.int64))
+            b.result(b._add_node(op, [p, ax], {"keep_dims": "false"},
+                                 out_dtype=np.bool_), "out")
+            m = b.build()
+            ref = self._both(m, {"x": x.astype(bool)})
+            np.testing.assert_array_equal(
+                np.asarray(ref, bool), np_fn(x.astype(bool), axis=1))
