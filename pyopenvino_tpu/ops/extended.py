@@ -2490,3 +2490,60 @@ class ReduceLogicalOr(_Reduce):
     type_name = "ReduceLogicalOr"
     np_fn = staticmethod(np.any)
     jnp_name = "any"
+
+
+@register
+class CTCGreedyDecoder(Op):
+    """opset1 CTCGreedyDecoder: per-timestep argmax, merge repeats, drop
+    blanks (class C-1), emit (N, T, 1, 1) class ids padded with -1 — the
+    speech-pipeline decoder downstream of the LSTM families.
+
+    Inputs: probs (T, N, C), sequence mask (T, N) of 1/0.
+    ``ctc_merge_repeated`` defaults true.  Fixed-shape by construction:
+    the dynamic-length decode is a keep-mask + stable-argsort compaction
+    (the same padding idiom as DetectionOutput/NMS)."""
+
+    type_name = "CTCGreedyDecoder"
+
+    @staticmethod
+    def _merge(node) -> bool:
+        from pyopenvino_tpu.ir import attrs as A
+
+        return A.get_bool(node.attrs, "ctc_merge_repeated", True)
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        t, n, _c = in_shapes[0]
+        return ShapeResult({node.out_port: (n, t, 1, 1)})
+
+    @staticmethod
+    def _decode(xp, probs, mask, merge):
+        t, n, c = probs.shape
+        cls = xp.argmax(probs, axis=2)            # (T, N)
+        in_seq = mask > 0.5
+        prev = xp.concatenate(
+            [xp.full((1, n), -1, cls.dtype), cls[:-1]], axis=0)
+        keep = in_seq & (cls != (c - 1))
+        if merge:
+            keep = keep & (cls != prev)
+        # compact kept timesteps to the front per sequence
+        tkey = xp.arange(t)[:, None]
+        key = xp.where(keep, tkey, t + 1)
+        order = xp.argsort(key, axis=0, stable=True)
+        cls_sorted = xp.take_along_axis(cls, order, axis=0)
+        nkeep = keep.sum(axis=0)                  # (N,)
+        rank = xp.arange(t)[:, None]
+        out = xp.where(rank < nkeep[None, :], cls_sorted, -1)
+        return out.T.reshape(n, t, 1, 1)          # (N, T, 1, 1)
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        out = self._decode(np, np.asarray(inputs[0], np.float64),
+                           np.asarray(inputs[1]), self._merge(node))
+        return {node.out_port: out.astype(np.float32)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        out = self._decode(
+            jnp, inputs[0].nchw().astype(jnp.float32),
+            inputs[1].nchw(), self._merge(node))
+        return {node.out_port: TValue(out.astype(jnp.float32), "L")}

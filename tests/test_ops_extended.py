@@ -1616,3 +1616,43 @@ class TestNormOneHotScatter:
             ref = self._both(m, {"x": x.astype(bool)})
             np.testing.assert_array_equal(
                 np.asarray(ref, bool), np_fn(x.astype(bool), axis=1))
+
+
+def test_ctc_greedy_decoder():
+    """Merge-repeats + blank-drop semantics on a hand-built sequence,
+    plus interpreter/XLA parity with masked tails."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    T, N, C = 6, 2, 4  # class 3 is the blank
+    probs = np.zeros((T, N, C), np.float32)
+    # seq 0: a a blank a b b  -> merged: a a b
+    for t, c in enumerate([0, 0, 3, 0, 1, 1]):
+        probs[t, 0, c] = 1.0
+    # seq 1 (len 4): b blank blank c -> b c
+    for t, c in enumerate([1, 3, 3, 2, 0, 0]):
+        probs[t, 1, c] = 1.0
+    mask = np.ones((T, N), np.float32)
+    mask[4:, 1] = 0.0  # seq 1 ends at t=4
+
+    b = GraphBuilder("ctc")
+    p = b.parameter("p", (T, N, C))
+    mk = b.parameter("m", (T, N))
+    b.result(b._add_node("CTCGreedyDecoder", [p, mk], {}), "out")
+    m = b.build()
+    ref = Interpreter(m).run({"p": probs, "m": mask})["out"]
+    got = compile_model(m, Config())({"p": probs, "m": mask})["out"]
+    np.testing.assert_allclose(got, ref)
+    assert ref.shape == (N, T, 1, 1)
+    np.testing.assert_allclose(ref[0, :, 0, 0], [0, 0, 1, -1, -1, -1])
+    np.testing.assert_allclose(ref[1, :, 0, 0], [1, 2, -1, -1, -1, -1])
+
+    # merge off: repeats survive
+    b2 = GraphBuilder("ctc2")
+    p2 = b2.parameter("p", (T, N, C))
+    m2 = b2.parameter("m", (T, N))
+    b2.result(b2._add_node("CTCGreedyDecoder", [p2, m2],
+                           {"ctc_merge_repeated": "0"}), "out")
+    ref2 = Interpreter(b2.build()).run({"p": probs, "m": mask})["out"]
+    np.testing.assert_allclose(ref2[0, :, 0, 0], [0, 0, 0, 1, 1, -1])
