@@ -2547,3 +2547,69 @@ class CTCGreedyDecoder(Op):
             jnp, inputs[0].nchw().astype(jnp.float32),
             inputs[1].nchw(), self._merge(node))
         return {node.out_port: TValue(out.astype(jnp.float32), "L")}
+
+
+@register
+class EmbeddingBagOffsetsSum(Op):
+    """opset3 EmbeddingBagOffsetsSum: per-bag sums of embedding rows —
+    inputs (table (V, E), indices (I,), offsets (N,)[, default_index,
+    per_sample_weights (I,)]).  Bag b sums rows indices[offsets[b] :
+    offsets[b+1]]; an empty bag reads default_index (or zeros).  The
+    segment mapping is computed with searchsorted, so the whole op is a
+    weighted segment-sum — static output (N, E)."""
+
+    type_name = "EmbeddingBagOffsetsSum"
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        n = in_shapes[2][0]
+        e = in_shapes[0][1]
+        return ShapeResult({node.out_port: (n, e)})
+
+    @staticmethod
+    def _compute(xp, table, indices, offsets, default_idx, weights):
+        n = offsets.shape[0]
+        i = indices.shape[0]
+        # segment id of each index position: bag b covers
+        # [offsets[b], offsets[b+1])
+        pos = xp.arange(i)
+        seg = xp.searchsorted(offsets, pos, side="right") - 1
+        rows = xp.take(table, indices, axis=0)
+        if weights is not None:
+            rows = rows * weights[:, None]
+        onehot = (seg[:, None] == xp.arange(n)[None, :])
+        out = xp.einsum("ie,ib->be", rows, onehot.astype(rows.dtype))
+        empty = (xp.concatenate([offsets[1:], xp.asarray([i])])
+                 == offsets)
+        if default_idx is not None:
+            fill = xp.take(table, default_idx.reshape(()), axis=0)
+            out = xp.where(empty[:, None], fill[None, :], out)
+        else:
+            out = xp.where(empty[:, None], 0.0, out)
+        return out
+
+    def _args(self, inputs, np_mode):
+        table, indices, offsets = inputs[0], inputs[1], inputs[2]
+        default_idx = inputs.get(3)
+        weights = inputs.get(4)
+        return table, indices, offsets, default_idx, weights
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        table, idx, off, d, w = self._args(inputs, True)
+        out = self._compute(
+            np, np.asarray(table, np.float64),
+            np.asarray(idx, np.int64), np.asarray(off, np.int64),
+            None if d is None else np.asarray(d, np.int64),
+            None if w is None else np.asarray(w, np.float64))
+        return {node.out_port: out.astype(np.asarray(table).dtype)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        tvs = {p: tv.nchw() for p, tv in inputs.items()}
+        table, idx, off, d, w = self._args(tvs, False)
+        out = self._compute(
+            jnp, table.astype(jnp.float32), idx.astype(jnp.int32),
+            off.astype(jnp.int32),
+            None if d is None else d.astype(jnp.int32),
+            None if w is None else w.astype(jnp.float32))
+        return {node.out_port: TValue(out.astype(table.dtype), "L")}

@@ -1656,3 +1656,58 @@ def test_ctc_greedy_decoder():
                            {"ctc_merge_repeated": "0"}), "out")
     ref2 = Interpreter(b2.build()).run({"p": probs, "m": mask})["out"]
     np.testing.assert_allclose(ref2[0, :, 0, 0], [0, 0, 0, 1, 1, -1])
+
+
+def test_embedding_bag_offsets_sum():
+    import torch
+
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(9)
+    table = rng.standard_normal((10, 4)).astype(np.float32)
+    indices = np.asarray([0, 2, 2, 5, 9], np.int32)
+    offsets = np.asarray([0, 2, 2, 4], np.int32)  # bag 1 is EMPTY
+
+    def build(with_weights=False, with_default=False):
+        b = GraphBuilder("ebs")
+        t = b.parameter("t", (10, 4))
+        i = b.parameter("i", (5,), dtype=np.int32)
+        o = b.parameter("o", (4,), dtype=np.int32)
+        ins = [t, i, o]
+        if with_default or with_weights:
+            ins.append(b.const(np.asarray(7, np.int32)))
+        if with_weights:
+            ins.append(b.parameter("w", (5,)))
+        b.result(b._add_node("EmbeddingBagOffsetsSum", ins, {}), "out")
+        return b.build()
+
+    feeds = {"t": table, "i": indices, "o": offsets}
+    m = build()
+    ref = Interpreter(m).run(feeds)["out"]
+    got = compile_model(m, Config())(feeds)["out"]
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+    # torch oracle (empty bags give zeros without a default index)
+    want = torch.nn.functional.embedding_bag(
+        torch.from_numpy(indices.astype(np.int64)),
+        torch.from_numpy(table),
+        torch.from_numpy(offsets.astype(np.int64)), mode="sum").numpy()
+    np.testing.assert_allclose(ref, want, rtol=1e-5, atol=1e-6)
+
+    # default_index fills empty bags with that table row
+    m2 = build(with_default=True)
+    ref2 = Interpreter(m2).run(feeds)["out"]
+    got2 = compile_model(m2, Config())(feeds)["out"]
+    np.testing.assert_allclose(got2, ref2, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(ref2[1], table[7], rtol=1e-6)
+
+    # per-sample weights
+    w = rng.uniform(0.5, 1.5, 5).astype(np.float32)
+    m3 = build(with_weights=True)
+    f3 = dict(feeds, w=w)
+    ref3 = Interpreter(m3).run(f3)["out"]
+    got3 = compile_model(m3, Config())(f3)["out"]
+    np.testing.assert_allclose(got3, ref3, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        ref3[0], w[0] * table[0] + w[1] * table[2], rtol=1e-5)
