@@ -2603,13 +2603,17 @@ class EmbeddingBagOffsetsSum(Op):
         return {node.out_port: out.astype(np.asarray(table).dtype)}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax
         import jax.numpy as jnp
 
         tvs = {p: tv.nchw() for p, tv in inputs.items()}
         table, idx, off, d, w = self._args(tvs, False)
-        out = self._compute(
-            jnp, table.astype(jnp.float32), idx.astype(jnp.int32),
-            off.astype(jnp.int32),
-            None if d is None else d.astype(jnp.int32),
-            None if w is None else w.astype(jnp.float32))
+        # the segment-sum einsum is a matmul: full f32 on the MXU, or the
+        # bf16 contraction diverges from the numpy twin (the einsum rule)
+        with jax.default_matmul_precision("highest"):
+            out = self._compute(
+                jnp, table.astype(jnp.float32), idx.astype(jnp.int32),
+                off.astype(jnp.int32),
+                None if d is None else d.astype(jnp.int32),
+                None if w is None else w.astype(jnp.float32))
         return {node.out_port: TValue(out.astype(table.dtype), "L")}
