@@ -377,7 +377,13 @@ def _top_k_prefilter_np(valid, conf, p):
 
 def detection_output_ref(box_logits, class_pred, proposals, p) -> np.ndarray:
     """Numpy fixed-shape masked implementation (also the fold/interp path)."""
-    assert proposals.shape[1] == 2, "variance_encoded_in_target=1 unsupported"
+    # vet=0: proposals carry (boxes, variances); vet=1: a single boxes
+    # row — the decode's variance_encoded_in_target branch reads deltas
+    # raw (ops/ssd.py _decode)
+    want_rows = 1 if p["variance_encoded_in_target"] else 2
+    assert proposals.shape[1] == want_rows, (
+        f"proposals rows {proposals.shape[1]} != {want_rows} for "
+        f"variance_encoded_in_target={p['variance_encoded_in_target']}")
     prior_box_size = 4 if p["normalized"] else 5
     P = proposals.shape[2] // prior_box_size
     nc = p["num_classes"]
@@ -385,7 +391,10 @@ def detection_output_ref(box_logits, class_pred, proposals, p) -> np.ndarray:
     logits = box_logits.reshape(P, 4).astype(np.float64)
     scores = class_pred.reshape(P, nc)
     boxes_p = proposals[0, 0].reshape(P, prior_box_size).astype(np.float64)
-    boxes_v = proposals[0, 1].reshape(P, prior_box_size).astype(np.float64)
+    boxes_v = (np.zeros((P, prior_box_size))
+               if p["variance_encoded_in_target"]
+               else proposals[0, 1].reshape(P, prior_box_size)
+               .astype(np.float64))
 
     cls = scores.argmax(axis=1)
     conf = scores[np.arange(P), cls]
@@ -441,7 +450,10 @@ def detection_output_jax(box_logits, class_pred, proposals, p):
     logits = box_logits.reshape(P, 4).astype(jnp.float32)
     scores = class_pred.reshape(P, nc)
     boxes_p = proposals[0, 0].reshape(P, prior_box_size).astype(jnp.float32)
-    boxes_v = proposals[0, 1].reshape(P, prior_box_size).astype(jnp.float32)
+    boxes_v = (jnp.zeros((P, prior_box_size), jnp.float32)
+               if p["variance_encoded_in_target"]
+               else proposals[0, 1].reshape(P, prior_box_size)
+               .astype(jnp.float32))
 
     cls = jnp.argmax(scores, axis=1)
     conf = jnp.max(scores, axis=1)  # == score at argmax, without the gather
@@ -520,9 +532,12 @@ def detection_output_jax_batched(box_logits, class_pred, proposals, p,
     scores = class_pred.reshape(B, P, nc)
     # per-example anchors (in the engine they are a broadcast compile-time
     # constant, but the function honors per-example proposals)
-    props = proposals.reshape(B, 2, P, prior_box_size).astype(jnp.float32)
+    rows = 1 if p["variance_encoded_in_target"] else 2
+    props = proposals.reshape(B, rows, P, prior_box_size).astype(
+        jnp.float32)
     boxes_p = props[:, 0]                                  # (B, P, pbs)
-    boxes_v = props[:, 1]
+    boxes_v = (jnp.zeros_like(boxes_p)
+               if p["variance_encoded_in_target"] else props[:, 1])
 
     cls = jnp.argmax(scores, axis=2)                       # (B, P)
     # conf = the max score — NOT take_along_axis(scores, cls): that gather

@@ -631,3 +631,53 @@ def test_proposal_small_pool_and_padding_parity():
     assert pad_rows.size and np.all(pad_rows == 0)
     got_pad = got["rois"][300:][got["scores"][300:] == 0]
     assert np.all(got_pad == 0)
+
+
+def test_detection_output_variance_encoded_in_target():
+    """vet=1: proposals carry ONE row (no variances) and deltas decode
+    raw — previously asserted unsupported."""
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    P, nc = 6, 3
+    rng = np.random.default_rng(3)
+    # priors as a 1-row const (normalized corners)
+    centers = rng.uniform(0.2, 0.8, (P, 2))
+    sizes = rng.uniform(0.1, 0.3, (P, 2))
+    priors = np.concatenate(
+        [centers - sizes / 2, centers + sizes / 2], axis=1
+    ).astype(np.float32).reshape(1, 1, P * 4)
+
+    b = GraphBuilder("vet")
+    loc = b.parameter("loc", (1, P * 4))
+    conf = b.parameter("conf", (1, P * nc))
+    pri = b.const(priors)
+    det = b._add_node("DetectionOutput", [loc, conf, pri], {
+        "num_classes": str(nc), "background_label_id": "0",
+        "top_k": "-1", "keep_top_k": str(P),
+        "nms_threshold": "0.45", "confidence_threshold": "0.1",
+        "code_type": "caffe.PriorBoxParameter.CENTER_SIZE",
+        "share_location": "1", "variance_encoded_in_target": "1",
+        "clip_after_nms": "0", "clip_before_nms": "0",
+        "decrease_label_id": "0", "normalized": "1",
+    }, "do")
+    b.result(det, "out")
+    m = b.build()
+    feeds = {
+        "loc": rng.normal(0, 0.1, (1, P * 4)).astype(np.float32),
+        "conf": rng.uniform(0, 1, (1, P * nc)).astype(np.float32),
+    }
+    ref = Interpreter(m).run(feeds)["out"]
+    got = compile_model(m, Config())(feeds)["out"]
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    from pyopenvino_tpu.metrics import parse_detection_records
+    dets = parse_detection_records(ref)
+    assert dets  # something decodes
+    # batched path too
+    net = compile_model(m, Config())
+    rows = {k: np.repeat(v, 3, axis=0) for k, v in feeds.items()}
+    out_b = net.infer_batch(rows)["out"]
+    for i in range(3):
+        np.testing.assert_allclose(out_b[i], ref[0], rtol=1e-4, atol=1e-5)
