@@ -143,21 +143,40 @@ class Unsqueeze(Op):
 def _strided_slice_spec(node, in_rank, begin, end, strides):
     """Build a numpy-style index tuple honouring the opset1 masks —
     begin/end (bit=1 → bound ignored), new_axis (insert a unit dim,
-    consumes no input axis), shrink_axis (integer-index the axis away).
-    The reference parses these masks and ignores them while eval()ing a
-    slice string (reference: StridedSlice.py:14-23,38-44); only
-    ellipsis_mask stays unimplemented (fail-fast, nothing ships with it).
+    consumes no input axis), shrink_axis (integer-index the axis away),
+    and ellipsis (exactly one bit: the skipped middle axes, numpy
+    Ellipsis semantics).  The reference parses these masks and ignores
+    them while eval()ing a slice string (reference:
+    StridedSlice.py:14-23,38-44).
     """
     begin_mask = A.get_int_tuple(node.attrs, "begin_mask", ())
     end_mask = A.get_int_tuple(node.attrs, "end_mask", ())
     new_axis = A.get_int_tuple(node.attrs, "new_axis_mask", ())
     shrink = A.get_int_tuple(node.attrs, "shrink_axis_mask", ())
     ellipsis = A.get_int_tuple(node.attrs, "ellipsis_mask", ())
-    if any(ellipsis):
-        raise NotImplementedError("StridedSlice ellipsis_mask")
 
     def bit(mask, i):
         return mask[i] if i < len(mask) else 0
+
+    if any(ellipsis):
+        if sum(1 for i in range(len(begin)) if bit(ellipsis, i)) > 1:
+            raise ValueError(
+                "StridedSlice: at most one ellipsis_mask bit is allowed")
+        spec = []
+        for i in range(len(begin)):
+            if bit(ellipsis, i):
+                spec.append(Ellipsis)  # absorbs the skipped middle axes
+            elif bit(new_axis, i):
+                spec.append(None)
+            elif bit(shrink, i):
+                spec.append(int(begin[i]))
+            else:
+                b = None if bit(begin_mask, i) else int(begin[i])
+                e = None if bit(end_mask, i) else int(end[i])
+                s = (int(strides[i])
+                     if strides is not None and i < len(strides) else 1)
+                spec.append(slice(b, e, s))
+        return spec
 
     spec = []
     in_axis = 0

@@ -285,17 +285,18 @@ class TestStridedSliceMasks:
         )
         np.testing.assert_array_equal(got, x[::-2])
 
-    def test_ellipsis_fails_fast(self):
-        import pytest as _pytest
-
-        x = np.arange(8).reshape(2, 4)
-        with _pytest.raises(NotImplementedError):
-            self._run(
-                {"begin_mask": "0,0", "end_mask": "0,0",
-                 "new_axis_mask": "0,0", "shrink_axis_mask": "0,0",
-                 "ellipsis_mask": "1,0"},
-                x, [0, 0], [2, 4],
-            )
+    def test_ellipsis_supported(self):
+        """ellipsis_mask is now implemented (numpy Ellipsis semantics —
+        test_strided_slice_ellipsis_mask covers the full behavior); this
+        pins that a single bit no longer refuses."""
+        x = np.arange(8).reshape(2, 4).astype(np.float32)
+        out = self._run(
+            {"begin_mask": "0,0", "end_mask": "0,0",
+             "new_axis_mask": "0,0", "shrink_axis_mask": "0,0",
+             "ellipsis_mask": "1,0"},
+            x, [0, 1], [2, 3],
+        )
+        np.testing.assert_allclose(out, x[..., 1:3])
 
 
 class TestLRNBanded:
@@ -426,3 +427,48 @@ class TestSpaceToDepthConv:
             3, 4, 4, (2, 2), (1, 1), (225, 224), ((0, 0), (0, 0)),
             ((225 - 4) // 2 + 1, (224 - 4) // 2 + 1),
         )
+
+
+def test_strided_slice_ellipsis_mask():
+    """ellipsis_mask (previously a fail-fast refusal): the single
+    ellipsis bit absorbs the skipped middle axes with numpy semantics,
+    composing with begin/end/shrink masks."""
+    import numpy as np
+
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 4, 5)).astype(np.float32)
+
+    b = GraphBuilder("ss")
+    p = b.parameter("x", (2, 3, 4, 5))
+    node = b._add_node("StridedSlice", [
+        p,
+        b.const(np.asarray([0, 0, 1], np.int64)),   # begin
+        b.const(np.asarray([1, 0, 4], np.int64)),   # end
+        b.const(np.asarray([1, 1, 1], np.int64)),   # strides
+    ], {
+        "begin_mask": "0,0,0", "end_mask": "0,0,0",
+        "new_axis_mask": "0,0,0", "shrink_axis_mask": "1,0,0",
+        "ellipsis_mask": "0,1,0",
+    })
+    b.result(node, "out")
+    m = b.build()
+    want = x[0, ..., 1:4]
+    ref = Interpreter(m).run({"x": x})["out"]
+    got = compile_model(m, Config())({"x": x})["out"]
+    np.testing.assert_allclose(ref, want)
+    np.testing.assert_allclose(got, want)
+    assert ref.shape == (3, 4, 3)
+
+    bb = GraphBuilder("bad")
+    pb = bb.parameter("x", (2, 3, 4))
+    with pytest.raises(ValueError, match="one ellipsis"):
+        bb._add_node("StridedSlice", [
+            pb, bb.const(np.zeros(3, np.int64)),
+            bb.const(np.ones(3, np.int64)),
+            bb.const(np.ones(3, np.int64)),
+        ], {"ellipsis_mask": "1,1,0"})
