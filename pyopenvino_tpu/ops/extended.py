@@ -1252,8 +1252,15 @@ class TopK(Op):
         return ShapeResult({p: tuple(shape) for p in vports})
 
     def _select_np(self, x, k, axis, mode, sort):
-        sign = -1 if mode == "max" else 1
-        order = np.argsort(sign * x, axis=axis, kind="stable")
+        if mode != "max":
+            key = x
+        elif np.issubdtype(x.dtype, np.integer):
+            # -x wraps for unsigned (and INT_MIN); ~x is the same strictly
+            # decreasing reorder with no overflow on any integer dtype.
+            key = ~x
+        else:
+            key = -x
+        order = np.argsort(key, axis=axis, kind="stable")
         idx = np.take(order, np.arange(k), axis=axis)
         if sort == "index":
             idx = np.sort(idx, axis=axis)
@@ -1281,6 +1288,11 @@ class TopK(Op):
         xm = jnp.moveaxis(x, axis, -1)
         if mode == "max":
             vals, idx = jax.lax.top_k(xm, k)
+        elif jnp.issubdtype(xm.dtype, jnp.integer):
+            # negation wraps mod 2^n for unsigned / INT_MIN; bit-flip is the
+            # overflow-free order reversal, then gather true values by index.
+            _, idx = jax.lax.top_k(~xm, k)
+            vals = jnp.take_along_axis(xm, idx, axis=-1)
         else:
             nv, idx = jax.lax.top_k(-xm, k)
             vals = -nv
@@ -1851,10 +1863,13 @@ def _einsum_out_shape(eq, shapes):
                 raise ValueError(f"term {term!r} rank != {shape}")
             axes = list(shape)
         for lab, d in zip(labels, axes):
-            if lab in dims and dims[lab] != d and 1 not in (dims[lab], d):
+            # np.einsum/jnp.einsum reject size-1 "broadcast" of a repeated
+            # label, so shape inference must too — accepting it here would
+            # only defer the failure to compute time with a worse error.
+            if lab in dims and dims[lab] != d:
                 raise ValueError(
                     f"label {lab!r} bound to both {dims[lab]} and {d}")
-            dims[lab] = max(dims.get(lab, 1), int(d))
+            dims[lab] = int(d)
             counts[lab] = counts.get(lab, 0) + 1
     if rhs is None:
         rhs = ("..." if any("..." in t for t in terms) else "") + "".join(

@@ -143,6 +143,13 @@ def prior_boxes(grid_hw, image_hw, p) -> np.ndarray:
 
 
 def _pb_params(node):
+    for unsupported in ("fixed_size", "fixed_ratio", "density"):
+        if A.get_float_tuple(node.attrs, unsupported, ()):
+            raise NotImplementedError(
+                f"PriorBox: attribute {unsupported!r} is not supported — "
+                "anchors would be silently generated from min/max/aspect "
+                "only (densified fixed-size anchors are a Caffe-SSD "
+                "variant this build does not implement)")
     return dict(
         min_size=A.get_float_tuple(node.attrs, "min_size", ()),
         max_size=A.get_float_tuple(node.attrs, "max_size", ()),

@@ -81,8 +81,14 @@ class _Converter:
         return y
 
     def _bn2d(self, mod, x):
-        s = _np(mod.weight) / np.sqrt(_np(mod.running_var) + mod.eps)
-        sh = _np(mod.bias) - _np(mod.running_mean) * s
+        # affine=False leaves weight/bias as None; eval semantics are then
+        # gamma=1, beta=0 (normalize only).
+        gamma = (np.ones_like(_np(mod.running_var)) if mod.weight is None
+                 else _np(mod.weight))
+        beta = (np.zeros_like(_np(mod.running_mean)) if mod.bias is None
+                else _np(mod.bias))
+        s = gamma / np.sqrt(_np(mod.running_var) + mod.eps)
+        sh = beta - _np(mod.running_mean) * s
         y = self.b.multiply(x, self.b.const(s.reshape(1, -1, 1, 1)))
         return self.b.add(y, self.b.const(sh.reshape(1, -1, 1, 1)))
 
