@@ -655,6 +655,162 @@ class GraphBuilder:
             "size": size, "alpha": alpha, "beta": beta, "bias": bias,
         }, name)
 
+    # -- control-flow subgraphs (ops/subgraph.py) ---------------------------
+
+    @staticmethod
+    def _pm_entry(body: Model, spec, ext_port: int, kind: str):
+        """One port-map entry from a friendly spec: a body layer NAME, or
+        (name, {axis/start/end/stride/part_size/purpose})."""
+        from pyopenvino_tpu.ir.subgraph import PortMapEntry
+
+        opts = {}
+        if isinstance(spec, tuple):
+            spec, opts = spec
+        layer = body.find_by_name(spec)
+        if layer is None:
+            raise KeyError(f"body has no layer named {spec!r}")
+        want = "Parameter" if kind == "input" else "Result"
+        if layer.op_type != want:
+            raise ValueError(
+                f"port-map {kind} {spec!r} is a {layer.op_type}, "
+                f"expected {want}")
+        return PortMapEntry(external_port_id=ext_port,
+                            internal_layer_id=layer.id, **opts)
+
+    def _layer_id(self, body: Model, name: str, want: str) -> int:
+        layer = body.find_by_name(name)
+        if layer is None or layer.op_type != want:
+            raise ValueError(f"body has no {want} named {name!r}")
+        return layer.id
+
+    def _add_subgraph_node(self, op_type: str, inputs, subgraphs,
+                           name: Optional[str]):
+        """Like _add_node but with node.subgraphs populated BEFORE shape
+        inference (subgraph ops infer from their bodies) and per-port
+        output dtypes taken from the body Result declarations."""
+        from pyopenvino_tpu.ops import get_op
+
+        nid, name = self._fresh(op_type, name)
+        in_infos = {}
+        for i, p in enumerate(inputs):
+            in_infos[i] = TensorInfo(shape=p.shape, dtype=p.dtype)
+            self._edges.append(Edge(p.nid, p.port, nid, i))
+        node = Node(
+            id=nid, name=name, op_type=op_type, attrs={},
+            inputs=in_infos, outputs={}, subgraphs=subgraphs,
+        )
+        self._nodes[nid] = node
+        in_shapes = {i: p.shape for i, p in enumerate(inputs)}
+        in_values = {
+            i: (self._nodes[p.nid].const
+                if self._nodes[p.nid].op_type == "Const" else None)
+            for i, p in enumerate(inputs)
+        }
+        res = get_op(op_type).infer_shapes(node, in_shapes, in_values)
+        # output dtype per port from the mapped body Result declaration
+        dtypes = {}
+        for sg in subgraphs.values():
+            for e in sg.outputs:
+                if e.external_port_id >= 0:
+                    r = sg.model.nodes[e.internal_layer_id]
+                    dtypes[e.external_port_id] = r.inputs[0].dtype
+        node.outputs = {
+            port: TensorInfo(shape=tuple(int(d) for d in shape),
+                             dtype=dtypes.get(port, np.dtype(np.float32)))
+            for port, shape in res.shapes.items()
+        }
+        outs = [Port(nid, port, info.shape, info.dtype)
+                for port, info in sorted(node.outputs.items())]
+        return outs[0] if len(outs) == 1 else outs
+
+    def tensor_iterator(self, inputs: Sequence[Port], body: Model,
+                        input_map, output_map, back_edges=(),
+                        name: Optional[str] = None):
+        """opset1 TensorIterator.  ``input_map`` aligns with ``inputs``:
+        each element is a body Parameter name, or (name, {"axis": ...})
+        for sliced entries.  ``output_map`` lists body Result names (or
+        (name, {...})) — one outer output port each, numbered after the
+        inputs.  ``back_edges`` is [(result_name, param_name), ...]."""
+        from pyopenvino_tpu.ir.subgraph import SubGraph
+
+        if len(input_map) != len(inputs):
+            raise ValueError("input_map must align with inputs")
+        ins = [self._pm_entry(body, spec, i, "input")
+               for i, spec in enumerate(input_map)]
+        outs = [self._pm_entry(body, spec, len(inputs) + k, "output")
+                for k, spec in enumerate(output_map)]
+        back = [(self._layer_id(body, r, "Result"),
+                 self._layer_id(body, p, "Parameter"))
+                for r, p in back_edges]
+        sg = SubGraph(model=body, inputs=ins, outputs=outs, back_edges=back)
+        sg.validate(f"TensorIterator {name or '?'}")
+        return self._add_subgraph_node(
+            "TensorIterator", inputs, {"body": sg}, name)
+
+    def loop(self, trip_count: Port, condition: Port,
+             inputs: Sequence[Port], body: Model, input_map, output_map,
+             back_edges=(), current_iteration: Optional[str] = None,
+             condition_result: str = "cond",
+             name: Optional[str] = None):
+        """opset5 Loop.  ``input_map`` aligns with ``inputs`` (node ports
+        2..); ``condition_result`` names the body Result carrying the
+        continue-condition; ``current_iteration`` optionally names a body
+        Parameter receiving the iteration index."""
+        from pyopenvino_tpu.ir.subgraph import PortMapEntry, SubGraph
+
+        if len(input_map) != len(inputs):
+            raise ValueError("input_map must align with inputs")
+        all_inputs = [trip_count, condition] + list(inputs)
+        ins = [self._pm_entry(body, spec, 2 + i, "input")
+               for i, spec in enumerate(input_map)]
+        if current_iteration is not None:
+            ins.append(PortMapEntry(
+                external_port_id=-1,
+                internal_layer_id=self._layer_id(
+                    body, current_iteration, "Parameter"),
+                purpose="current_iteration"))
+        outs = [self._pm_entry(body, spec, len(all_inputs) + k, "output")
+                for k, spec in enumerate(output_map)]
+        outs.append(PortMapEntry(
+            external_port_id=-1,
+            internal_layer_id=self._layer_id(
+                body, condition_result, "Result"),
+            purpose="execution_condition"))
+        back = [(self._layer_id(body, r, "Result"),
+                 self._layer_id(body, p, "Parameter"))
+                for r, p in back_edges]
+        sg = SubGraph(model=body, inputs=ins, outputs=outs, back_edges=back)
+        sg.validate(f"Loop {name or '?'}")
+        return self._add_subgraph_node(
+            "Loop", all_inputs, {"body": sg}, name)
+
+    def if_op(self, condition: Port, inputs: Sequence[Port],
+              then_body: Model, else_body: Model,
+              then_input_map, else_input_map,
+              then_output_map, else_output_map,
+              name: Optional[str] = None):
+        """opset8 If.  Input maps align with ``inputs`` (node ports 1..);
+        output maps align with each other — entry k of both feeds outer
+        output port len(inputs)+1+k."""
+        from pyopenvino_tpu.ir.subgraph import SubGraph
+
+        subs = {}
+        n_in = 1 + len(inputs)
+        for bname, body, imap, omap in (
+                ("then_body", then_body, then_input_map, then_output_map),
+                ("else_body", else_body, else_input_map, else_output_map)):
+            if len(imap) != len(inputs):
+                raise ValueError(f"{bname}: input map must align with inputs")
+            ins = [self._pm_entry(body, spec, 1 + i, "input")
+                   for i, spec in enumerate(imap)]
+            outs = [self._pm_entry(body, spec, n_in + k, "output")
+                    for k, spec in enumerate(omap)]
+            sg = SubGraph(model=body, inputs=ins, outputs=outs)
+            sg.validate(f"If {name or '?'} {bname}")
+            subs[bname] = sg
+        return self._add_subgraph_node(
+            "If", [condition] + list(inputs), subs, name)
+
     # -- finalize ------------------------------------------------------------
 
     def build(self) -> Model:

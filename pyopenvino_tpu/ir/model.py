@@ -83,6 +83,9 @@ class Node:
     inputs: Dict[int, TensorInfo]
     outputs: Dict[int, TensorInfo]
     const: Optional[np.ndarray] = None
+    # TensorIterator/Loop: {"body": SubGraph}; If: {"then_body": ...,
+    # "else_body": ...} (ir/subgraph.py) — nested body models with port maps
+    subgraphs: Optional[Dict[str, object]] = None
 
     @property
     def out_port(self) -> int:

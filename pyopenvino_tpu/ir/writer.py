@@ -65,35 +65,46 @@ def _align(n: int, a: int = 64) -> int:
     return -(-n // a) * a
 
 
-def serialize_ir(model: Model) -> Tuple[bytes, bytes]:
-    """Return (xml_bytes, bin_bytes)."""
-    # 1. pack consts, assigning offset/size attrs
-    blob = bytearray()
-    const_attrs: Dict[int, Dict[str, str]] = {}
-    for node in sorted(model.nodes.values(), key=lambda n: n.id):
-        if node.op_type != "Const":
-            continue
-        if node.const is None:
-            raise ValueError(f"Const {node.name!r} has no weights to serialize")
-        arr = np.ascontiguousarray(node.const)
-        # keep the declared on-disk dtype if the decoded array was upcast
-        decl = node.outputs[node.out_port].dtype
-        if np.dtype(decl) == np.float16 and arr.dtype == np.float32:
-            arr = arr.astype(np.float16)
-        offset = _align(len(blob))
-        blob.extend(b"\x00" * (offset - len(blob)))
-        raw = arr.tobytes()
-        blob.extend(raw)
-        const_attrs[node.id] = {
-            "element_type": _DTYPE_TO_ELEMENT_TYPE[arr.dtype],
-            "shape": ",".join(str(int(d)) for d in arr.shape),
-            "offset": str(offset),
-            "size": str(len(raw)),
-        }
+def _pack_const(node: Node, blob: bytearray) -> Dict[str, str]:
+    if node.const is None:
+        raise ValueError(f"Const {node.name!r} has no weights to serialize")
+    arr = np.ascontiguousarray(node.const)
+    # keep the declared on-disk dtype if the decoded array was upcast
+    decl = node.outputs[node.out_port].dtype
+    if np.dtype(decl) == np.float16 and arr.dtype == np.float32:
+        arr = arr.astype(np.float16)
+    offset = _align(len(blob))
+    blob.extend(b"\x00" * (offset - len(blob)))
+    raw = arr.tobytes()
+    blob.extend(raw)
+    return {
+        "element_type": _DTYPE_TO_ELEMENT_TYPE[arr.dtype],
+        "shape": ",".join(str(int(d)) for d in arr.shape),
+        "offset": str(offset),
+        "size": str(len(raw)),
+    }
 
-    # 2. topology
-    root = ET.Element("net", {"name": model.name, "version": "10"})
-    layers = ET.SubElement(root, "layers")
+
+def _port_map_xml(parent, tag: str, sg):
+    pm = ET.SubElement(parent, tag)
+    for kind, entries in (("input", sg.inputs), ("output", sg.outputs)):
+        for e in entries:
+            a = {"external_port_id": str(e.external_port_id),
+                 "internal_layer_id": str(e.internal_layer_id)}
+            if e.axis is not None:
+                a.update(axis=str(e.axis), start=str(e.start),
+                         end=str(e.end), stride=str(e.stride),
+                         part_size=str(e.part_size))
+            if e.purpose:
+                a["purpose"] = e.purpose
+            ET.SubElement(pm, kind, a)
+
+
+def _graph_xml(parent, model: Model, blob: bytearray):
+    """Emit <layers>+<edges> of one graph into ``parent`` — recursing into
+    TensorIterator/Loop/If bodies (nested <body>/<then_body>/<else_body>
+    with port maps; body Consts pack into the same .bin)."""
+    layers = ET.SubElement(parent, "layers")
     for nid in sorted(model.nodes):
         node = model.nodes[nid]
         layer = ET.SubElement(
@@ -102,20 +113,42 @@ def serialize_ir(model: Model) -> Tuple[bytes, bytes]:
              "version": "opset1"},
         )
         attrs = dict(node.attrs)
-        if node.id in const_attrs:
-            attrs.update(const_attrs[node.id])
+        if node.op_type == "Const":
+            attrs.update(_pack_const(node, blob))
         if attrs:
             ET.SubElement(layer, "data", {k: str(v) for k, v in attrs.items()})
         _ports_xml(layer, "input", node.inputs)
         _ports_xml(layer, "output", node.outputs)
+        if node.subgraphs:
+            if node.op_type == "If":
+                for bname, pm_tag in (("then_body", "then_port_map"),
+                                      ("else_body", "else_port_map")):
+                    sg = node.subgraphs[bname]
+                    _port_map_xml(layer, pm_tag, sg)
+                    _graph_xml(ET.SubElement(layer, bname), sg.model, blob)
+            else:
+                sg = node.subgraphs["body"]
+                _port_map_xml(layer, "port_map", sg)
+                if sg.back_edges:
+                    be = ET.SubElement(layer, "back_edges")
+                    for frm, to in sg.back_edges:
+                        ET.SubElement(be, "edge", {"from-layer": str(frm),
+                                                   "to-layer": str(to)})
+                _graph_xml(ET.SubElement(layer, "body"), sg.model, blob)
 
-    edges = ET.SubElement(root, "edges")
+    edges = ET.SubElement(parent, "edges")
     for e in model.edges:
         ET.SubElement(edges, "edge", {
             "from-layer": str(e.src), "from-port": str(e.src_port),
             "to-layer": str(e.dst), "to-port": str(e.dst_port),
         })
 
+
+def serialize_ir(model: Model) -> Tuple[bytes, bytes]:
+    """Return (xml_bytes, bin_bytes)."""
+    blob = bytearray()
+    root = ET.Element("net", {"name": model.name, "version": "10"})
+    _graph_xml(root, model, blob)
     ET.indent(root)
     xml_bytes = ET.tostring(root, encoding="utf-8", xml_declaration=True)
     return xml_bytes, bytes(blob)

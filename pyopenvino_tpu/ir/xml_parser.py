@@ -78,12 +78,69 @@ def _decode_const(attrs: Dict[str, str], blob: Optional[bytes]) -> Optional[np.n
     return arr.reshape(shape) if shape else arr.reshape(())
 
 
-def parse_ir(xml_text: str, blob: Optional[bytes], name: Optional[str] = None) -> Model:
-    root = ET.fromstring(xml_text)
-    if root.tag != "net":
-        raise ValueError(f"not an OpenVINO IR file (root tag {root.tag!r})")
-    net_name = name or root.attrib.get("name", "net")
+def _parse_port_map(section) -> Tuple[list, list]:
+    """<port_map> → (input entries, output entries) (ir/subgraph.py)."""
+    from pyopenvino_tpu.ir.subgraph import PortMapEntry
 
+    ins, outs = [], []
+    if section is None:
+        return ins, outs
+    for tag, dest in (("input", ins), ("output", outs)):
+        for el in section.findall(tag):
+            a = el.attrib
+            dest.append(PortMapEntry(
+                external_port_id=int(a.get("external_port_id", -1)),
+                internal_layer_id=int(a["internal_layer_id"]),
+                axis=int(a["axis"]) if "axis" in a else None,
+                start=int(a.get("start", 0)),
+                end=int(a.get("end", -1)),
+                stride=int(a.get("stride", 1)),
+                part_size=int(a.get("part_size", 1)),
+                purpose=a.get("purpose", ""),
+            ))
+    return ins, outs
+
+
+def _parse_subgraphs(layer, op_type: str, blob: Optional[bytes]):
+    """Nested <body>/<then_body>/<else_body> + port maps + back edges for
+    TensorIterator / Loop / If layers."""
+    from pyopenvino_tpu.ir.subgraph import SubGraph
+
+    def body_from(body_tag: str, pm_tag: str) -> Optional[SubGraph]:
+        body_el = layer.find(body_tag)
+        if body_el is None:
+            return None
+        model = _parse_graph(
+            body_el, blob, f"{layer.attrib.get('name', '?')}/{body_tag}")
+        ins, outs = _parse_port_map(layer.find(pm_tag))
+        back = []
+        be_el = layer.find("back_edges")
+        if be_el is not None and body_tag == "body":
+            for e in be_el.findall("edge"):
+                back.append((int(e.attrib["from-layer"]),
+                             int(e.attrib["to-layer"])))
+        sg = SubGraph(model=model, inputs=ins, outputs=outs, back_edges=back)
+        sg.validate(f"{op_type} {layer.attrib.get('name', '?')} {body_tag}")
+        return sg
+
+    if op_type in ("TensorIterator", "Loop"):
+        sg = body_from("body", "port_map")
+        if sg is None:
+            raise ValueError(f"{op_type} layer has no <body>")
+        return {"body": sg}
+    subs = {}
+    for tag, pm in (("then_body", "then_port_map"),
+                    ("else_body", "else_port_map")):
+        sg = body_from(tag, pm)
+        if sg is None:
+            raise ValueError(f"If layer has no <{tag}>")
+        subs[tag] = sg
+    return subs
+
+
+def _parse_graph(root, blob: Optional[bytes], net_name: str) -> Model:
+    """Parse one <net>/<body> element (layers + edges) into a Model —
+    shared by the top level and nested subgraph bodies."""
     layers = root.find("layers")
     if layers is None:
         raise ValueError("IR file has no <layers> section")
@@ -107,6 +164,10 @@ def parse_ir(xml_text: str, blob: Optional[bytes], name: Optional[str] = None) -
             inputs=_parse_ports(layer.find("input")),
             outputs=_parse_ports(layer.find("output")),
             const=_decode_const(attrs, blob) if op_type == "Const" else None,
+            subgraphs=(
+                _parse_subgraphs(layer, op_type, blob)
+                if op_type in ("TensorIterator", "Loop", "If") else None
+            ),
         )
         nodes[nid] = node
 
@@ -124,6 +185,14 @@ def parse_ir(xml_text: str, blob: Optional[bytes], name: Optional[str] = None) -
             )
 
     return Model(net_name, nodes, edges)
+
+
+def parse_ir(xml_text: str, blob: Optional[bytes], name: Optional[str] = None) -> Model:
+    root = ET.fromstring(xml_text)
+    if root.tag != "net":
+        raise ValueError(f"not an OpenVINO IR file (root tag {root.tag!r})")
+    net_name = name or root.attrib.get("name", "net")
+    return _parse_graph(root, blob, net_name)
 
 
 def read_ir_model(model_path: str, weights_path: Optional[str] = None) -> Model:

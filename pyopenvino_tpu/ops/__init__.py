@@ -24,6 +24,7 @@ from pyopenvino_tpu.ops import roi  # noqa: F401
 from pyopenvino_tpu.ops import shape_ops  # noqa: F401
 from pyopenvino_tpu.ops import ssd  # noqa: F401
 from pyopenvino_tpu.ops import state_ops  # noqa: F401
+from pyopenvino_tpu.ops import subgraph  # noqa: F401
 from pyopenvino_tpu.ops import yolo  # noqa: F401
 
 __all__ = [

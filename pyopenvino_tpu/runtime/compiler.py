@@ -78,6 +78,13 @@ class EmitCtx:
         # requantize its OWN output in-kernel (Pallas LRN) instead of
         # relying on the compiler's post-emit store() quantize.
         self.int8_edges = int8_edges or {}
+        # Device weight pytree, set by _build_fn at trace time so subgraph
+        # ops (ops/subgraph.py) can resolve their body Const weights from
+        # the same pytree ("sub.<node>.<body>.<const>" keys); empty for
+        # contexts built outside the compiler (nested body EmitCtx gets the
+        # outer pytree + prefix assigned by _emit_graph).
+        self.weights: Dict[str, object] = {}
+        self.weight_prefix: str = ""
 
     def out_int8_scale(self, node) -> Optional[float]:
         """Storage scale if this node's output edge is int8-stored."""
@@ -372,6 +379,15 @@ class CompiledNetwork:
             else:
                 weights[str(nid)] = jnp.asarray(node.const)
 
+        # Subgraph-body Consts (TensorIterator/Loop/If) join the same
+        # pytree so body weights are device-resident, shardable params —
+        # never baked literals (ops/subgraph.py body_const_weights).
+        from pyopenvino_tpu.ops.subgraph import body_const_weights
+
+        for node in self.model.nodes.values():
+            if node.subgraphs:
+                weights.update(body_const_weights(node, compute_dtype))
+
         # Large folded (statically-computed) values consumed by traced nodes
         # become weight params instead of baked literals — keeps the
         # executable small and the values device-placeable/shardable.
@@ -420,6 +436,7 @@ class CompiledNetwork:
         def fn(weights, inputs, state=None):
             import jax.numpy as jnp
 
+            ctx.weights = weights  # body-const lookups (ops/subgraph.py)
             values: Dict[Tuple[int, int], TValue] = {}
             captured: Dict[str, object] = {}
             # un-assigned (read-only) variables pass through: the returned
