@@ -333,6 +333,33 @@ def body_const_weights(node, compute_dtype, prefix: str = "") -> Dict[str, objec
     return out
 
 
+def _pvary(tree):
+    """Align initial scan/while carries' varying-manual-axes with the body
+    outputs when tracing inside shard_map (pipeline stages run under
+    shard_map — parallel/pipeline.py): a Const-derived init is unvarying
+    over the manual mesh axes while the body's per-iteration result is
+    varying, and lax.scan/while_loop require equal carry types.  No-op
+    outside shard_map."""
+    import jax
+
+    try:
+        from jax._src.core import get_axis_env
+    except ImportError:  # private API moved — fall back to plain carries
+        return tree
+    names = tuple(get_axis_env().axis_sizes)
+    if not names:
+        return tree
+
+    def align(x):
+        have = getattr(getattr(x, "aval", None), "vma", frozenset())
+        missing = tuple(n for n in names if n not in have)
+        if not missing:
+            return x
+        return jax.lax.pcast(x, missing, to="varying")
+
+    return jax.tree.map(align, tree)
+
+
 def _chunked(e, x, axis: int):
     """(iters, per-iteration-slice) view of a traced input, iteration-major
     — the scan's xs."""
@@ -472,7 +499,8 @@ class TensorIterator(Op):
             return jnp.asarray(v).reshape(info.shape).astype(
                 ctx.compute_dtype if _float(info.dtype) else info.dtype)
 
-        carry0 = tuple(cast_init(pid, init[pid]) for pid in carry_ids)
+        carry0 = _pvary(tuple(cast_init(pid, init[pid])
+                              for pid in carry_ids))
         out_ids = [e.internal_layer_id for e in sg.outputs]
 
         def body_fn(carry, xt):
@@ -701,8 +729,8 @@ class Loop(Op):
             return (i + 1, cond2, new_carry, tuple(new_slots))
 
         _, _, _, slots = jax.lax.while_loop(
-            cond_fn, body_fn, (jnp.asarray(0, jnp.int32), cond0, carry0,
-                               slots0))
+            cond_fn, body_fn,
+            _pvary((jnp.asarray(0, jnp.int32), cond0, carry0, slots0)))
         out = {}
         for e, y in zip(out_entries, slots):
             if e.axis is None:

@@ -42,7 +42,7 @@ def _random_graph(seed):
              "residual", "dwconv", "lrn", "concat", "transpose2",
              "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
              "act2", "mvn", "deconv", "fq", "nl2", "blockspatial",
-             "unary3", "moe", "maskselect", "topkgate"]
+             "unary3", "moe", "maskselect", "topkgate", "ti"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -158,6 +158,31 @@ def _random_graph(seed):
                 continue
         elif kind == "unary3":
             out = b.unary(str(rng.choice(["Abs", "Erf", "Negative"])), src)
+        elif kind == "ti":
+            # TensorIterator over the H axis: a leaky recurrent row
+            # accumulator s' = tanh(x_t + decay·s) run as one lax.scan
+            # (ops/subgraph.py) — the fuzz twin of the ocr-ti family
+            feat = c * w
+            seq = b.reshape(src, (1, h, feat))
+            decay = np.float32(rng.uniform(0.3, 0.9))
+            bb = GraphBuilder(f"ti_body_{len(live)}")
+            xt = bb.parameter("x_t", (1, 1, feat))
+            s = bb.parameter("s_in", (1, feat))
+            s2 = bb.unary("Tanh", bb.add(
+                bb.reshape(xt, (1, feat)),
+                bb.multiply(s, bb.const(decay.reshape(())))))
+            bb.result(s2, "s_out")
+            bb.result(bb.reshape(s2, (1, 1, feat)), "y_out")
+            reverse = bool(rng.random() < 0.5)
+            sl = ({"axis": 1, "start": -1, "end": 0, "stride": -1}
+                  if reverse else {"axis": 1})
+            init = b.const(np.zeros((1, feat), np.float32))
+            y = b.tensor_iterator(
+                [seq, init], bb.build(),
+                input_map=[("x_t", sl), "s_in"],
+                output_map=[("y_out", sl)],
+                back_edges=[("s_out", "s_in")])
+            out = b.reshape(y, (1, c, h, w))
         elif kind == "moe":
             # dense-gated expert mixture on the GAP vector, re-applied to
             # the feature map as an SE-style gate — exercises Tile,

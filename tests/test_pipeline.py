@@ -286,3 +286,10 @@ def test_generator_calibration_samples_not_exhausted():
     )
     out = net({"conv2d_input": np.zeros((1, 1, 28, 28), np.float32)})
     assert next(iter(out.values())).shape == (1, 10)
+
+
+def test_ocr_ti_pp2():
+    """The TensorIterator family through the pipeline partitioner: the TI
+    nodes land whole inside a stage (a subgraph op is one runtime node)
+    and the SPMD ring schedule matches the single-device compiled path."""
+    _parity("ocr-ti", build_pipeline_mesh(2), batch=8)

@@ -184,3 +184,49 @@ def test_conv2d_transpose_output_padding_and_dilation_guard():
     ])
     with pytest.raises(NotImplementedError, match="dilation_rate"):
         convert_keras_model(bad)
+
+
+def test_lstm_gru_emit_tensor_iterator():
+    """Keras LSTM/GRU convert to TensorIterator[LSTMCell/GRUCell] — the
+    graph shape Model Optimizer emits for TF sequence models (the
+    pipeline the reference documents, convert-model.sh:1-12) — with
+    predict parity through both executors."""
+    from keras import layers
+
+    T, F = 12, 8
+    km = keras.Sequential([
+        keras.Input((T, F)),
+        layers.LSTM(16, return_sequences=True),
+        layers.GRU(12),
+        layers.Dense(5, activation="softmax"),
+    ])
+    m = convert_keras_model(km, name="seq")
+    tis = m.find_by_type("TensorIterator")
+    assert len(tis) == 2
+    cells = {n.op_type
+             for ti in tis
+             for n in ti.subgraphs["body"].model.nodes.values()}
+    assert "LSTMCell" in cells and "GRUCell" in cells
+    _parity(km, (1, T, F), atol=1e-5)
+
+
+def test_lstm_return_sequences_false_takes_last_state():
+    from keras import layers
+
+    T, F = 7, 5
+    km = keras.Sequential([
+        keras.Input((T, F)),
+        layers.LSTM(9),
+    ])
+    _parity(km, (1, T, F), atol=1e-5)
+
+
+def test_lstm_go_backwards_refused():
+    from keras import layers
+
+    km = keras.Sequential([
+        keras.Input((6, 4)),
+        layers.LSTM(8, go_backwards=True),
+    ])
+    with pytest.raises(NotImplementedError, match="go_backwards"):
+        convert_keras_model(km)

@@ -64,6 +64,9 @@ MODELS = {
     "resnet18-pot": ("data", (1, 3, 224, 224), "cls"),  # POT-quantized IR
     "moe-mlp": ("input", (1, 3, 32, 32), "cls"),  # programmatic 12th (EP)
     "lstm-tiny": ("data", (1, 32, 40), "cls"),  # programmatic 13th (RNN)
+    # 16th family: TensorIterator[LSTMCell] OCR strip — per-frame argmax
+    # agreement scores like a 1-D segmentation map
+    "ocr-ti": ("data", (1, 24, 32), "seg"),
     # trained real-weight families (tools/train_real.py) with built-in
     # real labels — the reference-grade evidence class
     "mnist_bn_real": ("conv2d_input", (1, 1, 28, 28), "cls"),

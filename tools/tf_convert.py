@@ -14,8 +14,11 @@ the CNN layer set — Conv2D / DepthwiseConv2D (valid+same padding, fused
 activations), BatchNormalization (folded from the running statistics),
 MaxPooling2D / AveragePooling2D / GlobalAveragePooling2D, Flatten,
 Dense, Activation / ReLU / Softmax, ZeroPadding2D, UpSampling2D,
-Rescaling, Dropout (erased), and the merge layers (Add / Multiply /
-Concatenate — residual and skip topologies).  Functional models walk
+Rescaling, Dropout (erased), the merge layers (Add / Multiply /
+Concatenate — residual and skip topologies), and the sequence layers
+LSTM / GRU — each emitted as a TensorIterator[LSTMCell/GRUCell] body,
+the exact graph shape Model Optimizer produces for TF sequence models
+(ops/subgraph.py).  Functional models walk
 Keras 3's node graph in topological (depth) order; anything unmapped
 fails fast with the layer named.  Axis attributes translate from the
 Keras NHWC convention to the IR's NCHW (channels: -1 → 1).
@@ -236,8 +239,111 @@ class _Converter:
                     f"UpSampling2D interpolation "
                     f"{cfg.get('interpolation')!r}")
             return b.interpolate(x, sizes, mode=mode)
+        if name in ("LSTM", "GRU"):
+            return self._recurrent(layer, x, name)
         raise NotImplementedError(
             f"unmapped Keras layer {name} ({layer.name!r})")
+
+    def _recurrent(self, layer, x, kind):
+        """Keras LSTM/GRU → TensorIterator[LSTMCell/GRUCell] — the exact
+        graph shape Model Optimizer emits for TF sequence models (the
+        pipeline the reference documents, reference: convert-model.sh:1-12;
+        subgraph machinery: ops/subgraph.py)."""
+        b = self.b
+        cfg = layer.get_config()
+        if cfg.get("go_backwards"):
+            raise NotImplementedError(
+                f"{kind} {layer.name!r}: go_backwards=True is unsupported "
+                f"(wrap forward layers; Keras reverses the OUTPUT order "
+                f"too, which has no single-TI realization)")
+        if cfg.get("return_state"):
+            raise NotImplementedError(
+                f"{kind} {layer.name!r}: return_state=True is unsupported")
+        for k in ("activation", "recurrent_activation"):
+            if cfg.get(k) not in ("tanh", "sigmoid", "relu"):
+                raise NotImplementedError(
+                    f"{kind} {layer.name!r}: {k}={cfg.get(k)!r} has no "
+                    f"opset realization")
+        units = int(cfg["units"])
+        if len(x.shape) != 3:
+            raise NotImplementedError(
+                f"{kind} {layer.name!r}: expected rank-3 (1, T, F) input, "
+                f"got {x.shape}")
+        _, T, F = x.shape
+        weights = layer.get_weights()
+        kernel = self._fold_scale(weights[0], False)  # (F, GH)
+        rec = weights[1]                              # (H, GH)
+        g = 4 if kind == "LSTM" else 3
+
+        if kind == "LSTM":
+            # Keras gate order i,f,c,o → opset fico
+            def reorder(a):
+                i, f, c, o = np.split(a, 4, axis=-1)
+                return np.concatenate([f, i, c, o], axis=-1)
+
+            W = reorder(kernel).T.astype(np.float32)      # (4H, F)
+            R = reorder(rec).T.astype(np.float32)         # (4H, H)
+            if cfg.get("use_bias", True):
+                B = reorder(weights[2].reshape(1, -1))[0]
+            else:
+                B = np.zeros(g * units)
+            B = B.astype(np.float32)
+            acts = (f"{cfg['recurrent_activation']},{cfg['activation']},"
+                    f"{cfg['activation']}")
+            cell_attrs = {"hidden_size": units, "activations": acts}
+            cell_op, n_state = "LSTMCell", 2
+        else:
+            # Keras GRU order z,r,h == opset zrh; reset_after=True is the
+            # opset's linear_before_reset form (B = [bz, br, Wbh, Rbh])
+            W = kernel.T.astype(np.float32)
+            R = rec.T.astype(np.float32)
+            reset_after = bool(cfg.get("reset_after", True))
+            if not reset_after:
+                raise NotImplementedError(
+                    f"GRU {layer.name!r}: reset_after=False is the legacy "
+                    f"CuDNN-incompatible variant; retrain with the default "
+                    f"reset_after=True")
+            if cfg.get("use_bias", True):
+                wb, rb = weights[2]  # (2, 3H): input-side, recurrent-side
+                B = np.concatenate([
+                    wb[:units] + rb[:units],
+                    wb[units:2 * units] + rb[units:2 * units],
+                    wb[2 * units:], rb[2 * units:],
+                ])
+            else:
+                B = np.zeros(4 * units)
+            B = B.astype(np.float32)
+            acts = f"{cfg['recurrent_activation']},{cfg['activation']}"
+            cell_attrs = {"hidden_size": units, "activations": acts,
+                          "linear_before_reset": "1"}
+            cell_op, n_state = "GRUCell", 1
+
+        bb = GraphBuilder(f"{layer.name}_cell")
+        xt = bb.parameter("x_t", (1, 1, F))
+        states = [bb.parameter(f"s{i}_in", (1, units))
+                  for i in range(n_state)]
+        xf = bb.reshape(xt, (1, F))
+        cell_out = bb._add_node(
+            cell_op, [xf] + states + [bb.const(W), bb.const(R),
+                                      bb.const(B)], cell_attrs)
+        outs = cell_out if isinstance(cell_out, list) else [cell_out]
+        for i, p in enumerate(outs):
+            bb.result(p, f"s{i}_out")
+        bb.result(bb.reshape(outs[0], (1, 1, units)), "y_out")
+        body = bb.build()
+
+        inits = [b.const(np.zeros((1, units), np.float32),
+                         f"{layer.name}_s{i}0") for i in range(n_state)]
+        out_map = ([("y_out", {"axis": 1})] if cfg.get("return_sequences")
+                   else ["s0_out"])
+        return b.tensor_iterator(
+            [x] + inits, body,
+            input_map=[("x_t", {"axis": 1})]
+            + [f"s{i}_in" for i in range(n_state)],
+            output_map=out_map,
+            back_edges=[(f"s{i}_out", f"s{i}_in")
+                        for i in range(n_state)],
+            name=layer.name)
 
     def convert_merge(self, layer, ins):
         """Multi-input merge layers (functional graphs)."""
@@ -283,6 +389,8 @@ def convert_keras_model(kmodel, scale=None, name=None, input_name="data"):
         if len(ks) == 4:
             _, h, w, c = ks
             return (1, int(c), int(h), int(w))
+        if len(ks) == 3:  # sequence input (1, T, F) — no layout move
+            return (1, int(ks[1]), int(ks[2]))
         return (1, int(ks[1]))
 
     if isinstance(kmodel, keras.Sequential):
