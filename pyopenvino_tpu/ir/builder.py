@@ -292,10 +292,10 @@ class GraphBuilder:
 
     def proposal(self, probs, deltas, im_info, base_size, feat_stride,
                  ratio, scale, pre_nms_topn=6000, post_nms_topn=300,
-                 nms_thresh=0.7, min_size=16, name=None):
+                 nms_thresh=0.7, min_size=16, framework="", name=None):
         """opset4 Proposal (ops/proposal.py) → [rois (N*post, 5),
         scores (N*post,)]."""
-        idx, sc = self._add_node("Proposal", [probs, deltas, im_info], {
+        attrs = {
             "base_size": str(int(base_size)),
             "feat_stride": str(int(feat_stride)),
             "ratio": ",".join(str(float(r)) for r in ratio),
@@ -304,7 +304,11 @@ class GraphBuilder:
             "post_nms_topn": str(int(post_nms_topn)),
             "nms_thresh": str(float(nms_thresh)),
             "min_size": str(int(min_size)),
-        }, name, n_outputs=2)
+        }
+        if framework:
+            attrs["framework"] = framework
+        idx, sc = self._add_node("Proposal", [probs, deltas, im_info],
+                                 attrs, name, n_outputs=2)
         return [idx, sc]
 
     def roi_align(self, data, rois, batch_indices, pooled_h, pooled_w,
@@ -426,13 +430,17 @@ class GraphBuilder:
     def non_max_suppression(self, boxes, scores, max_boxes=0,
                             iou_threshold=0.5, score_threshold=0.0,
                             box_encoding="corner",
-                            sort_result_descending=True, name=None):
+                            sort_result_descending=True,
+                            soft_nms_sigma=0.0, name=None):
         """opset9 NonMaxSuppression → [selected_indices, selected_scores,
-        valid_outputs] (ops/nms.py; padded static shapes)."""
+        valid_outputs] (ops/nms.py; padded static shapes).  A nonzero
+        ``soft_nms_sigma`` selects Soft-NMS Gaussian decay."""
         ins = [boxes, scores,
                self.const(np.asarray(max_boxes, np.int64)),
                self.const(np.asarray(iou_threshold, np.float32)),
                self.const(np.asarray(score_threshold, np.float32))]
+        if soft_nms_sigma:
+            ins.append(self.const(np.asarray(soft_nms_sigma, np.float32)))
         idx, sel, valid = self._add_node("NonMaxSuppression", ins, {
             "box_encoding": box_encoding,
             "sort_result_descending":

@@ -2090,28 +2090,30 @@ class Sign(_UnaryAttr):
 
 @register
 class Round(_UnaryAttr):
-    """opset5 Round, half_to_even (banker's) mode — numpy/jax rint
-    semantics; half_away_from_zero is refused AT BUILD TIME (fail-fast
-    convention)."""
+    """opset5 Round.  half_to_even (banker's, the default) is numpy/jax
+    rint; half_away_from_zero is sign(x)·floor(|x| + 0.5) — exact at the
+    .5 ties in both executors (fp addition of 0.5 to a representable
+    half-integer is exact below 2^52/2^23)."""
 
     type_name = "Round"
 
     @staticmethod
-    def _check(node):
+    def _mode(node):
         from pyopenvino_tpu.ir import attrs as A
 
         mode = A.get_str(node.attrs, "mode", "half_to_even")
-        if mode != "half_to_even":
-            raise NotImplementedError(
-                f"Round mode {mode!r} unsupported (half_to_even only)")
+        if mode not in ("half_to_even", "half_away_from_zero"):
+            raise ValueError(f"Round: unknown mode {mode!r}")
+        return mode
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
-        self._check(node)
+        self._mode(node)
         return super().infer_shapes(node, in_shapes, in_values)
 
     def _formula(self, node, x, m):
-        self._check(node)
-        return m.rint(x)
+        if self._mode(node) == "half_to_even":
+            return m.rint(x)
+        return m.sign(x) * m.floor(m.abs(x) + 0.5)
 
 
 @register

@@ -18,8 +18,12 @@ rows absorb).  The JAX path runs one `lax.fori_loop` greedy sweep per
 
 Outputs: selected_indices (S, 3) int64 [batch, class, box],
 selected_scores (S, 3) f32 [batch, class, score], valid_outputs (1,).
-``soft_nms_sigma`` ≠ 0 is refused (fail-fast; nothing we target emits
-it).  ``sort_result_descending=1`` sorts the valid rows by score across
+``soft_nms_sigma`` > 0 switches to Soft-NMS with Gaussian weighting
+(TF NonMaxSuppressionV5 semantics — the op NMS-5 was introduced to
+convert): every selection decays surviving candidates by
+``exp(-0.5·iou²/σ)``, reported scores are the decayed ones, and the
+sweep becomes an iterative argmax (still fixed-shape under jit).
+``sort_result_descending=1`` sorts the valid rows by score across
 classes; otherwise rows group by (batch, class) in score order.
 """
 
@@ -89,16 +93,16 @@ def _static_inputs(node, in_values, inputs=None):
     iou_thr = val(3, 0.0)
     score_thr = val(4, 0.0)
     sigma = val(5, 0.0)
-    if sigma != 0.0:
-        raise NotImplementedError(
-            "NonMaxSuppression: soft_nms_sigma != 0 is unsupported")
-    return max_boxes, iou_thr, score_thr
+    if sigma < 0.0:
+        raise ValueError(
+            "NonMaxSuppression: soft_nms_sigma must be non-negative")
+    return max_boxes, iou_thr, score_thr, sigma
 
 
 def _sel_bound(node, in_shapes, in_values):
     n, num_boxes, _ = in_shapes[0]
     _, classes, _ = in_shapes[1]
-    max_boxes, _, _ = _static_inputs(node, in_values)
+    max_boxes, _, _, _ = _static_inputs(node, in_values)
     per_class = num_boxes if max_boxes <= 0 else min(max_boxes, num_boxes)
     return int(n * classes * per_class)
 
@@ -133,9 +137,18 @@ def greedy_nms_sweep(iou_sorted, valid_sorted, iou_thr, max_keep):
         0, n, body, (jnp.zeros(n, bool), jnp.int32(0)))
 
 
-def nms_greedy_np(boxes, scores, max_boxes, iou_thr, score_thr, p):
+def nms_greedy_np(boxes, scores, max_boxes, iou_thr, score_thr, p,
+                  sigma=0.0):
     """Reference sequential greedy NMS.  boxes (N, B, 4), scores
-    (N, C, B) → (indices (S, 3), sel_scores (S, 3), valid)."""
+    (N, C, B) → (indices (S, 3), sel_scores (S, 3), valid).
+
+    ``sigma`` > 0 is Soft-NMS with Gaussian weighting (the NMS-5 /
+    TF NonMaxSuppressionV5 semantics): each selection decays every
+    surviving candidate by ``exp(-0.5·iou²/σ)`` (hard-zeroed past
+    ``iou_threshold``), selection stops when the best decayed score
+    drops to ``score_threshold``, and the reported score is the decayed
+    one.  The eager per-step decay here is equivalent to the lazy
+    re-queued form in the TF kernel."""
     n, num_boxes, _ = boxes.shape
     classes = scores.shape[1]
     per_class = num_boxes if max_boxes <= 0 else min(max_boxes, num_boxes)
@@ -145,6 +158,18 @@ def nms_greedy_np(boxes, scores, max_boxes, iou_thr, score_thr, p):
         iou = _iou_np(corner)
         for c in range(classes):
             s = scores[b, c].astype(np.float64)
+            if sigma > 0.0:
+                w_mat = np.where(iou <= iou_thr,
+                                 np.exp(-0.5 * iou * iou / sigma), 0.0)
+                s = s.copy()
+                for _ in range(per_class):
+                    i = int(np.argmax(s))
+                    if not s[i] > score_thr:
+                        break
+                    rows.append((b, c, i, s[i]))
+                    s = s * w_mat[i]
+                    s[i] = -np.inf
+                continue
             order = np.argsort(-s, kind="stable")
             kept = []
             for i in order:
@@ -177,9 +202,11 @@ class NonMaxSuppression(Op):
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
         p = _params(node)
-        max_boxes, iou_thr, score_thr = _static_inputs(node, None, inputs)
+        max_boxes, iou_thr, score_thr, sigma = _static_inputs(
+            node, None, inputs)
         idx, sel, valid = nms_greedy_np(
-            inputs[0], inputs[1], max_boxes, iou_thr, score_thr, p)
+            inputs[0], inputs[1], max_boxes, iou_thr, score_thr, p,
+            sigma=sigma)
         if p["output_type"] == "i32":
             idx = idx.astype(np.int32)
             valid = valid.astype(np.int32)
@@ -191,7 +218,7 @@ class NonMaxSuppression(Op):
         import jax.numpy as jnp
 
         p = _params(node)
-        max_boxes, iou_thr, score_thr = _static_inputs(
+        max_boxes, iou_thr, score_thr, sigma = _static_inputs(
             node, {i: ctx.static_value(node, i) for i in (2, 3, 4, 5)
                    if i in node.inputs})
         boxes = inputs[0].nchw().astype(jnp.float32)   # (N, B, 4)
@@ -235,6 +262,11 @@ class NonMaxSuppression(Op):
             return keep, cnt
 
         iou_all = jax.vmap(iou_mat)(corner)                     # (N, B, B)
+
+        if sigma > 0.0:
+            return self._emit_soft(
+                node, p, iou_all, scores, n, classes, num_boxes,
+                per_class, iou_thr, score_thr, sigma)
         keep, cnt = jax.vmap(
             lambda io, sc: jax.vmap(lambda s: one_class(io, s))(sc)
         )(iou_all, scores)                                      # (N, C, B)
@@ -282,4 +314,69 @@ class NonMaxSuppression(Op):
             p0: TValue(idx.astype(out_dt), "L"),
             p1: TValue(sel.astype(jnp.float32), "L"),
             p2: TValue(total.astype(out_dt), "L"),
+        }
+
+    def _emit_soft(self, node, p, iou_all, scores, n, classes, num_boxes,
+                   per_class, iou_thr, score_thr, sigma):
+        """Soft-NMS (sigma > 0): per (batch, class), iteratively select
+        the argmax of the decayed scores, multiplying survivors by
+        ``exp(-0.5·iou²/σ)`` (0 past iou_threshold) after each pick — the
+        eager equivalent of the TF V5 / NMS-5 lazy re-queued kernel.
+        Fixed shapes throughout: a fori_loop over the per_class keep
+        budget, vmapped over (batch, class)."""
+        import jax
+        import jax.numpy as jnp
+
+        def one_class(iou, s):
+            w_mat = jnp.where(iou <= iou_thr,
+                              jnp.exp(-0.5 * iou * iou / sigma), 0.0)
+
+            def body(k, carry):
+                s_cur, sel_i, sel_s, cnt = carry
+                i = jnp.argmax(s_cur)
+                ok = s_cur[i] > score_thr
+                sel_i = sel_i.at[k].set(jnp.where(ok, i, -1))
+                sel_s = sel_s.at[k].set(jnp.where(ok, s_cur[i], -1.0))
+                decayed = (s_cur * w_mat[i]).at[i].set(-jnp.inf)
+                s_cur = jnp.where(ok, decayed, s_cur)
+                return s_cur, sel_i, sel_s, cnt + ok.astype(jnp.int32)
+
+            _, sel_i, sel_s, cnt = jax.lax.fori_loop(
+                0, per_class, body,
+                (s.astype(jnp.float32),
+                 jnp.full((per_class,), -1, jnp.int32),
+                 jnp.full((per_class,), -1.0, jnp.float32),
+                 jnp.int32(0)))
+            return sel_i, sel_s, cnt
+
+        sel_i, sel_s, cnt = jax.vmap(
+            lambda io, sc: jax.vmap(lambda s: one_class(io, s))(sc)
+        )(iou_all, scores)          # (N, C, per_class) ×2, (N, C)
+
+        S = n * classes * per_class
+        b_idx, c_idx, _ = jnp.unravel_index(
+            jnp.arange(S), (n, classes, per_class))
+        flat_i = sel_i.reshape(-1)
+        flat_s = sel_s.reshape(-1)
+        valid = flat_i >= 0
+        if p["sort_result_descending"]:
+            order = jnp.argsort(
+                jnp.where(valid, -flat_s, jnp.inf), stable=True)
+        else:
+            # selection slots are already (b, c, pick-order); just pack
+            # the valid prefix rows of every class to the front
+            order = jnp.argsort(~valid, stable=True)
+        ok = valid[order]
+        idx = jnp.stack(
+            [b_idx[order], c_idx[order], flat_i[order]], axis=1)
+        sel = jnp.stack(
+            [b_idx[order].astype(jnp.float32),
+             c_idx[order].astype(jnp.float32), flat_s[order]], axis=1)
+        idx = jnp.where(ok[:, None], idx, -1)
+        sel = jnp.where(ok[:, None], sel, -1.0)
+        p0, p1, p2 = _ports(node)
+        return {
+            p0: TValue(idx.astype(jnp.int32), "L"),
+            p1: TValue(sel, "L"),
+            p2: TValue(cnt.sum().reshape(1).astype(jnp.int32), "L"),
         }

@@ -20,8 +20,14 @@ Semantics (framework="" — the Caffe original):
   * outputs: rois (N·post_nms_topn, 5) [batch, x1, y1, x2, y2] and
     probs (N·post_nms_topn,).
 
-``framework="tensorflow"`` is refused (different coordinate/rounding
-conventions; nothing we target emits it).
+``framework="tensorflow"`` switches the kernel's convention knobs the
+way the OpenVINO plugin does for TF Object-Detection-API exports:
+``coordinates_offset`` 1 → 0 (widths are x2−x1, no endpoint pixel),
+anchor ratios unrounded, anchors shifted to a zero center
+(−base_size/2), anchor windows clipped to the image BEFORE delta
+decoding, and im_info height/width read swapped.  The shared math below
+is parameterized on exactly those knobs, so both executors realize both
+conventions from one code path.
 """
 
 from __future__ import annotations
@@ -52,30 +58,43 @@ def _params(node):
         box_coordinate_scale=A.get_float(a, "box_coordinate_scale", 1.0),
         framework=A.get_str(a, "framework", ""),
     )
-    if p["framework"] not in ("", "caffe"):
+    if p["framework"] not in ("", "caffe", "tensorflow"):
         raise NotImplementedError(
             f"Proposal framework={p['framework']!r} unsupported (caffe "
-            "conventions only)")
+            "and tensorflow conventions only)")
+    tf = p["framework"] == "tensorflow"
+    # the plugin's per-framework convention knobs (module docstring)
+    p["co"] = 0.0 if tf else 1.0          # coordinates_offset
+    p["round_ratios"] = not tf
+    p["shift_anchors"] = tf
+    p["initial_clip"] = tf
+    p["swap_xy"] = tf
     return p
 
 
 def _anchors(p) -> np.ndarray:
-    """(A, 4) corner anchors around the base window (generate_anchors)."""
+    """(A, 4) corner anchors around the base window (generate_anchors),
+    parameterized on the coordinates_offset / rounding / shift knobs."""
     base = float(p["base_size"])
+    co = p["co"]
     out = []
-    # base window [0, base-1], center (base-1)/2
-    w = h = base
-    cx = cy = (base - 1.0) / 2.0
-    area = w * h
+    cx = cy = 0.5 * (base - co)
+    area = base * base
     for r in p["ratio"]:
         size_r = area / r
-        ws = round(np.sqrt(size_r))
-        hs = round(ws * r)
+        if p["round_ratios"]:
+            ws = round(np.sqrt(size_r))
+            hs = round(ws * r)
+        else:
+            ws = np.sqrt(size_r)
+            hs = ws * r
         for s in p["scale"]:
-            wss, hss = ws * s, hs * s
-            out.append([cx - 0.5 * (wss - 1), cy - 0.5 * (hss - 1),
-                        cx + 0.5 * (wss - 1), cy + 0.5 * (hss - 1)])
-    return np.asarray(out, np.float64)
+            w2, h2 = 0.5 * (ws * s - co), 0.5 * (hs * s - co)
+            out.append([cx - w2, cy - h2, cx + w2, cy + h2])
+    anchors = np.asarray(out, np.float64)
+    if p["shift_anchors"]:
+        anchors -= base / 2.0
+    return anchors
 
 
 def _ports(node):
@@ -91,7 +110,10 @@ def proposal_ref(probs, deltas, im_info, p) -> tuple:
     n, _, h, w = probs.shape
     anchors = _anchors(p)
     na = len(anchors)
+    co = p["co"]
     img_h, img_w = float(im_info[0]), float(im_info[1])
+    if p["swap_xy"]:
+        img_h, img_w = img_w, img_h
     scale_h = float(im_info[2]) if len(im_info) > 2 else 1.0
     scale_w = float(im_info[3]) if len(im_info) > 3 else scale_h
     post = p["post_nms_topn"]
@@ -107,10 +129,15 @@ def proposal_ref(probs, deltas, im_info, p) -> tuple:
         ay1 = anchors[:, 1, None] + ys
         ax2 = anchors[:, 2, None] + xs
         ay2 = anchors[:, 3, None] + ys
-        aw = ax2 - ax1 + 1.0
-        ah = ay2 - ay1 + 1.0
-        acx = ax1 + 0.5 * (aw - 1)
-        acy = ay1 + 0.5 * (ah - 1)
+        if p["initial_clip"]:
+            ax1 = np.clip(ax1, 0, img_w)
+            ay1 = np.clip(ay1, 0, img_h)
+            ax2 = np.clip(ax2, 0, img_w)
+            ay2 = np.clip(ay2, 0, img_h)
+        aw = ax2 - ax1 + co
+        ah = ay2 - ay1 + co
+        acx = ax1 + 0.5 * (aw - co)
+        acy = ay1 + 0.5 * (ah - co)
         dx = dl[:, 0] / p["box_coordinate_scale"]
         dy = dl[:, 1] / p["box_coordinate_scale"]
         dw = dl[:, 2] / p["box_size_scale"]
@@ -119,17 +146,17 @@ def proposal_ref(probs, deltas, im_info, p) -> tuple:
         cy = dy * ah + acy
         bw = np.exp(dw) * aw
         bh = np.exp(dh) * ah
-        x1 = cx - 0.5 * (bw - 1)
-        y1 = cy - 0.5 * (bh - 1)
-        x2 = cx + 0.5 * (bw - 1)
-        y2 = cy + 0.5 * (bh - 1)
+        x1 = cx - 0.5 * (bw - co)
+        y1 = cy - 0.5 * (bh - co)
+        x2 = cx + 0.5 * (bw - co)
+        y2 = cy + 0.5 * (bh - co)
         if p["clip_before_nms"]:
-            x1 = np.clip(x1, 0, img_w - 1)
-            y1 = np.clip(y1, 0, img_h - 1)
-            x2 = np.clip(x2, 0, img_w - 1)
-            y2 = np.clip(y2, 0, img_h - 1)
-        keep_sz = (((x2 - x1 + 1) >= p["min_size"] * scale_w)
-                   & ((y2 - y1 + 1) >= p["min_size"] * scale_h))
+            x1 = np.clip(x1, 0, img_w - co)
+            y1 = np.clip(y1, 0, img_h - co)
+            x2 = np.clip(x2, 0, img_w - co)
+            y2 = np.clip(y2, 0, img_h - co)
+        keep_sz = (((x2 - x1 + co) >= p["min_size"] * scale_w)
+                   & ((y2 - y1 + co) >= p["min_size"] * scale_h))
         s = np.where(keep_sz, sc, -np.inf).reshape(-1)
         boxes = np.stack([x1, y1, x2, y2], axis=-1).reshape(-1, 4)
         order = np.argsort(-s, kind="stable")[: p["pre_nms_topn"]]
@@ -142,11 +169,11 @@ def proposal_ref(probs, deltas, im_info, p) -> tuple:
                 bj = boxes[j]
                 ix1, iy1 = max(bi[0], bj[0]), max(bi[1], bj[1])
                 ix2, iy2 = min(bi[2], bj[2]), min(bi[3], bj[3])
-                iw_ = max(0.0, ix2 - ix1 + 1)
-                ih_ = max(0.0, iy2 - iy1 + 1)
+                iw_ = max(0.0, ix2 - ix1 + co)
+                ih_ = max(0.0, iy2 - iy1 + co)
                 inter = iw_ * ih_
-                ai = (bi[2] - bi[0] + 1) * (bi[3] - bi[1] + 1)
-                aj = (bj[2] - bj[0] + 1) * (bj[3] - bj[1] + 1)
+                ai = (bi[2] - bi[0] + co) * (bi[3] - bi[1] + co)
+                aj = (bj[2] - bj[0] + co) * (bj[3] - bj[1] + co)
                 if inter / (ai + aj - inter) > p["nms_thresh"]:
                     ok = False
                     break
@@ -158,7 +185,8 @@ def proposal_ref(probs, deltas, im_info, p) -> tuple:
             bx = boxes[i]
             if p["clip_after_nms"]:
                 bx = np.clip(bx, [0, 0, 0, 0],
-                             [img_w - 1, img_h - 1, img_w - 1, img_h - 1])
+                             [img_w - co, img_h - co,
+                              img_w - co, img_h - co])
             if p["normalize"]:
                 bx = bx / [img_w, img_h, img_w, img_h]
             rois[b * post + k] = [b, *bx]
@@ -197,7 +225,10 @@ class Proposal(Op):
         n, _, h, w = probs.shape
         anchors = jnp.asarray(_anchors(p), jnp.float32)
         na = anchors.shape[0]
+        co = p["co"]
         img_h, img_w = im_info[0], im_info[1]
+        if p["swap_xy"]:
+            img_h, img_w = img_w, img_h
         scale_h = im_info[2] if im_info.shape[0] > 2 else jnp.float32(1.0)
         scale_w = im_info[3] if im_info.shape[0] > 3 else scale_h
         post = p["post_nms_topn"]
@@ -215,38 +246,43 @@ class Proposal(Op):
             ay1 = anchors[:, 1, None] + ys
             ax2 = anchors[:, 2, None] + xs
             ay2 = anchors[:, 3, None] + ys
-            aw = ax2 - ax1 + 1.0
-            ah = ay2 - ay1 + 1.0
-            acx = ax1 + 0.5 * (aw - 1)
-            acy = ay1 + 0.5 * (ah - 1)
+            if p["initial_clip"]:
+                ax1 = jnp.clip(ax1, 0, img_w)
+                ay1 = jnp.clip(ay1, 0, img_h)
+                ax2 = jnp.clip(ax2, 0, img_w)
+                ay2 = jnp.clip(ay2, 0, img_h)
+            aw = ax2 - ax1 + co
+            ah = ay2 - ay1 + co
+            acx = ax1 + 0.5 * (aw - co)
+            acy = ay1 + 0.5 * (ah - co)
             cx = dl[:, 0] / p["box_coordinate_scale"] * aw + acx
             cy = dl[:, 1] / p["box_coordinate_scale"] * ah + acy
             bw = jnp.exp(dl[:, 2] / p["box_size_scale"]) * aw
             bh = jnp.exp(dl[:, 3] / p["box_size_scale"]) * ah
-            x1 = cx - 0.5 * (bw - 1)
-            y1 = cy - 0.5 * (bh - 1)
-            x2 = cx + 0.5 * (bw - 1)
-            y2 = cy + 0.5 * (bh - 1)
+            x1 = cx - 0.5 * (bw - co)
+            y1 = cy - 0.5 * (bh - co)
+            x2 = cx + 0.5 * (bw - co)
+            y2 = cy + 0.5 * (bh - co)
             if p["clip_before_nms"]:
-                x1 = jnp.clip(x1, 0, img_w - 1)
-                y1 = jnp.clip(y1, 0, img_h - 1)
-                x2 = jnp.clip(x2, 0, img_w - 1)
-                y2 = jnp.clip(y2, 0, img_h - 1)
-            valid = (((x2 - x1 + 1) >= p["min_size"] * scale_w)
-                     & ((y2 - y1 + 1) >= p["min_size"] * scale_h))
+                x1 = jnp.clip(x1, 0, img_w - co)
+                y1 = jnp.clip(y1, 0, img_h - co)
+                x2 = jnp.clip(x2, 0, img_w - co)
+                y2 = jnp.clip(y2, 0, img_h - co)
+            valid = (((x2 - x1 + co) >= p["min_size"] * scale_w)
+                     & ((y2 - y1 + co) >= p["min_size"] * scale_h))
             s = jnp.where(valid, sc, -jnp.inf).reshape(-1)
             boxes = jnp.stack([x1, y1, x2, y2], axis=-1).reshape(-1, 4)
 
             order = jnp.argsort(-s, stable=True)[:pre]
             bs = boxes[order]
             ss = s[order]
-            area = (bs[:, 2] - bs[:, 0] + 1) * (bs[:, 3] - bs[:, 1] + 1)
+            area = (bs[:, 2] - bs[:, 0] + co) * (bs[:, 3] - bs[:, 1] + co)
             ix1 = jnp.maximum(bs[:, None, 0], bs[None, :, 0])
             iy1 = jnp.maximum(bs[:, None, 1], bs[None, :, 1])
             ix2 = jnp.minimum(bs[:, None, 2], bs[None, :, 2])
             iy2 = jnp.minimum(bs[:, None, 3], bs[None, :, 3])
-            inter = (jnp.clip(ix2 - ix1 + 1, 0)
-                     * jnp.clip(iy2 - iy1 + 1, 0))
+            inter = (jnp.clip(ix2 - ix1 + co, 0)
+                     * jnp.clip(iy2 - iy1 + co, 0))
             union = area[:, None] + area[None, :] - inter
             iou = jnp.where(union > 0, inter / union, 0.0)
 
@@ -273,9 +309,9 @@ class Proposal(Op):
             if p["clip_after_nms"]:
                 out_boxes = jnp.clip(
                     out_boxes,
-                    jnp.asarray([0.0, 0.0, 0.0, 0.0]),
-                    jnp.asarray([img_w - 1, img_h - 1, img_w - 1,
-                                 img_h - 1]))
+                    jnp.zeros((4,)),
+                    jnp.stack([img_w - co, img_h - co, img_w - co,
+                               img_h - co]))
             if p["normalize"]:
                 out_boxes = out_boxes / jnp.asarray(
                     [img_w, img_h, img_w, img_h])

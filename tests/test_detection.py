@@ -535,7 +535,45 @@ class TestProposal:
         live = out["scores"] > 0
         assert live.sum() == 1 and abs(out["scores"][0] - 0.9) < 1e-6
 
-    def test_tensorflow_framework_refused(self):
+    def test_tensorflow_framework_conventions(self):
+        """framework='tensorflow' flips the plugin's convention knobs:
+        coordinates_offset 0 (widths x2−x1), unrounded anchor ratios,
+        zero-centered anchors, anchors clipped to the image pre-decode.
+        Checked: interpreter↔XLA parity, and zero-delta anchors decode
+        to the zero-centered unrounded anchor boxes exactly."""
+        from pyopenvino_tpu.config import Config
+        from pyopenvino_tpu.ops.proposal import _anchors, _params
+        from pyopenvino_tpu.runtime.compiler import compile_model
+        from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+        rng = np.random.default_rng(3)
+        n, a, h, w = 2, 2, 4, 4
+        m = self._model(n, a, h, w, base_size=8, feat_stride=8,
+                        ratio=(0.5, 1.0), scale=(1.0,),
+                        pre_nms_topn=20, post_nms_topn=6,
+                        nms_thresh=0.5, min_size=2,
+                        framework="tensorflow")
+        feeds = {
+            "probs": rng.uniform(0, 1, (n, 2 * a, h, w)).astype(np.float32),
+            "deltas": rng.normal(0, 0.2, (n, 4 * a, h, w)).astype(
+                np.float32),
+        }
+        ref = Interpreter(m).run(feeds)
+        got = compile_model(m, Config())(feeds)
+        np.testing.assert_allclose(got["rois"], ref["rois"], rtol=1e-4,
+                                   atol=1e-3)
+        np.testing.assert_allclose(got["scores"], ref["scores"],
+                                   rtol=1e-4, atol=1e-5)
+        assert (ref["scores"] > 0).any()
+        # knob semantics: zero-centered, UNROUNDED ratio-0.5 anchor
+        node = m.find_by_type("Proposal")[0]
+        anchors = _anchors(_params(node))
+        ws = np.sqrt(64.0 / 0.5)  # no rounding under tf conventions
+        np.testing.assert_allclose(
+            anchors[0], [-ws / 2, -ws * 0.5 / 2, ws / 2, ws * 0.5 / 2],
+            rtol=1e-6)
+
+    def test_unknown_framework_refused(self):
         from pyopenvino_tpu.ir.builder import GraphBuilder
 
         b = GraphBuilder("x")
@@ -547,7 +585,7 @@ class TestProposal:
                 "base_size": "8", "feat_stride": "8", "ratio": "1.0",
                 "scale": "1.0", "pre_nms_topn": "10",
                 "post_nms_topn": "4", "nms_thresh": "0.5",
-                "min_size": "2", "framework": "tensorflow",
+                "min_size": "2", "framework": "mxnet",
             }, "p2", n_outputs=2)
 
 

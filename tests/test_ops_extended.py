@@ -1420,13 +1420,35 @@ def test_einsum_shape_arithmetic_no_materialization():
         _einsum_out_shape("ij->iz", [(2, 3)])
 
 
+def test_round_half_away_from_zero():
+    """Both opset5 Round modes at the tie points, on both executors."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    x = np.asarray([[-2.5, -1.5, -0.5, 0.5, 1.5, 2.5, 1.2, -1.2]],
+                   np.float32)
+    b = GraphBuilder("rm")
+    p = b.parameter("x", (1, 8))
+    b.result(b._add_node("Round", [p], {"mode": "half_away_from_zero"}),
+             "afz")
+    b.result(b._add_node("Round", [p], {"mode": "half_to_even"}), "even")
+    m = b.build()
+    ref = Interpreter(m).run({"x": x})
+    np.testing.assert_array_equal(
+        ref["afz"], [[-3.0, -2.0, -1.0, 1.0, 2.0, 3.0, 1.0, -1.0]])
+    np.testing.assert_array_equal(
+        ref["even"], [[-2.0, -2.0, -0.0, 0.0, 2.0, 2.0, 1.0, -1.0]])
+    got = compile_model(m, Config(backend=Backend.XLA))({"x": x})
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k])
+
+
 def test_round_bad_mode_fails_at_build():
     from pyopenvino_tpu.ir.builder import GraphBuilder
 
     b = GraphBuilder("rm")
     x = b.parameter("x", (1, 4))
-    with pytest.raises(NotImplementedError, match="half_to_even"):
-        b._add_node("Round", [x], {"mode": "half_away_from_zero"})
+    with pytest.raises(ValueError, match="unknown mode"):
+        b._add_node("Round", [x], {"mode": "half_down"})
 
 
 def test_selu_softsign():

@@ -311,7 +311,7 @@ def test_nms_center_encoding_and_flipped_corners():
     assert int(ref2["valid"][0]) == 1
 
 
-def test_nms_soft_sigma_refused():
+def test_nms_negative_sigma_refused():
     b = GraphBuilder("soft")
     boxes = b.parameter("boxes", (1, 4, 4))
     scores = b.parameter("scores", (1, 1, 4))
@@ -319,6 +319,67 @@ def test_nms_soft_sigma_refused():
            b.const(np.asarray(2, np.int64)),
            b.const(np.asarray(0.5, np.float32)),
            b.const(np.asarray(0.0, np.float32)),
-           b.const(np.asarray(0.5, np.float32))]  # soft_nms_sigma
-    with pytest.raises(NotImplementedError, match="soft_nms_sigma"):
+           b.const(np.asarray(-0.5, np.float32))]  # bad soft_nms_sigma
+    with pytest.raises(ValueError, match="non-negative"):
         b._add_node("NonMaxSuppression", ins, {}, "n", n_outputs=3)
+
+
+# -- Soft-NMS (soft_nms_sigma > 0) --------------------------------------------
+
+@pytest.mark.parametrize("sort_desc", [True, False])
+@pytest.mark.parametrize("seed", [0, 5])
+def test_soft_nms_interpreter_vs_xla(seed, sort_desc):
+    m = _nms_model(12, 2, n=2, max_boxes=6, iou_threshold=0.6,
+                   score_threshold=0.05, soft_nms_sigma=0.5,
+                   sort_result_descending=sort_desc)
+    boxes, scores = _rand_nms_inputs(seed, 2, 12, 2)
+    feeds = {"boxes": boxes, "scores": scores}
+    ref = Interpreter(m).run(feeds)
+    got = compile_model(m, Config())(feeds)
+    np.testing.assert_array_equal(got["idx"], ref["idx"])
+    np.testing.assert_allclose(got["sel"], ref["sel"], rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_array_equal(got["valid"], ref["valid"])
+    # decayed scores are reported: every overlapping later pick scores
+    # strictly below its raw score
+    live = ref["idx"][:, 0] >= 0
+    raw = scores[ref["idx"][live, 0], ref["idx"][live, 1],
+                 ref["idx"][live, 2]]
+    assert (ref["sel"][live, 2] <= raw + 1e-6).all()
+
+
+def test_soft_nms_against_tensorflow_v5():
+    """Cross-check the Gaussian decay against TF's
+    non_max_suppression_with_scores (the kernel NMS-5 was introduced to
+    convert).  iou_threshold=1.0 so the hard-suppression branch (where
+    the TF and OpenVINO realizations differ) never fires and the pure
+    soft decay is what's compared."""
+    tf = pytest.importorskip("tensorflow")
+
+    boxes, scores = _rand_nms_inputs(11, 1, 10, 1)
+    sigma, max_out, score_thr = 0.4, 6, 0.1
+    sel, tf_scores = tf.image.non_max_suppression_with_scores(
+        boxes[0], scores[0, 0], max_output_size=max_out,
+        iou_threshold=1.0, score_threshold=score_thr,
+        soft_nms_sigma=sigma)
+    m = _nms_model(10, 1, n=1, max_boxes=max_out, iou_threshold=1.0,
+                   score_threshold=score_thr, soft_nms_sigma=sigma)
+    out = Interpreter(m).run({"boxes": boxes, "scores": scores})
+    k = int(out["valid"][0])
+    assert k == len(sel.numpy())
+    np.testing.assert_array_equal(out["idx"][:k, 2], sel.numpy())
+    np.testing.assert_allclose(out["sel"][:k, 2], tf_scores.numpy(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_soft_nms_sigma_zero_matches_hard():
+    """sigma=0 must reduce to the plain greedy path bit-for-bit."""
+    m_hard = _nms_model(8, 1, max_boxes=4, iou_threshold=0.5)
+    m_soft = _nms_model(8, 1, max_boxes=4, iou_threshold=0.5,
+                        soft_nms_sigma=0.0)
+    boxes, scores = _rand_nms_inputs(2, 1, 8, 1)
+    feeds = {"boxes": boxes, "scores": scores}
+    a = Interpreter(m_hard).run(feeds)
+    c = Interpreter(m_soft).run(feeds)
+    for k in a:
+        np.testing.assert_array_equal(a[k], c[k])
