@@ -9,7 +9,11 @@ Three detector families:
   * yolo-tiny — RegionYolo model: host-side YOLO-v2 box decode
     (pyopenvino_tpu/metrics.py decode_region_yolo) with grid/anchors/
     classes read back from the IR's RegionYolo attributes, exactly the
-    OMZ demo split of work.
+    OMZ demo split of work;
+  * yolo-v2 — full YOLO-v2 (ReorgYolo passthrough skip) with the ENTIRE
+    box decode + NMS on device (tools/gen_yolo.py append_yolo_decode):
+    the model itself emits the DetectionOutput-style record table, zero
+    host postprocessing.
 
 Prints every detection above the confidence threshold and optionally
 writes an annotated copy of the image (no GUI — the reference calls
@@ -36,7 +40,7 @@ def main():
                     help="cpu pins the process to the CPU backend")
     ap.add_argument("--model", default="ssd_mobilenet_v1_coco",
                     choices=["ssd_mobilenet_v1_coco", "yolo-tiny",
-                             "shapes_ssd"])
+                             "shapes_ssd", "yolo-v2"])
     ap.add_argument("--image", default="/root/reference/resources/guinea-pig.jpg")
     ap.add_argument("--backend", default="xla",
                     choices=["interpreter", "xla", "pallas"])

@@ -33,7 +33,7 @@ from __graft_entry__ import _model_paths
 MODELS = ["mnist", "mnist_bn", "googlenet-v1", "ssd_mobilenet_v1_coco",
           "resnet18", "mobilenet-v2", "shufflenet-v2", "efficientnet-b0",
           "squeezenet-1.1", "unet", "vit-tiny", "resnet18-pot", "moe-mlp",
-          "lstm-tiny", "yolo-tiny", "ocr-ti"]
+          "lstm-tiny", "yolo-tiny", "ocr-ti", "yolo-v2"]
 # models whose IR carries FakeQuantize nodes (step-function outputs)
 FQ_MODELS = {"resnet18-pot"}
 BACKENDS = ["interpreter", "xla", "pallas"]

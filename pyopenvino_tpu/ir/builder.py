@@ -499,9 +499,11 @@ class GraphBuilder:
                               out_dtype=data.dtype)
 
     def gather(self, x, indices, axis=0, name=None) -> Port:
-        idx = self.const(np.asarray(indices, np.int64))
+        idx = (indices if isinstance(indices, Port)
+               else self.const(np.asarray(indices, np.int64)))
         ax = self.const(np.asarray(axis, np.int64))
-        return self._add_node("Gather", [x, idx, ax], {}, name)
+        return self._add_node("Gather", [x, idx, ax], {}, name,
+                              out_dtype=x.dtype)
 
     def pad(self, x, pads_begin, pads_end, mode="constant", value=None,
             name=None) -> Port:
@@ -532,6 +534,20 @@ class GraphBuilder:
         out = self._add_node("Split", [x, ax], {"num_splits": num_splits},
                              name, n_outputs=num_splits)
         return out if isinstance(out, list) else [out]
+
+    def variadic_split(self, x, axis, lengths, name=None):
+        """opset1 VariadicSplit: parts of the given lengths along axis
+        (one length may be -1)."""
+        ax = self.const(np.asarray(axis, np.int64))
+        ln = self.const(np.asarray(lengths, np.int64))
+        out = self._add_node("VariadicSplit", [x, ax, ln], {}, name,
+                             n_outputs=len(lengths))
+        return out if isinstance(out, list) else [out]
+
+    def reorg_yolo(self, x, stride=2, name=None) -> Port:
+        """opset2 ReorgYolo (ops/yolo.py) — the yolo-v2 passthrough."""
+        return self._add_node("ReorgYolo", [x], {"stride": str(int(stride))},
+                              name)
 
     def elu(self, x, alpha=1.0, name=None) -> Port:
         return self._add_node("Elu", [x], {"alpha": alpha}, name)

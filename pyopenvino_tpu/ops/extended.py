@@ -525,6 +525,73 @@ class Split(Op):
             self._ports(node, n), jnp.split(x, n, axis=axis))}
 
 
+@register
+class VariadicSplit(Split):
+    """opset1 VariadicSplit: cut along a constant axis (input 1) into
+    parts of the constant lengths given by input 2 (one entry may be -1,
+    absorbing the remainder) — the uneven-splits sibling of Split that
+    real OMZ yolo-v2/v3 IRs carry between the head and the decode."""
+
+    type_name = "VariadicSplit"
+
+    @staticmethod
+    def _lengths(source, extent: int):
+        if source is None:
+            raise ValueError("VariadicSplit: split_lengths is not constant")
+        lengths = [int(v) for v in np.asarray(source).reshape(-1)]
+        wild = [i for i, v in enumerate(lengths) if v == -1]
+        if len(wild) > 1:
+            raise ValueError(
+                "VariadicSplit: at most one split length may be -1")
+        fixed = sum(v for v in lengths if v != -1)
+        if wild:
+            if fixed > extent:
+                raise ValueError(
+                    f"VariadicSplit: lengths {lengths} exceed axis extent "
+                    f"{extent}")
+            lengths[wild[0]] = extent - fixed
+        elif fixed != extent:
+            raise ValueError(
+                f"VariadicSplit: lengths {lengths} sum to {fixed}, axis "
+                f"extent is {extent}")
+        return lengths
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        axis = self._axis(in_values.get(1), len(in_shapes[0]))
+        lengths = self._lengths(in_values.get(2), in_shapes[0][axis])
+        ports = self._ports(node, len(lengths))
+        res = ShapeResult({})
+        for p, ln in zip(ports, lengths):
+            piece = list(in_shapes[0])
+            piece[axis] = ln
+            res.shapes[p] = tuple(piece)
+        if in_values.get(0) is not None:
+            cuts = np.cumsum(lengths)[:-1]
+            for p, part in zip(
+                    ports, np.split(in_values[0], cuts, axis=axis)):
+                res.values[p] = part
+        return res
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        axis = self._axis(inputs.get(1), inputs[0].ndim)
+        lengths = self._lengths(inputs.get(2), inputs[0].shape[axis])
+        cuts = np.cumsum(lengths)[:-1]
+        return dict(zip(self._ports(node, len(lengths)),
+                        np.split(inputs[0], cuts, axis=axis)))
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        x = inputs[0].nchw()
+        axis = self._axis(ctx.static_value(node, 1), x.ndim)
+        lengths = self._lengths(
+            ctx.static_value(node, 2), x.shape[axis])
+        cuts = list(np.cumsum(lengths)[:-1])
+        return {p: TValue(part, "L") for p, part in zip(
+            self._ports(node, len(lengths)),
+            jnp.split(x, cuts, axis=axis))}
+
+
 class _UnaryAttr(_Unary):
     """Unary activation defined once as a dual numpy/jnp formula."""
 

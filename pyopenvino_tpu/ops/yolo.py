@@ -97,6 +97,73 @@ def region_yolo_ref(x: np.ndarray, p) -> np.ndarray:
     return out
 
 
+def _reorg_math(xp, x, s: int):
+    """The darknet reorg-as-shipped-in-yolov2 mapping (what the OpenVINO
+    kernel implements): with input (N, C, H, W), the SOURCE is the input
+    buffer reinterpreted as (N, C/s², H·s, W·s) and
+    ``out[n, c, h, w] = src[n, c % oc, h·s + (c//oc)//s, w·s + (c//oc)%s]``
+    over the INPUT dims, then the result buffer is reinterpreted flat as
+    (N, C·s², H/s, W/s).  Darknet runs the layer 'backward'
+    (forward=0 in reorg_cpu), which is why this is NOT SpaceToDepth.
+
+    Vectorized: reinterpret → (n, c2, h, dy, w, dx) → transpose to
+    (n, dy, dx, c2, h, w) → flat reinterpret to the output dims."""
+    n, c, h, w = x.shape
+    oc = c // (s * s)
+    v = x.reshape(n, oc, h * s, w * s)
+    v = v.reshape(n, oc, h, s, w, s)
+    t = xp.transpose(v, (0, 3, 5, 1, 2, 4))
+    return t.reshape(n, c * s * s, h // s, w // s)
+
+
+@register
+class ReorgYolo(Op):
+    """opset2 ReorgYolo — the YOLO-v2 passthrough/skip reorg:
+    (N, C, H, W) → (N, C·s², H/s, W/s) with darknet's (backward-run)
+    channel interleave (see _reorg_math; a plain SpaceToDepth produces a
+    DIFFERENT channel order and silently wrong fused features)."""
+
+    type_name = "ReorgYolo"
+
+    @staticmethod
+    def _stride(node) -> int:
+        s = A.get_int(node.attrs, "stride", 2)
+        if s < 1:
+            raise ValueError(f"ReorgYolo: bad stride {s}")
+        return s
+
+    def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
+        n, c, h, w = in_shapes[0]
+        s = self._stride(node)
+        if c % (s * s) or h % s or w % s:
+            raise ValueError(
+                f"ReorgYolo {node.name}: shape {(n, c, h, w)} not "
+                f"divisible by stride {s} (C by s², H/W by s)")
+        return ShapeResult({node.out_port: (n, c * s * s, h // s, w // s)})
+
+    def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
+        s = self._stride(node)
+        x = inputs[0]
+        # the kernel's per-channel index math, literally (the spec);
+        # emit vectorizes it (_reorg_math) and differential tests pin
+        # the two together
+        n, c, h, w = x.shape
+        oc = c // (s * s)
+        src = x.reshape(n, oc, h * s, w * s)
+        out = np.empty_like(x)
+        for cc in range(c):
+            off, c2 = cc // oc, cc % oc
+            out[:, cc] = src[:, c2, off // s::s, off % s::s]
+        return {node.out_port: out.reshape(n, c * s * s, h // s, w // s)}
+
+    def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
+        s = self._stride(node)
+        return {node.out_port: TValue(
+            _reorg_math(jnp, inputs[0].nchw(), s), "L")}
+
+
 @register
 class RegionYolo(Op):
     type_name = "RegionYolo"

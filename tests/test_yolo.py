@@ -383,3 +383,134 @@ def test_soft_nms_sigma_zero_matches_hard():
     c = Interpreter(m_soft).run(feeds)
     for k in a:
         np.testing.assert_array_equal(a[k], c[k])
+
+
+# -- ReorgYolo / VariadicSplit / on-device decode (yolo-v2 family) ------------
+
+@pytest.mark.parametrize("c,h,w,s", [(4, 4, 6, 2), (64, 26, 26, 2),
+                                     (18, 9, 9, 3)])
+def test_reorg_yolo_parity(c, h, w, s):
+    """The darknet reorg mapping (ops/yolo.py _reorg_math): the literal
+    kernel-loop numpy twin and the vectorized XLA emit must agree —
+    including the canonical yolo-v2 (64, 26, 26) stride-2 case."""
+    b = GraphBuilder("rg")
+    x = b.parameter("x", (2, c, h, w))
+    b.result(b.reorg_yolo(x, stride=s), "y")
+    m = b.build()
+    rng = np.random.default_rng(c)
+    blob = rng.standard_normal((2, c, h, w)).astype(np.float32)
+    ref = Interpreter(m).run({"x": blob})
+    got = compile_model(m, Config())({"x": blob})
+    assert ref["y"].shape == (2, c * s * s, h // s, w // s)
+    np.testing.assert_array_equal(got["y"], ref["y"])
+
+
+def test_reorg_yolo_is_not_space_to_depth():
+    """Regression guard for the classic wrong implementation: darknet's
+    reorg differs from SpaceToDepth in channel order."""
+    b = GraphBuilder("cmp")
+    x = b.parameter("x", (1, 4, 4, 4))
+    b.result(b.reorg_yolo(x, stride=2), "reorg")
+    b.result(b.space_to_depth(x, 2), "s2d")
+    ref = Interpreter(b.build()).run(
+        {"x": np.arange(64, dtype=np.float32).reshape(1, 4, 4, 4)})
+    assert not np.array_equal(ref["reorg"], ref["s2d"])
+
+
+def test_reorg_yolo_bad_shape_refused():
+    b = GraphBuilder("bad")
+    x = b.parameter("x", (1, 6, 4, 4))  # C not divisible by s^2
+    with pytest.raises(ValueError, match="divisible"):
+        b.reorg_yolo(x, stride=2)
+
+
+def test_variadic_split_with_wildcard():
+    b = GraphBuilder("vs")
+    x = b.parameter("x", (1, 10, 3))
+    parts = b.variadic_split(x, 1, [2, -1, 3])
+    for i, p in enumerate(parts):
+        b.result(p, f"p{i}")
+    m = b.build()
+    rng = np.random.default_rng(0)
+    blob = rng.standard_normal((1, 10, 3)).astype(np.float32)
+    ref = Interpreter(m).run({"x": blob})
+    assert [ref[f"p{i}"].shape[1] for i in range(3)] == [2, 5, 3]
+    np.testing.assert_array_equal(
+        np.concatenate([ref["p0"], ref["p1"], ref["p2"]], 1), blob)
+    got = compile_model(m, Config())({"x": blob})
+    for k in ref:
+        np.testing.assert_array_equal(got[k], ref[k])
+
+
+def test_variadic_split_bad_lengths():
+    b = GraphBuilder("vs")
+    x = b.parameter("x", (1, 10))
+    with pytest.raises(ValueError, match="sum to"):
+        b.variadic_split(x, 1, [2, 3])
+    with pytest.raises(ValueError, match="-1"):
+        b.variadic_split(x, 1, [-1, -1, 2])
+
+
+def test_yolo_v2_on_device_decode_matches_host_decoder():
+    """The on-device decode+NMS graph (tools/gen_yolo.py
+    append_yolo_decode) must produce the same detections the OMZ-style
+    host decoder (metrics.decode_region_yolo) computes from the same
+    region blob — same (class, score, box) set at the same thresholds,
+    with an uncapped keep budget so the comparison is exact."""
+    from pyopenvino_tpu.ops.yolo import region_yolo_ref
+    from tools.gen_yolo import append_yolo_decode
+
+    na, classes, h, w = 3, 4, 5, 5
+    anchors = ((0.8, 1.0), (1.5, 1.2), (2.5, 2.0))
+    block = 4 + 1 + classes
+    rng = np.random.default_rng(1)
+    raw = rng.normal(0, 1.2, (1, na * block, h, w)).astype(np.float32)
+    p = dict(coords=4, classes=classes, num=na, do_softmax=True,
+             mask=(), axis=1, end_axis=3)
+    blob = region_yolo_ref(raw, p)          # activated + flattened
+
+    b = GraphBuilder("decode")
+    region = b.parameter("region", blob.shape)
+    rec_port = append_yolo_decode(
+        b, region, (h, w), anchors, classes, max_out=na * h * w,
+        iou_threshold=0.45, score_threshold=0.3)
+    b.result(rec_port, "detections")
+    m = b.build()
+
+    rec = Interpreter(m).run({"region": blob})["detections"]
+    host = decode_region_yolo(blob, (h, w), list(anchors), classes,
+                              conf_threshold=0.3, iou_threshold=0.45)
+    live = rec[rec[:, 0] >= 0]
+    assert len(live) == len(host) > 0
+    dev = sorted(
+        (int(r[1]), round(float(r[2]), 4), tuple(np.round(r[3:], 4)))
+        for r in live)
+    hst = sorted(
+        (c, round(s, 4), tuple(np.round(box, 4))) for c, s, box in host)
+    for d, hrow in zip(dev, hst):
+        assert d[0] == hrow[0] and abs(d[1] - hrow[1]) < 2e-4
+        np.testing.assert_allclose(d[2], hrow[2], atol=2e-4)
+    got = compile_model(m, Config())({"region": blob})["detections"]
+    np.testing.assert_allclose(got, rec, rtol=1e-3, atol=2e-3)
+
+
+def test_yolo_v2_family_records_and_xla_parity():
+    """The 17th family end to end: the model itself emits the
+    DetectionOutput-style record table (zero host postprocessing), rows
+    score-sorted with -1 padding, and both executors agree."""
+    from tools.gen_yolo import build_yolo_v2
+
+    m = build_yolo_v2()
+    assert m.find_by_type("ReorgYolo") and m.find_by_type(
+        "VariadicSplit") and m.find_by_type("NonMaxSuppression")
+    rng = np.random.default_rng(0)
+    feed = {"data": rng.uniform(0, 255, (1, 3, 160, 160)).astype(
+        np.float32)}
+    rec = Interpreter(m).run(feed)["detections"]
+    live = rec[rec[:, 0] >= 0]
+    assert 1 <= len(live) <= rec.shape[0]
+    confs = live[:, 2]
+    assert (np.diff(confs) <= 1e-6).all()      # score-sorted
+    assert (rec[len(live):, 0] == -1).all()    # contiguous -1 padding
+    got = compile_model(m, Config())(feed)["detections"]
+    np.testing.assert_allclose(got, rec, rtol=1e-3, atol=2e-3)

@@ -67,6 +67,8 @@ MODELS = {
     # 16th family: TensorIterator[LSTMCell] OCR strip — per-frame argmax
     # agreement scores like a 1-D segmentation map
     "ocr-ti": ("data", (1, 24, 32), "seg"),
+    # 17th family: ReorgYolo skip + RegionYolo + ON-DEVICE decode/NMS
+    "yolo-v2": ("data", (1, 3, 160, 160), "det"),
     # trained real-weight families (tools/train_real.py) with built-in
     # real labels — the reference-grade evidence class
     "mnist_bn_real": ("conv2d_input", (1, 1, 28, 28), "cls"),
