@@ -41,17 +41,23 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# (family, metric stem, TPU batch, reference-baseline img/s or None)
+# (family, metric stem, TPU batch, reference-baseline img/s or None,
+#  bake_batch) — bake compiles the graph AT the bench batch instead of
+# vmapping batch-1 (passes/shape_infer.py bake_batch: rank-4 activations
+# keep one conv layout; GoogLeNet measured +17%).  SSD's box-decode
+# Reshapes drop the batch dim, so it stays on the vmap path.
 HEADLINES = [
     ("ssd_mobilenet_v1_coco", "ssd_mobilenet_v1_int8_throughput", 256,
-     1.0 / 18.26),
-    ("resnet18", "resnet18_int8_throughput", 512, None),
+     1.0 / 18.26, False),
+    ("resnet18", "resnet18_int8_throughput", 512, None, True),
     # GoogLeNet LAST — the driver parses the tail JSON line
-    ("googlenet-v1", "googlenet_v1_int8_throughput", 512, 1.0 / 0.554),
+    ("googlenet-v1", "googlenet_v1_int8_throughput", 512, 1.0 / 0.554,
+     True),
 ]
 
 
-def bench_model(family: str, batch: int, iters: int, on_tpu: bool) -> float:
+def bench_model(family: str, batch: int, iters: int, on_tpu: bool,
+                bake: bool = False) -> float:
     """Steady-state img/s for one model at the given batch."""
     import jax
     import numpy as np
@@ -83,14 +89,19 @@ def bench_model(family: str, batch: int, iters: int, on_tpu: bool) -> float:
             {param.name: crng.uniform(0, 255, shape).astype(np.float32)}
             for _ in range(2)
         ]
-    compiled = compile_model(model, cfg, calibration_samples=cal)
+    if bake:
+        compiled = compile_model(model, cfg, calibration_samples=cal,
+                                 bake_batch=batch)
+        fn = compiled.jitted_fn
+        blob_shape = (batch,) + tuple(shape[1:])
+    else:
+        compiled = compile_model(model, cfg, calibration_samples=cal)
+        fn = compiled.batched_fn(batch)
+        blob_shape = (batch,) + shape
 
     rng = np.random.default_rng(0)
-    blob = rng.integers(0, 256, (batch,) + shape, dtype=np.uint8)
-    inputs = {param.name: blob}
-
-    fn = compiled.batched_fn(batch)
-    dev_inputs = jax.device_put(inputs)
+    blob = rng.integers(0, 256, blob_shape, dtype=np.uint8)
+    dev_inputs = jax.device_put({param.name: blob})
 
     # Warm-up with a host-fetch barrier: device executions queue in order,
     # so reading one element of the last output proves every prior
@@ -127,7 +138,7 @@ def main():
     # 20 iters left visible as a ~2% run-to-run spread on the tail metric
     iters = 30 if on_tpu else 3
 
-    for family, stem, batch, baseline in HEADLINES:
+    for family, stem, batch, baseline, bake in HEADLINES:
         if not on_tpu:
             batch = 16
         # best of two trials: the tunnel occasionally stalls a single
@@ -135,7 +146,7 @@ def main():
         # SSD 15.2k vs 22.4k back-to-back); the compile cache makes the
         # second trial pure measurement
         img_s = max(
-            bench_model(family, batch, iters, on_tpu)
+            bench_model(family, batch, iters, on_tpu, bake)
             for _ in range(2 if on_tpu else 1)
         )
         print(

@@ -49,6 +49,10 @@ def resolve_reshape_dims(
         remaining //= d
     if deferred != -1:
         dims[deferred] = remaining
+    elif remaining != 1:
+        raise ValueError(
+            f"Reshape: target {tuple(int(t) for t in target)} covers "
+            f"{total // remaining} of {total} elements of {in_shape}")
     return tuple(dims)
 
 

@@ -118,6 +118,53 @@ def reshape_model(model: Model, new_shapes: Dict[str, Tuple[int, ...]]) -> Model
     return rederive_ports(remodel)  # raises where ops can't adapt
 
 
+def bake_batch(model: Model, batch: int) -> Model:
+    """Return a model with ``batch`` baked into every Parameter AND every
+    shape-capturing Reshape target whose leading dim is the unit batch —
+    the ``set_batch`` analogue for throughput compilation.
+
+    Why this exists (measured, docs/MEASUREMENTS.md round-5): the vmap
+    batching path keeps the declared unit batch as a size-1 dim in every
+    activation (rank-5 tensors), and the TPU conv emitters then pick
+    batch-in-sublanes layouts that surround the convolutions with
+    relayout copies (~2 ms of GoogLeNet's 24.8 ms device step).  Baking
+    the batch gives XLA plain rank-4 NHWC activations — GoogLeNet
+    b512 measured +17% (20.1k → 23.6k img/s).
+
+    Only batch-polymorphic graphs qualify: a Reshape that DROPS the batch
+    dim (e.g. SSD's (1, 7668) → (1917, 4) box decode) has no consistent
+    baked realization and fails the rederive with the op's own shape
+    error — callers fall back to vmap batching (batched_fn)."""
+    import dataclasses as _dc
+
+    if batch < 1:
+        raise ValueError(f"bake_batch: bad batch {batch}")
+    nodes = dict(model.nodes)
+    for n in model.nodes.values():
+        if n.op_type != "Reshape" or 1 not in model.in_edges[n.id]:
+            continue
+        src, _ = model.in_edges[n.id][1]
+        cn = model.nodes[src]
+        data_in = n.inputs.get(0)
+        if (
+            cn.op_type == "Const"
+            and cn.const is not None
+            and cn.const.size
+            and int(np.asarray(cn.const).reshape(-1)[0]) == 1
+            and (data_in is None or not data_in.shape
+                 or data_in.shape[0] == 1)
+        ):
+            t = np.asarray(cn.const).copy().reshape(-1)
+            t[0] = batch
+            nodes[cn.id] = _dc.replace(cn, const=t)
+    new_shapes = {
+        p.name: (batch,) + tuple(p.outputs[p.out_port].shape[1:])
+        for p in model.parameters
+    }
+    return reshape_model(Model(model.name, nodes, list(model.edges)),
+                         new_shapes)
+
+
 def rederive_ports(model: Model) -> Model:
     """Re-run shape inference and rewrite every declared port dim so the
     model stays self-consistent (writer round-trips, inspect tools,

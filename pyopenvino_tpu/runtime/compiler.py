@@ -200,6 +200,15 @@ class CompiledNetwork:
         self.input_names = [n.name for n in model.parameters]
         self.output_names = [n.name for n in model.results]
 
+    @property
+    def jitted_fn(self):
+        """The compiled whole-graph callable ``fn(weights, inputs[,
+        state])`` over the DECLARED shapes — for benchmark/serving paths
+        that manage device placement and batching themselves (e.g. a
+        bake_batch-compiled program, where batched_fn's vmap wrapper
+        would add a second batch axis)."""
+        return self._jitted
+
     # -- graph partitioning -------------------------------------------------
 
     def _find_folded_nodes(self):
@@ -1247,13 +1256,27 @@ def compile_model(
     config: Optional[Config] = None,
     mesh=None,
     calibration_samples=None,
+    bake_batch: Optional[int] = None,
 ) -> CompiledNetwork:
     """calibration_samples: iterable of {param_name: blob} input dicts,
-    required for QuantMode.INT8_FULL (activation scales — passes/calibrate)."""
+    required for QuantMode.INT8_FULL (activation scales — passes/calibrate).
+
+    ``bake_batch``: compile the graph AT that batch instead of vmapping
+    the declared batch-1 program — rank-4 activations let the TPU conv
+    emitters keep one layout (GoogLeNet +17%, passes/shape_infer.py
+    bake_batch).  Quantization/calibration still run on the declared
+    shapes; only the traced program changes.  Graphs that drop the batch
+    dim in a Reshape raise (fall back to vmap batching)."""
     config = config or Config()
     model, quantized, act_scales, bias_corr = prepare_model(
         model, config, calibration_samples
     )
+    if bake_batch is not None:
+        from pyopenvino_tpu.passes.shape_infer import (
+            bake_batch as _bake_batch,
+        )
+
+        model = _bake_batch(model, bake_batch)
     net = CompiledNetwork(
         model, config, mesh=mesh, quantized=quantized,
         act_scales=act_scales, bias_corr=bias_corr,

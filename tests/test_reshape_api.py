@@ -84,3 +84,51 @@ def test_ov2_core_facade():
     # the request path rides the continuous-batching server (the vmap'd
     # program) — a different but equivalent XLA executable
     np.testing.assert_allclose(got[k], out[k], rtol=1e-4, atol=1e-5)
+
+
+# -- bake_batch (throughput batch baking, passes/shape_infer.py) --------------
+
+def test_bake_batch_matches_vmap_batching():
+    """compile_model(bake_batch=B) must produce exactly what the vmap
+    batching path produces — same graph, batch in the shapes instead of
+    a vmap axis (GoogLeNet +17% on chip, docs/MEASUREMENTS.md)."""
+    import numpy as np
+
+    from tests.conftest import model_paths
+
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = model_paths("mnist")
+    B = 4
+    rng = np.random.default_rng(0)
+    blob = rng.uniform(0, 255, (B, 1, 28, 28)).astype(np.float32)
+    net_v = compile_model(read_ir_model(xml, binp), Config())
+    ref = net_v.infer_batch({"conv2d_input": blob})
+    net_b = compile_model(read_ir_model(xml, binp), Config(), bake_batch=B)
+    name = net_b.model.parameters[0].name
+    got = net_b.infer({name: blob})
+    assert net_b.model.parameters[0].outputs[0].shape[0] == B
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(got[k]).reshape(ref[k].shape), ref[k],
+            rtol=1e-4, atol=1e-4)
+
+
+def test_bake_batch_rejects_batch_dropping_graphs():
+    """A Reshape that drops the batch dim (SSD's box decode) has no baked
+    realization — the rederive raises the op's own shape error instead of
+    silently mis-batching."""
+    import numpy as np
+    import pytest
+
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.passes.shape_infer import bake_batch
+
+    b = GraphBuilder("drop")
+    x = b.parameter("x", (1, 12))
+    y = b.reshape(x, (3, 4))  # batch dim folded away
+    b.result(b.relu(y), "out")
+    with pytest.raises(ValueError):
+        bake_batch(b.build(), 8)
