@@ -147,6 +147,43 @@ def accuracy_section(images_n: int = 4):
                   f"{delta:>10.2f}")
 
 
+def run_sharded_cell(model_name, fp32_ref):
+    """One extra matrix cell: the model DP-sharded over a 4-virtual-device
+    mesh (parallel/mesh.py), each batch row checked against the
+    interpreter reference — sharding rides the standing matrix instead of
+    living only in its own test files."""
+    from pyopenvino_tpu.config import Backend, Config
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.parallel.mesh import (
+        MeshConfig, build_mesh, shard_compiled,
+    )
+    from pyopenvino_tpu.runtime.compiler import compile_model
+
+    xml, binp = _model_paths(model_name)
+    model = read_ir_model(xml, binp)
+    net = compile_model(model, Config(backend=Backend.XLA))
+    shard_compiled(net, build_mesh(MeshConfig(data=4)))
+    inp = model.parameters[0]
+    in_name, shape = inp.name, tuple(inp.outputs[inp.out_port].shape)
+    blob = input_blob(in_name, shape)
+    batch = np.concatenate([blob[None]] * 4)
+    t0 = time.perf_counter()
+    out = net.infer_batch({in_name: batch})
+    dt = time.perf_counter() - t0
+    fails = []
+    # FakeQuantize graphs compare at step-scale atol like the main matrix
+    atol = 2e-3 if model_name in FQ_MODELS else 1e-4
+    for name, arr in out.items():
+        for row in range(4):
+            got = arr[row].reshape(fp32_ref[name].shape)
+            if not np.allclose(got, fp32_ref[name], rtol=1e-3, atol=atol):
+                d = float(np.abs(got - fp32_ref[name]).max())
+                fails.append(f"sharded row {row} of {name} diverges "
+                             f"(maxdiff {d:.4g})")
+                break
+    return dt, fails
+
+
 def main():
     import argparse
 
@@ -157,11 +194,19 @@ def main():
     ap.add_argument("--accuracy", action="store_true",
                     help="append the INT8 accuracy-delta table "
                     "(tools/accuracy.py harness)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="add a per-model DP-sharded cell on a 4-virtual-"
+                    "device CPU mesh (forces --device cpu)")
     args = ap.parse_args()
 
-    from pyopenvino_tpu.utils import select_device
+    if args.sharded:
+        from pyopenvino_tpu.utils import force_cpu
 
-    select_device(args.device)
+        force_cpu(4)
+    else:
+        from pyopenvino_tpu.utils import select_device
+
+        select_device(args.device)
 
     total_failures = []
     print(f"{'model':<24} {'backend':<12} {'quant':<6} "
@@ -185,6 +230,13 @@ def main():
                 total_failures.extend(
                     (model_name, backend, quant, f) for f in fails
                 )
+        if args.sharded:
+            dt, fails = run_sharded_cell(model_name, fp32_ref)
+            status = "OK" if not fails else "FAIL: " + "; ".join(fails)
+            print(f"{model_name:<24} {'xla-dp4':<12} {'fp32':<6} "
+                  f"{dt:>10.4f}  {status}")
+            total_failures.extend(
+                (model_name, "xla-dp4", "fp32", f) for f in fails)
     if args.accuracy:
         accuracy_section()
     if total_failures:

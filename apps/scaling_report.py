@@ -100,6 +100,11 @@ def run_multiprocess(args):
             base = [sys.executable, "tools/mp_worker.py", str(pid),
                     str(nproc), str(port), args.model, str(args.batch_per),
                     ref_npz, "--bench", "10"]
+            mode = getattr(args, "mp_mode", "dp")
+            if mode in ("dp_tp", "ep") and nproc > 1:
+                base.append("--tp")
+            if mode == "pp" and nproc > 1:
+                base.append("--pipeline")
             if not use_taskset:
                 return base
             lo = pid * ncores // nproc
@@ -128,8 +133,9 @@ def run_multiprocess(args):
     base, multi = results[1], results[args.multiprocess]
     eff = multi / (base * args.multiprocess)
     print(json.dumps({
-        "model": args.model, "mode": "multiprocess", "processes":
-        args.multiprocess, "img_s": round(multi, 1),
+        "model": args.model,
+        "mode": f"multiprocess-{getattr(args, 'mp_mode', 'dp')}",
+        "processes": args.multiprocess, "img_s": round(multi, 1),
         "efficiency_vs_linear": round(eff, 3),
     }))
 
@@ -169,7 +175,17 @@ def main():
                     "report collective DP throughput + scaling vs one "
                     "process — the multi-host report point of BASELINE.md "
                     "exercised across actual process boundaries")
+    ap.add_argument("--mp-mode", default="dp",
+                    choices=["dp", "dp_tp", "pp", "ep"],
+                    help="--multiprocess strategy: dp (batch over the "
+                    "process boundary), dp_tp (TP inside each process), "
+                    "pp (pipeline STAGES across the boundary, activations "
+                    "ride ppermute), ep (expert axis over 'model' — use "
+                    "with --model moe-mlp)")
     args = ap.parse_args()
+    if args.mp_mode == "ep" and args.model != "moe-mlp":
+        ap.error("--mp-mode ep needs --model moe-mlp (the expert-"
+                 "parallel family)")
 
     if args.multiprocess:
         return run_multiprocess(args)

@@ -101,6 +101,7 @@ class InferenceServer:
         compiled,
         buckets: Sequence[int] = (1, 2, 4, 8, 16, 32),
         max_delay_ms: float = 2.0,
+        resolutions: Optional[Sequence[Tuple[int, int]]] = None,
     ):
         self.compiled = compiled
         buckets = sorted(buckets)
@@ -135,6 +136,50 @@ class InferenceServer:
             for n in compiled.model.parameters
         }
 
+        # Dynamic-resolution serving: one reshaped CompiledNetwork per
+        # extra (H, W), sharing the prepared model's quantization state —
+        # reshape_model re-runs shape inference, so shape-derived
+        # constants (SSD's ShapeOf → PriorBox anchor chains) RE-FOLD at
+        # each resolution.  Requests route by their input shape; the jit
+        # cache is keyed (resolution, bucket) and the scheduler batches
+        # only same-resolution requests together (OV 2.0 partial-shapes
+        # story served from len(resolutions) static programs).
+        self._nets: Dict[Optional[Tuple[int, int]], object] = {
+            None: compiled}
+        self._shapes_by_key = {None: self._param_shapes}
+        if resolutions:
+            if getattr(compiled, "mesh", None) is not None:
+                raise NotImplementedError(
+                    "resolutions with a sharded network: re-attach the "
+                    "mesh per variant is not wired up — serve one "
+                    "resolution per sharded server")
+            params = compiled.model.parameters
+            if len(params) != 1 or len(
+                    params[0].outputs[params[0].out_port].shape) != 4:
+                raise NotImplementedError(
+                    "resolutions need exactly one rank-4 image input")
+            from pyopenvino_tpu.passes.shape_infer import reshape_model
+            from pyopenvino_tpu.runtime.compiler import CompiledNetwork
+
+            p = params[0]
+            b0, c0, h0, w0 = p.outputs[p.out_port].shape
+            for h, w in resolutions:
+                key = (int(h), int(w))
+                if key == (h0, w0) or key in self._nets:
+                    continue
+                m2 = reshape_model(
+                    compiled.model, {p.name: (b0, c0, h, w)})
+                self._nets[key] = CompiledNetwork(
+                    m2, compiled.config,
+                    quantized=compiled._quantized,
+                    act_scales=compiled.act_scales,
+                    bias_corr=compiled._bias_corr,
+                )
+                self._shapes_by_key[key] = {
+                    n.name: tuple(n.outputs[n.out_port].shape)
+                    for n in m2.parameters
+                }
+
     # -- lifecycle -----------------------------------------------------------
 
     def start(self, warmup: bool = False) -> "InferenceServer":
@@ -159,27 +204,28 @@ class InferenceServer:
         return self
 
     def warmup_buckets(self):
-        """Run one dummy batch through every bucket size (compiles + caches
-        each jit entry)."""
+        """Run one dummy batch through every (resolution, bucket) cell
+        (compiles + caches each jit entry)."""
         # dummies carry each Parameter's DECLARED dtype: warming with the
         # wrong dtype caches a jit entry the first real request misses,
         # paying the cold compile in-band — the exact cost warmup avoids
-        dummy = {
-            n.name: np.zeros(
-                (1,) + tuple(n.outputs[n.out_port].shape),
-                n.outputs[n.out_port].dtype,
-            )
-            for n in self.compiled.model.parameters
-        }
-        for b in self.buckets:
-            batch = {
-                k: np.repeat(v, b, axis=0) for k, v in dummy.items()
+        for key, net in self._nets.items():
+            dummy = {
+                n.name: np.zeros(
+                    (1,) + tuple(n.outputs[n.out_port].shape),
+                    n.outputs[n.out_port].dtype,
+                )
+                for n in net.model.parameters
             }
-            out = self.compiled.infer_batch(batch)
-            # host-fetch barrier (block_until_ready is unreliable through
-            # the remote-TPU tunnel)
-            k = next(iter(out))
-            np.asarray(out[k]).ravel()[:1]
+            for b in self.buckets:
+                batch = {
+                    k: np.repeat(v, b, axis=0) for k, v in dummy.items()
+                }
+                out = net.infer_batch(batch)
+                # host-fetch barrier (block_until_ready is unreliable
+                # through the remote-TPU tunnel)
+                k = next(iter(out))
+                np.asarray(out[k]).ravel()[:1]
 
     def stop(self):
         with self._lock:
@@ -207,7 +253,7 @@ class InferenceServer:
                 return
             if item is None:
                 continue
-            _, fut, _ = item
+            fut = item[1]
             if not fut.done():
                 fut.set_exception(RuntimeError("server stopped"))
 
@@ -227,18 +273,34 @@ class InferenceServer:
             raise RuntimeError("server not started")
         # validate HERE, in the caller's thread: a malformed request that
         # reaches the scheduler fails the whole coalesced batch it landed
-        # in, taking innocent concurrent requests down with it
-        for name, shape in self._param_shapes.items():
-            if name not in inputs:
-                raise KeyError(f"missing input {name!r}")
-            got = np.asarray(inputs[name]).shape
-            if tuple(got) != shape:
-                raise ValueError(
-                    f"input {name!r}: shape {got} != declared {shape}"
-                )
+        # in, taking innocent concurrent requests down with it.  With
+        # dynamic resolutions the request routes to the variant whose
+        # declared shapes it matches.
+        key = self._route(inputs)
         fut: Future = Future()
-        self._queue.put((inputs, fut, time.perf_counter()))
+        self._queue.put((inputs, fut, time.perf_counter(), key))
         return fut
+
+    def _route(self, inputs: Dict[str, np.ndarray]):
+        last_err = None
+        for key, shapes in self._shapes_by_key.items():
+            ok = True
+            for name, shape in shapes.items():
+                if name not in inputs:
+                    raise KeyError(f"missing input {name!r}")
+                if tuple(np.asarray(inputs[name]).shape) != shape:
+                    got = tuple(np.asarray(inputs[name]).shape)
+                    last_err = (f"input {name!r}: shape {got} != "
+                                f"declared {shape}")
+                    ok = False
+                    break
+            if ok:
+                return key
+        served = sorted(
+            str(s) for shapes in self._shapes_by_key.values()
+            for s in shapes.values())
+        raise ValueError(
+            f"{last_err} (served shapes: {', '.join(served)})")
 
     def infer(self, inputs: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         return self.submit(inputs).result()
@@ -281,31 +343,37 @@ class InferenceServer:
                 if not self._running:
                     return
                 continue
-            try:
-                self._run_batch(items)
-            except Exception as e:  # noqa: BLE001 — propagate to callers
-                for _, fut, _ in items:
-                    if not fut.done():
-                        fut.set_exception(e)
+            # group by resolution: only same-shape requests share a
+            # device launch (each key has its own compiled program)
+            groups: Dict[object, list] = {}
+            for item in items:
+                groups.setdefault(item[3], []).append(item)
+            for key, group in groups.items():
+                try:
+                    self._run_batch(group, key)
+                except Exception as e:  # noqa: BLE001 — propagate
+                    for _, fut, _, _ in group:
+                        if not fut.done():
+                            fut.set_exception(e)
             if not self._running and self._queue.empty():
                 return
 
-    def _run_batch(self, items: List[Tuple[dict, Future, float]]):
+    def _run_batch(self, items, key=None):
         n = len(items)
         bucket = self._bucket_for(n)
 
         stacked: Dict[str, np.ndarray] = {}
         for name in self._param_names:
-            arrs = [np.asarray(inputs[name]) for inputs, _, _ in items]
+            arrs = [np.asarray(inputs[name]) for inputs, _, _, _ in items]
             block = np.stack(arrs, axis=0)
             if bucket > n:  # pad with copies of the last example (masked out)
                 pad = np.repeat(block[-1:], bucket - n, axis=0)
                 block = np.concatenate([block, pad], axis=0)
             stacked[name] = block
 
-        out = self.compiled.infer_batch(stacked)
+        out = self._nets[key].infer_batch(stacked)
 
-        for i, (_, fut, t_enq) in enumerate(items):
+        for i, (_, fut, t_enq, _) in enumerate(items):
             # restore the declared batch=1 leading dim per example, so a
             # server result looks exactly like a direct infer() result
             result = {k: np.asarray(v[i])[None] for k, v in out.items()}

@@ -110,3 +110,65 @@ def test_two_process_pipeline(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {pid} failed:\n{out}"
         assert f"MP_OK {pid}" in out, out
+
+
+def test_two_process_expert_parallel(tmp_path):
+    """Expert parallelism across a REAL process boundary: the MoE family's
+    stacked expert weights shard their expert axis over 'model' inside
+    each process while 'data' crosses the processes; the gated combine's
+    all-reduce rides gloo.  Every local output row must match the
+    single-process reference (the EP analogue of the dp/dp+tp/pp rows —
+    apps/scaling_report.py --mp-mode ep)."""
+    nproc, batch_per = 2, 4
+    xml, binp = model_paths("moe-mlp")
+    model = read_ir_model(xml, binp)
+    compiled = compile_model(model, Config(backend=Backend.XLA))
+    param = model.parameters[0]
+    shape = param.outputs[param.out_port].shape
+    rng = np.random.default_rng(0)  # must match tools/mp_worker.py
+    blob = rng.uniform(0, 255, (nproc * batch_per,) + shape).astype(
+        np.float32)
+    ref = compiled.infer_batch({param.name: blob})
+    ref_npz = str(tmp_path / "ref.npz")
+    np.savez(ref_npz, **ref)
+
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    args = [sys.executable, "tools/mp_worker.py"]
+    tail = ["moe-mlp", str(batch_per), ref_npz, "--tp"]
+    procs = [
+        subprocess.Popen(
+            args + [str(pid), str(nproc), str(port)] + tail,
+            cwd=ROOT, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out}"
+        assert f"MP_OK {pid}" in out, out
+
+
+def test_dryrun_multichip_16_devices():
+    """The driver's multichip dryrun at 16 virtual devices — catches
+    axis-size assumptions the standing 8-device run can't (VERDICT r4
+    Next #8).  All 5 checks (DP x TP, pipeline, spatial, expert, sharded
+    export) must pass."""
+    proc = subprocess.run(
+        [sys.executable, "__graft_entry__.py", "16"],
+        cwd=ROOT, capture_output=True, text=True, timeout=500,
+        env={k: v for k, v in os.environ.items()
+             if k not in ("XLA_FLAGS", "JAX_PLATFORMS")},
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert proc.stdout.count("dryrun_multichip OK") == 5, proc.stdout

@@ -232,3 +232,56 @@ def test_async_loader_feeds_server(mnist_compiled):
             for k in ref:
                 np.testing.assert_allclose(got[k], ref[k], rtol=1e-4,
                                            atol=1e-5)
+
+
+def test_multi_resolution_serving():
+    """One deployment serves several input resolutions: the server builds
+    a reshaped CompiledNetwork per (H, W) — shape-derived constants
+    (anchor chains) re-fold per variant — routes each request by its
+    shape, and batches only same-resolution requests together (the jit
+    cache is keyed (resolution, bucket))."""
+    from __graft_entry__ import _model_paths
+
+    xml, binp = _model_paths("unet")
+    compiled = compile_model(read_ir_model(xml, binp),
+                             Config(backend=Backend.XLA))
+    rng = np.random.default_rng(0)
+    blobs = {
+        (128, 128): rng.uniform(0, 255, (1, 3, 128, 128)).astype(
+            np.float32),
+        (96, 96): rng.uniform(0, 255, (1, 3, 96, 96)).astype(np.float32),
+        (64, 64): rng.uniform(0, 255, (1, 3, 64, 64)).astype(np.float32),
+    }
+    with InferenceServer(compiled, buckets=(1, 2, 4),
+                         resolutions=[(96, 96), (64, 64)]) as srv:
+        futs = {}
+        for (h, w), blob in blobs.items():
+            futs[(h, w)] = [srv.submit({"data": blob}) for _ in range(3)]
+        for (h, w), fs in futs.items():
+            for f in fs:
+                out = f.result(timeout=120)
+                arr = next(iter(out.values()))
+                assert arr.shape == (1, 8, h, w), ((h, w), arr.shape)
+                assert np.all(np.isfinite(arr))
+        # direct-infer parity per resolution
+        for (h, w), blob in blobs.items():
+            direct = srv._nets[None if (h, w) == (128, 128)
+                               else (h, w)].infer({"data": blob})
+            served = futs[(h, w)][0].result()
+            for k in direct:
+                np.testing.assert_allclose(served[k][0], direct[k][0],
+                                           rtol=1e-4, atol=1e-4)
+        # an unserved resolution fails fast in the caller's thread
+        with pytest.raises(ValueError, match="served shapes"):
+            srv.submit({"data": np.zeros((1, 3, 50, 50), np.float32)})
+    assert srv.stats.requests == 9
+
+
+def test_multi_resolution_refuses_non_image_models(mnist_compiled):
+    from __graft_entry__ import _model_paths
+
+    xml, binp = _model_paths("lstm-tiny")
+    seq = compile_model(read_ir_model(xml, binp),
+                        Config(backend=Backend.XLA))
+    with pytest.raises(NotImplementedError, match="rank-4"):
+        InferenceServer(seq, resolutions=[(16, 40)])

@@ -85,6 +85,13 @@ def main():
         ref = np.load(ref_npz)
         for k, v in out.items():
             np.testing.assert_allclose(v, ref[k], rtol=1e-4, atol=1e-5)
+        if bench_iters:
+            t0 = time.perf_counter()
+            for _ in range(bench_iters):
+                out = pp.infer_batch({param.name: blob})
+            dt = (time.perf_counter() - t0) / bench_iters
+            print(f"MP_THROUGHPUT {pid} {b_global / dt:.1f} img/s",
+                  flush=True)
         print(f"MP_OK {pid}", flush=True)
         return
 
