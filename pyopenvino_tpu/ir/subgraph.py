@@ -52,10 +52,14 @@ class PortMapEntry:
         step = self.stride
         if step == 0:
             raise ValueError("port_map stride must be non-zero")
-        if abs(step) != self.part_size and self.part_size != 1:
+        if abs(step) != self.part_size:
+            # a strided-sampling walk (|stride| != part_size) would need a
+            # gather, and the contiguous-region chunking below would
+            # silently mis-slice it — refuse anything but back-to-back
+            # parts (part_size=1 with stride ±1 included)
             raise NotImplementedError(
                 f"port_map: part_size={self.part_size} with stride={step} "
-                f"is not supported (only |stride|==part_size or part_size=1)")
+                f"is not supported (only |stride| == part_size)")
         span = (hi - lo) if step > 0 else (lo - hi)
         if span < 0 or (span + 1) % self.part_size:
             raise ValueError(

@@ -411,7 +411,7 @@ class TensorIterator(Op):
                 f"TensorIterator {node.name!r}: no sliced input — the "
                 f"iteration count is underivable (use Loop with a trip "
                 f"count instead)")
-        for e in sg.inputs:
+        for e in sg.inputs + sg.outputs:
             if e.purpose:
                 raise ValueError(
                     f"TensorIterator {node.name!r}: purpose="
@@ -501,24 +501,47 @@ class TensorIterator(Op):
 
         carry0 = _pvary(tuple(cast_init(pid, init[pid])
                               for pid in carry_ids))
-        out_ids = [e.internal_layer_id for e in sg.outputs]
+        back_frm = [frm for frm, _ in sg.back_edges]
+        # last-value outputs ride the carry, not the stacked ys — stacking
+        # a (T, ...) buffer only to read slot T-1 wastes (T-1)x HBM (the
+        # common Keras return_sequences=False conversion).  Back-edge
+        # sources are already carried; other last-value results join the
+        # carry tail.
+        stacked_ids = [e.internal_layer_id for e in sg.outputs
+                       if e.axis is not None]
+        extra_last = [e.internal_layer_id for e in sg.outputs
+                      if e.axis is None
+                      and e.internal_layer_id not in back_frm]
+        extra0 = _pvary(tuple(
+            jnp.zeros(_result_shape(sg, rid),
+                      (ctx.compute_dtype
+                       if _float(body.nodes[rid].inputs[0].dtype)
+                       else body.nodes[rid].inputs[0].dtype))
+            for rid in extra_last))
 
         def body_fn(carry, xt):
+            state, _ = carry
             pv = dict(invariant)
-            pv.update(zip(carry_ids, carry))
+            pv.update(zip(carry_ids, state))
             pv.update(xt)
             res = _emit_graph(ctx, node, "body", sg, pv)
-            new_carry = tuple(res[frm] for frm, _ in sg.back_edges)
-            return new_carry, tuple(res[rid] for rid in out_ids)
+            new_state = tuple(res[frm] for frm in back_frm)
+            new_extra = tuple(res[rid] for rid in extra_last)
+            return (new_state, new_extra), tuple(
+                res[rid] for rid in stacked_ids)
 
-        _, ys = jax.lax.scan(body_fn, carry0, xs)
-        ys_by_id = dict(zip(out_ids, ys))
+        (final_state, final_extra), ys = jax.lax.scan(
+            body_fn, (carry0, extra0), xs)
+        last_by_id = dict(zip(back_frm, final_state))
+        last_by_id.update(zip(extra_last, final_extra))
+        ys_by_id = dict(zip(stacked_ids, ys))
         out = {}
         for e in sg.outputs:
-            y = ys_by_id[e.internal_layer_id]
             if e.axis is None:
-                out[e.external_port_id] = TValue(y[-1], "L")
+                out[e.external_port_id] = TValue(
+                    last_by_id[e.internal_layer_id], "L")
             else:
+                y = ys_by_id[e.internal_layer_id]
                 _, axis = _slice_shape(
                     tuple(y.shape[1:]), e.axis, e.part_size)
                 out[e.external_port_id] = TValue(
@@ -753,7 +776,7 @@ class If(Op):
     type_name = "If"
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
-        shapes = {}
+        shapes, dtypes = {}, {}
         for bname in ("then_body", "else_body"):
             sg = _sub(node, bname)
             _analysis(sg)
@@ -768,12 +791,21 @@ class If(Op):
             data = {p: s for p, s in in_shapes.items() if p >= 1}
             _validate_inputs(node, sg, data)
             got = _output_shapes(node, sg, -1)
+            got_dt = {
+                e.external_port_id:
+                sg.model.nodes[e.internal_layer_id].inputs[0].dtype
+                for e in sg.outputs
+            }
             if not shapes:
-                shapes = got
+                shapes, dtypes = got, got_dt
             elif got != shapes:
                 raise ValueError(
                     f"If {node.name!r}: then/else output shapes disagree "
                     f"({shapes} vs {got})")
+            elif got_dt != dtypes:
+                raise ValueError(
+                    f"If {node.name!r}: then/else output dtypes disagree "
+                    f"({dtypes} vs {got_dt})")
         if tuple(in_shapes.get(0, ())) not in ((), (1,)):
             raise ValueError(
                 f"If {node.name!r}: condition must be a scalar boolean, "

@@ -153,6 +153,9 @@ def bake_batch(model: Model, batch: int) -> Model:
             and int(np.asarray(cn.const).reshape(-1)[0]) == 1
             and (data_in is None or not data_in.shape
                  or data_in.shape[0] == 1)
+            # a shared Const (feeding anything besides this Reshape's
+            # target port) must not be rewritten under other consumers
+            and len(model.out_edges[src]) == 1
         ):
             t = np.asarray(cn.const).copy().reshape(-1)
             t[0] = batch

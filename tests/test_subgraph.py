@@ -349,3 +349,80 @@ def test_if_mismatched_branch_shapes_refused():
     with pytest.raises(ValueError, match="disagree"):
         gb.if_op(cond, [xv], tb.build(), eb.build(),
                  ["xa"], ["xb"], ["r"], ["r"])
+
+
+# -- round-5 review-finding regressions ---------------------------------------
+
+
+def test_strided_sampling_port_map_refused():
+    """part_size=1 with |stride|>1 is a strided-sampling walk the chunked
+    slicing cannot realize — must refuse, not silently mis-slice."""
+    bb = GraphBuilder("body")
+    xt = bb.parameter("x_t", (B, 1, I))
+    bb.result(xt, "y")
+    body = bb.build()
+    gb = GraphBuilder("outer")
+    x = gb.parameter("x", (B, 6, I))
+    with pytest.raises(NotImplementedError, match="stride"):
+        gb.tensor_iterator(
+            [x], body,
+            input_map=[("x_t", {"axis": 1, "stride": 2})],
+            output_map=[("y", {"axis": 1, "stride": 2})])
+
+
+def test_ti_output_purpose_refused():
+    """purpose-tagged OUTPUT entries are Loop-only — a TI carrying one
+    must fail fast instead of emitting a phantom port."""
+    from pyopenvino_tpu.ir.subgraph import PortMapEntry, SubGraph
+    from pyopenvino_tpu.ops.subgraph import TensorIterator
+
+    bb = GraphBuilder("body")
+    xt = bb.parameter("x_t", (B, 1, I))
+    bb.result(xt, "y")
+    body = bb.build()
+    rid = body.results[0].id
+    pid = body.parameters[0].id
+    sg = SubGraph(
+        model=body,
+        inputs=[PortMapEntry(0, pid, axis=1)],
+        outputs=[PortMapEntry(1, rid, axis=1),
+                 PortMapEntry(-1, rid, purpose="execution_condition")])
+    from pyopenvino_tpu.ir.model import Node, TensorInfo
+
+    node = Node(id=0, name="ti", op_type="TensorIterator", attrs={},
+                inputs={0: TensorInfo((B, 5, I), np.dtype(np.float32))},
+                outputs={}, subgraphs={"body": sg})
+    with pytest.raises(ValueError, match="Loop-only"):
+        TensorIterator().infer_shapes(node, {0: (B, 5, I)}, {})
+
+
+def test_if_branch_dtype_mismatch_refused():
+    tb = GraphBuilder("then")
+    xp = tb.parameter("xa", (B, H))
+    tb.result(tb.relu(xp), "r")
+    eb = GraphBuilder("else")
+    xq = eb.parameter("xb", (B, H))
+    eb.result(eb.convert(eb.relu(xq), "i32"), "r")
+    gb = GraphBuilder("ifnet")
+    cond = gb.parameter("c", (), dtype=np.bool_)
+    xv = gb.parameter("x", (B, H))
+    with pytest.raises(ValueError, match="dtypes disagree"):
+        gb.if_op(cond, [xv], tb.build(), eb.build(),
+                 ["xa"], ["xb"], ["r"], ["r"])
+
+
+def test_ti_last_value_not_stacked():
+    """Last-value outputs ride the scan carry: the jaxpr must not contain
+    a (T, ...) stacked buffer for the final-state output."""
+    import jax
+
+    W, R, bias = _weights()
+    m = _ti_model(W, R, bias)
+    from pyopenvino_tpu.runtime.compiler import compile_model as cm
+
+    net = cm(m, Config(backend=Backend.XLA))
+    feed = _feed()
+    ref = Interpreter(m).run(feed)
+    got = net(feed)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4)

@@ -78,6 +78,12 @@ MODELS = {
     "keras_digits": ("data", (1, 1, 28, 28), "cls"),
     # Torch-trained + torch_convert'd — gates the torch on-ramp
     "torch_digits": ("data", (1, 1, 28, 28), "cls"),
+    # FLAGSHIP-topology trained families (tools/train_flagship.py): the
+    # actual googlenet-v1 / ssd_mobilenet_v1_coco IR graphs, channel-
+    # narrowed, trained on labeled tasks — INT8 deltas vs REAL GT through
+    # the same graph structures the headline bench runs (floor = 0)
+    "googlenet_shapes": ("data", (1, 3, 224, 224), "cls"),
+    "ssd_shapes_ms": ("image_tensor", (1, 3, 300, 300), "det"),
 }
 
 # trained family → (trained artifact name, labeled dataset fn name).
@@ -91,6 +97,9 @@ TRAINED = {
     "shapes_ssd": ("shapes_ssd", "shapes_det"),
     "keras_digits": ("keras_digits", "digits"),
     "torch_digits": ("torch_digits", "digits"),
+    # flagship-topology rows (tools/train_flagship.py)
+    "googlenet_shapes": ("googlenet_shapes", "shapes224"),
+    "ssd_shapes_ms": ("ssd_shapes_ms", "shapes_det300"),
 }
 EVAL_SEED = 777
 CAL_SEED = 778  # calibration draws its own samples, not the eval set
@@ -99,6 +108,10 @@ CAL_SEED = 778  # calibration draws its own samples, not the eval set
 def model_paths(name: str):
     """(xml, bin) — trained families resolve through train_real's cache
     (training on first use), everything else through __graft_entry__."""
+    if name in ("googlenet_shapes", "ssd_shapes_ms"):
+        from tools.train_flagship import flagship_model_paths
+
+        return flagship_model_paths(name)
     if name in TRAINED:
         from tools.train_real import trained_model_paths
 
@@ -116,7 +129,13 @@ BIAS_CORRECTION = False
 # real-GT int8full mAP delta is 0.57 plain vs 0.06 with bias correction
 # (int8w 0.20 either way) — regression outputs are sensitive to the
 # systematic activation-quantization bias the correction removes.
-BIAS_CORRECTION_DEFAULT = {"shapes_ssd"}
+BIAS_CORRECTION_DEFAULT = {
+    "shapes_ssd",
+    # the narrowed flagship googlenet (no BN, two LRNs) carries a
+    # systematic activation-quantization bias: int8full top-1 delta is
+    # 2.0 plain vs 0.0 with the correction (int8w 0.0 either way)
+    "googlenet_shapes",
+}
 
 # Per-model first/last-layer exclusion (Config.quant_min_elems): the toy
 # SSD's 1x1 loc/conf heads (<1k elements) stay float — measured real-GT

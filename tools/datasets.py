@@ -189,3 +189,15 @@ def shapes_det(n: int, seed: int, size: int = 96):
         xs.append(img)
         gts.append(recs)
     return np.stack(xs).astype(np.float32), gts
+
+
+def shapes224(n: int, seed: int):
+    """shapes10 at the googlenet-v1 flagship resolution
+    (tools/train_flagship.py)."""
+    return shapes10(n, seed, size=224)
+
+
+def shapes_det300(n: int, seed: int):
+    """shapes_det at the ssd_mobilenet_v1 flagship resolution
+    (tools/train_flagship.py)."""
+    return shapes_det(n, seed, size=300)
