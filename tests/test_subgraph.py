@@ -426,3 +426,66 @@ def test_ti_last_value_not_stacked():
     got = net(feed)
     for k in ref:
         np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-4)
+
+
+def test_nested_if_inside_tensor_iterator():
+    """Control-flow nesting: an If whose condition depends on the carried
+    state, inside a TI body — both executors recurse (the nested body's
+    weights join the pytree under chained sub.* prefixes)."""
+    T, F = 4, 3
+    tb = GraphBuilder("then")
+    xa = tb.parameter("xa", (B, F))
+    tb.result(tb.multiply(xa, tb.const(np.float32(2).reshape(()))), "r")
+    eb = GraphBuilder("else")
+    xb_ = eb.parameter("xb", (B, F))
+    eb.result(eb.add(xb_, eb.const(np.float32(10).reshape(()))), "r")
+    bb = GraphBuilder("tibody")
+    xt = bb.parameter("x_t", (B, 1, F))
+    s = bb.parameter("s_in", (B, F))
+    xf = bb.reshape(xt, (B, F))
+    ssum = bb.reduce("Sum", s, axes=(0, 1), keep_dims=False)
+    cond = bb.compare("Greater", ssum,
+                      bb.const(np.float32(0).reshape(())))
+    y = bb.if_op(cond, [xf], tb.build(), eb.build(),
+                 ["xa"], ["xb"], ["r"], ["r"])
+    bb.result(bb.add(s, xf), "s_out")
+    bb.result(bb.reshape(y, (B, 1, F)), "y_out")
+    gb = GraphBuilder("outer")
+    x = gb.parameter("x", (B, T, F))
+    s0 = gb.parameter("s0", (B, F))
+    outs = gb.tensor_iterator(
+        [x, s0], bb.build(),
+        input_map=[("x_t", {"axis": 1}), "s_in"],
+        output_map=[("y_out", {"axis": 1}), "s_out"],
+        back_edges=[("s_out", "s_in")])
+    gb.result(outs[0], "Y")
+    gb.result(outs[1], "S")
+    m = gb.build()
+    feed = {"x": RNG.standard_normal((B, T, F)).astype(np.float32),
+            "s0": RNG.standard_normal((B, F)).astype(np.float32)}
+    ref = Interpreter(m).run(feed)
+    got = compile_model(m, Config(backend=Backend.XLA))(feed)
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=1e-4, atol=1e-5)
+
+
+def test_ocr_ti_export_round_trip(tmp_path):
+    """The TI family through the compiled-artifact export (.ovtpu
+    StableHLO): scans serialize and re-import with parity."""
+    from __graft_entry__ import _model_paths
+    from pyopenvino_tpu.ir import read_ir_model
+    from pyopenvino_tpu.runtime.export import import_compiled
+
+    xml, binp = _model_paths("ocr-ti")
+    net = compile_model(read_ir_model(xml, binp),
+                        Config(backend=Backend.XLA))
+    blob = RNG.uniform(0, 255, (1, 24, 32)).astype(np.float32)
+    want = net.infer({"data": blob})
+    art = str(tmp_path / "ocr.ovtpu")
+    net.export(art, buckets=(1,))
+    imp = import_compiled(art)
+    got = imp.infer_batch({"data": blob[None]})
+    for k in want:
+        np.testing.assert_allclose(
+            np.asarray(got[k]).reshape(want[k].shape), want[k],
+            rtol=1e-4, atol=1e-4)
