@@ -1639,8 +1639,9 @@ class ReduceL2(_Reduce):
 
 @register
 class Broadcast(Op):
-    """opset3 Broadcast, numpy and bidirectional modes (static target
-    shape — input 1 must be constant)."""
+    """opset3 Broadcast — numpy, bidirectional, AND explicit modes
+    (static target shape; explicit's axes_mapping is input 2: each input
+    dim is pinned to the named target dim, all others tile)."""
 
     type_name = "Broadcast"
 
@@ -1649,10 +1650,8 @@ class Broadcast(Op):
         from pyopenvino_tpu.ir import attrs as A
 
         mode = A.get_str(node.attrs, "mode", "numpy")
-        if mode not in ("numpy", "bidirectional"):
-            raise NotImplementedError(
-                f"Broadcast mode {mode!r} unsupported (numpy/"
-                "bidirectional)")
+        if mode not in ("numpy", "bidirectional", "explicit"):
+            raise ValueError(f"Broadcast: unknown mode {mode!r}")
         return mode
 
     def _target(self, node, in_shape, tval):
@@ -1663,24 +1662,62 @@ class Broadcast(Op):
             return tuple(int(d) for d in np.broadcast_shapes(in_shape, t))
         return t
 
+    @staticmethod
+    def _explicit_interim(in_shape, target, aval):
+        """Shape with the input dims pinned at axes_mapping positions and
+        1 elsewhere — reshape to it, then broadcast_to(target)."""
+        if aval is None:
+            raise ValueError(
+                "Broadcast explicit: axes_mapping (input 2) must be "
+                "constant")
+        axes = tuple(int(a) for a in np.asarray(aval).reshape(-1))
+        if len(axes) != len(in_shape):
+            raise ValueError(
+                f"Broadcast explicit: axes_mapping {axes} rank != input "
+                f"{in_shape}")
+        interim = [1] * len(target)
+        for a, d in zip(axes, in_shape):
+            if not 0 <= a < len(target):
+                raise ValueError(
+                    f"Broadcast explicit: axis {a} out of range for "
+                    f"{target}")
+            if target[a] != d and d != 1:
+                raise ValueError(
+                    f"Broadcast explicit: input dim {d} pinned to target "
+                    f"axis {a} of extent {target[a]}")
+            interim[a] = d
+        return tuple(interim)
+
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         out = self._target(node, in_shapes[0], in_values.get(1))
+        if self._mode(node) == "explicit":
+            self._explicit_interim(in_shapes[0], out, in_values.get(2))
         res = ShapeResult({node.out_port: out})
         if in_values.get(0) is not None:
-            res.values[node.out_port] = np.broadcast_to(
-                in_values[0], out)
+            v = in_values[0]
+            if self._mode(node) == "explicit":
+                v = v.reshape(self._explicit_interim(
+                    v.shape, out, in_values.get(2)))
+            res.values[node.out_port] = np.broadcast_to(v, out)
         return res
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
-        out = self._target(node, inputs[0].shape, inputs[1])
+        x = inputs[0]
+        out = self._target(node, x.shape, inputs[1])
+        if self._mode(node) == "explicit":
+            x = x.reshape(self._explicit_interim(
+                x.shape, out, inputs.get(2)))
         return {node.out_port: np.ascontiguousarray(
-            np.broadcast_to(inputs[0], out))}
+            np.broadcast_to(x, out))}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
         import jax.numpy as jnp
 
         x = inputs[0].nchw()
         out = self._target(node, x.shape, ctx.static_value(node, 1))
+        if self._mode(node) == "explicit":
+            x = x.reshape(self._explicit_interim(
+                x.shape, out, ctx.static_value(node, 2)))
         return {node.out_port: TValue(jnp.broadcast_to(x, out), "L")}
 
 

@@ -1733,3 +1733,37 @@ def test_embedding_bag_offsets_sum():
     np.testing.assert_allclose(got3, ref3, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(
         ref3[0], w[0] * table[0] + w[1] * table[2], rtol=1e-5)
+
+
+def test_broadcast_explicit_mode():
+    """opset3 Broadcast mode=explicit: axes_mapping pins input dims to
+    target axes (NOT numpy right-alignment) — a (16,) vector pinned to
+    axis 1 of (2, 16, 3) tiles over axes 0 and 2."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    rng = np.random.default_rng(0)
+    v = rng.standard_normal(16).astype(np.float32)
+    b = GraphBuilder("bx")
+    x = b.parameter("x", (16,))
+    t = b.const(np.asarray([2, 16, 3], np.int64))
+    am = b.const(np.asarray([1], np.int64))
+    b.result(b._add_node("Broadcast", [x, t, am], {"mode": "explicit"}),
+             "out")
+    m = b.build()
+    ref = Interpreter(m).run({"x": v})["out"]
+    assert ref.shape == (2, 16, 3)
+    np.testing.assert_array_equal(ref, np.broadcast_to(
+        v.reshape(1, 16, 1), (2, 16, 3)))
+    got = compile_model(m, Config(backend=Backend.XLA))({"x": v})["out"]
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_broadcast_explicit_bad_mapping():
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    b = GraphBuilder("bx")
+    x = b.parameter("x", (16,))
+    t = b.const(np.asarray([2, 8, 3], np.int64))
+    am = b.const(np.asarray([1], np.int64))
+    with pytest.raises(ValueError, match="pinned to target"):
+        b._add_node("Broadcast", [x, t, am], {"mode": "explicit"})
