@@ -232,3 +232,28 @@ def test_integrity_ssd_record_id_invariant():
     fails = integ.check("ssd_mobilenet_v1_coco",
                         {"d": bad.reshape(1, 1, 100, 7)}, declared, None)
     assert any("bad record ids" in f for f in fails)
+
+
+def test_flagship_googlenet_real_gate():
+    """The FLAGSHIP-topology gate (VERDICT r4 Next #4): the actual
+    googlenet-v1 IR graph (channel-narrowed ×4, 10-class head) trained on
+    labeled shapes at 224² — INT8w and INT8-FULL top-1 within 0.5% of
+    FP32 against REAL labels, floor = 0.  Uses the committed
+    assets/trained/googlenet_shapes artifact (tools/train_flagship.py)."""
+    from tools import datasets
+    from tools.accuracy import (
+        CAL_SEED, MODELS, TRAINED, eval_images, run_model, score_cls,
+    )
+
+    family = "googlenet_shapes"
+    images, labels = eval_images(family, 96)
+    in_name = MODELS[family][0]
+    cx, _ = getattr(datasets, TRAINED[family][1])(32, CAL_SEED)
+    calibration = [{in_name: cx[i][None]} for i in range(len(cx))]
+    ref = run_model(family, "fp32", images, calibration)
+    fp32_acc, _ = score_cls(ref, ref, labels)
+    assert fp32_acc >= 95.0, fp32_acc
+    for mode in ("int8w", "int8full"):
+        out = run_model(family, mode, images, calibration)
+        val, delta = score_cls(ref, out, labels)
+        assert delta <= 0.5 + 1e-9, (mode, val, delta)
