@@ -235,3 +235,54 @@ def test_conv_transpose2d():
             return self.u(F.relu(self.d(x)))
 
     _parity(Net(), (1, 3, 16, 16))
+
+
+def test_lstm_emits_tensor_iterator():
+    """nn.LSTM converts to TensorIterator[LSTMCell] (the same MO graph
+    shape the Keras on-ramp emits) with forward parity, including the
+    fx getitem paths: tuple unpacking of (output, (h_n, c_n)) and the
+    y[:, -1] last-timestep tensor index."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    T, F, H = 9, 5, 7
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(F, H, batch_first=True)
+            self.fc = nn.Linear(H, 4)
+
+        def forward(self, x):
+            y, (_hn, _cn) = self.lstm(x)
+            return self.fc(y[:, -1])
+
+    mod = M().eval()
+    m = convert_torch_module(mod, (1, T, F))
+    ti = m.find_by_type("TensorIterator")
+    assert len(ti) == 1
+    assert ti[0].subgraphs["body"].model.find_by_type("LSTMCell")
+    x = np.random.default_rng(0).standard_normal((1, T, F)).astype(
+        np.float32)
+    want = mod(torch.from_numpy(x)).detach().numpy()
+    ref = next(iter(Interpreter(m).run({"data": x}).values()))
+    np.testing.assert_allclose(ref, want, rtol=1e-5, atol=1e-6)
+    got = next(iter(compile_model(m, Config())({"data": x}).values()))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_lstm_unsupported_configs_refused():
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(4, 6, batch_first=True,
+                                bidirectional=True)
+
+        def forward(self, x):
+            return self.lstm(x)[0]
+
+    with pytest.raises(NotImplementedError, match="unidirectional"):
+        convert_torch_module(M().eval(), (1, 5, 4))

@@ -197,8 +197,88 @@ class _Converter:
             return self.b.interpolate(
                 x, sizes, mode=mode,
                 align_corners=bool(mod.align_corners))
+        if isinstance(mod, nn.LSTM):
+            return self._lstm(mod, x)
         raise NotImplementedError(
             f"unmapped torch module {type(mod).__name__} at {node.target!r}")
+
+    def _lstm(self, mod, x):
+        """nn.LSTM → TensorIterator[LSTMCell] — the same MO graph shape
+        the Keras on-ramp emits (tools/tf_convert.py _recurrent;
+        ops/subgraph.py).  Returns the torch-shaped result tuple
+        (output, (h_n, c_n)) of Ports; fx getitem indexes into it.
+        Scope: single layer, unidirectional, batch_first=True."""
+        if (mod.num_layers != 1 or mod.bidirectional
+                or not mod.batch_first or mod.dropout):
+            raise NotImplementedError(
+                "nn.LSTM: only single-layer unidirectional "
+                "batch_first=True without dropout is supported")
+        b = self.b
+        H = mod.hidden_size
+        _, T, F_ = x.shape
+
+        def reorder(a):  # torch i,f,g,o → opset fico
+            i, f, g, o = np.split(a, 4, axis=0)
+            return np.concatenate([f, i, g, o], axis=0)
+
+        W = reorder(_np(mod.weight_ih_l0)).astype(np.float32)  # (4H, F)
+        R = reorder(_np(mod.weight_hh_l0)).astype(np.float32)  # (4H, H)
+        if mod.bias:
+            B_ = reorder(_np(mod.bias_ih_l0)
+                         + _np(mod.bias_hh_l0)).astype(np.float32)
+        else:
+            B_ = np.zeros(4 * H, np.float32)
+
+        bb = GraphBuilder("lstm_cell")
+        xt = bb.parameter("x_t", (1, 1, F_))
+        h = bb.parameter("h_in", (1, H))
+        c = bb.parameter("c_in", (1, H))
+        xf = bb.reshape(xt, (1, F_))
+        ho, co = bb._add_node(
+            "LSTMCell", [xf, h, c, bb.const(W), bb.const(R), bb.const(B_)],
+            {"hidden_size": H})
+        bb.result(ho, "h_out")
+        bb.result(co, "c_out")
+        bb.result(bb.reshape(ho, (1, 1, H)), "y_out")
+
+        h0 = b.const(np.zeros((1, H), np.float32))
+        c0 = b.const(np.zeros((1, H), np.float32))
+        y, hn, cn = b.tensor_iterator(
+            [x, h0, c0], bb.build(),
+            input_map=[("x_t", {"axis": 1}), "h_in", "c_in"],
+            output_map=[("y_out", {"axis": 1}), "h_out", "c_out"],
+            back_edges=[("h_out", "h_in"), ("c_out", "c_in")])
+        # torch h_n/c_n carry a (num_layers, B, H) leading dim
+        hn = b.reshape(hn, (1, 1, H))
+        cn = b.reshape(cn, (1, 1, H))
+        return (y, (hn, cn))
+
+    def _tensor_getitem(self, x, idx):
+        """Tensor indexing with full slices and integer axes (the
+        ``y[:, -1]`` last-timestep read after an LSTM): each int picks
+        one index (Gather) and drops the axis."""
+        if not isinstance(idx, tuple):
+            idx = (idx,)
+        out, dropped = x, 0
+        for ax, it in enumerate(idx):
+            if isinstance(it, slice):
+                if it != slice(None):
+                    raise NotImplementedError(
+                        f"tensor getitem: only ':' slices supported, "
+                        f"got {it}")
+                continue
+            if isinstance(it, int):
+                eff = ax - dropped
+                it = it % out.shape[eff]
+                g = self.b.gather(out, [it], axis=eff)
+                shp = list(g.shape)
+                del shp[eff]
+                out = self.b.reshape(g, tuple(shp))
+                dropped += 1
+                continue
+            raise NotImplementedError(
+                f"tensor getitem: unsupported index {it!r}")
+        return out
 
     # -- function / method mappings -------------------------------------------
 
@@ -219,6 +299,12 @@ class _Converter:
                 return self.b.const(np.float32(v))
             return v
 
+        if fn is operator.getitem:
+            src = self.env[a[0]] if a[0] in self.env else a[0]
+            if isinstance(src, (tuple, list)):
+                # container results (nn.LSTM's (output, (h_n, c_n)))
+                return src[a[1]]
+            return self._tensor_getitem(src, a[1])
         if fn in (operator.add, torch.add):
             return self.b.add(p(0), p(1))
         if fn in (operator.mul, torch.mul):
