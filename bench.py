@@ -44,11 +44,11 @@ sys.path.insert(0, REPO)
 # (family, metric stem, TPU batch, reference-baseline img/s or None,
 #  bake_batch) — bake compiles the graph AT the bench batch instead of
 # vmapping batch-1 (passes/shape_infer.py bake_batch: rank-4 activations
-# keep one conv layout; GoogLeNet measured +17%).  SSD's box-decode
-# Reshapes drop the batch dim, so it stays on the vmap path.
+# keep one conv layout; GoogLeNet measured +17%, SSD +1% with the
+# batch-aware DetectionOutput, records bit-identical).
 HEADLINES = [
     ("ssd_mobilenet_v1_coco", "ssd_mobilenet_v1_int8_throughput", 256,
-     1.0 / 18.26, False),
+     1.0 / 18.26, True),
     ("resnet18", "resnet18_int8_throughput", 512, None, True),
     # GoogLeNet LAST — the driver parses the tail JSON line
     ("googlenet-v1", "googlenet_v1_int8_throughput", 512, 1.0 / 0.554,

@@ -675,21 +675,55 @@ def detection_output_jax_batched(box_logits, class_pred, proposals, p,
 class DetectionOutput(Op):
     type_name = "DetectionOutput"
 
+    @staticmethod
+    def _baked_batch(in_shapes) -> int:
+        """Leading batch of the loc input when the GRAPH carries the batch
+        (bake_batch — passes/shape_infer.py) instead of the vmap wrapper."""
+        s = in_shapes[0]
+        return int(s[0]) if len(s) >= 2 and s[0] > 1 else 1
+
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         p = _do_params(node)
         prior_box_size = 4 if p["normalized"] else 5
         P = in_shapes[2][2] // prior_box_size
-        return ShapeResult({node.out_port: _output_shape(p, P)})
+        out = _output_shape(p, P)
+        n = self._baked_batch(in_shapes)
+        if n > 1:
+            # batch-baked graph: per-example record tables stacked on the
+            # leading axis with the declared unit batch collapsed — the
+            # same layout infer_batch returns for the vmap path
+            out = (n,) + out[1:]
+        return ShapeResult({node.out_port: out})
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
         p = _do_params(node)
+        n = self._baked_batch({i: v.shape for i, v in inputs.items()})
+        if n > 1:
+            rows = [detection_output_ref(
+                inputs[0][i:i + 1], inputs[1][i:i + 1], inputs[2], p)
+                for i in range(n)]
+            return {node.out_port: np.concatenate(
+                [r.reshape((1,) + r.shape[1:]) for r in rows])}
         out = detection_output_ref(inputs[0], inputs[1], inputs[2], p)
         return {node.out_port: out}
 
     def emit(self, ctx, node, inputs) -> Dict[int, TValue]:
+        import jax.numpy as jnp
+
         p = _do_params(node)
+        loc = inputs[0].nchw()
+        conf = inputs[1].nchw()
+        prop = inputs[2].nchw()
+        n = self._baked_batch({0: loc.shape})
+        if n > 1:
+            # batch-baked: run the row-tiled batched pass directly (no
+            # custom_vmap wrapper — there is no vmap to catch)
+            prop_b = jnp.broadcast_to(prop[None], (n,) + prop.shape)
+            out = detection_output_jax_batched(loc, conf, prop_b, p)
+            out = out.reshape((n,) + out.shape[2:])
+            return {node.out_port: TValue(out, "L")}
         fn = _batched_do(tuple(sorted(p.items())))
-        out = fn(inputs[0].nchw(), inputs[1].nchw(), inputs[2].nchw())
+        out = fn(loc, conf, prop)
         return {node.out_port: TValue(out, "L")}
 
 
