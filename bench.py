@@ -90,11 +90,18 @@ def bench_model(family: str, batch: int, iters: int, on_tpu: bool,
             for _ in range(2)
         ]
     if bake:
-        compiled = compile_model(model, cfg, calibration_samples=cal,
-                                 bake_batch=batch)
-        fn = compiled.jitted_fn
-        blob_shape = (batch,) + tuple(shape[1:])
-    else:
+        try:
+            compiled = compile_model(model, cfg, calibration_samples=cal,
+                                     bake_batch=batch)
+            fn = compiled.jitted_fn
+            blob_shape = (batch,) + tuple(shape[1:])
+        except ValueError as e:
+            # non-batch-polymorphic graph: degrade to vmap batching (the
+            # documented fallback) instead of failing the headline bench
+            print(f"[bench] {family}: bake fell back to vmap ({e})",
+                  file=sys.stderr)
+            bake = False
+    if not bake:
         compiled = compile_model(model, cfg, calibration_samples=cal)
         fn = compiled.batched_fn(batch)
         blob_shape = (batch,) + shape
@@ -124,13 +131,9 @@ def main():
 
     # Persistent compilation cache: first run warms it, later runs (and
     # later driver rounds) skip the multi-minute XLA/Mosaic compile.
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
-        )
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass  # older jax without the persistent cache — harmless
+    from pyopenvino_tpu.utils import persistent_compile_cache
+
+    persistent_compile_cache(REPO)
 
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"

@@ -676,18 +676,18 @@ class DetectionOutput(Op):
     type_name = "DetectionOutput"
 
     @staticmethod
-    def _baked_batch(in_shapes) -> int:
-        """Leading batch of the loc input when the GRAPH carries the batch
-        (bake_batch — passes/shape_infer.py) instead of the vmap wrapper."""
-        s = in_shapes[0]
-        return int(s[0]) if len(s) >= 2 and s[0] > 1 else 1
+    def _baked_batch(node) -> int:
+        """Batch carried IN the graph shapes — stamped explicitly by
+        bake_batch (passes/shape_infer.py) so a spec-conformant batch-N
+        IR (declared (1, 1, N·K, 7) output) is never misread as baked."""
+        return int(node.attrs.get("_baked_batch", 1))
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         p = _do_params(node)
         prior_box_size = 4 if p["normalized"] else 5
         P = in_shapes[2][2] // prior_box_size
         out = _output_shape(p, P)
-        n = self._baked_batch(in_shapes)
+        n = self._baked_batch(node)
         if n > 1:
             # batch-baked graph: per-example record tables stacked on the
             # leading axis with the declared unit batch collapsed — the
@@ -697,7 +697,7 @@ class DetectionOutput(Op):
 
     def ref_compute(self, node, inputs) -> Dict[int, np.ndarray]:
         p = _do_params(node)
-        n = self._baked_batch({i: v.shape for i, v in inputs.items()})
+        n = self._baked_batch(node)
         if n > 1:
             rows = [detection_output_ref(
                 inputs[0][i:i + 1], inputs[1][i:i + 1], inputs[2], p)
@@ -714,7 +714,7 @@ class DetectionOutput(Op):
         loc = inputs[0].nchw()
         conf = inputs[1].nchw()
         prop = inputs[2].nchw()
-        n = self._baked_batch({0: loc.shape})
+        n = self._baked_batch(node)
         if n > 1:
             # batch-baked: run the row-tiled batched pass directly (no
             # custom_vmap wrapper — there is no vmap to catch)

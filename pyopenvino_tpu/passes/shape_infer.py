@@ -131,44 +131,86 @@ def bake_batch(model: Model, batch: int) -> Model:
     the batch gives XLA plain rank-4 NHWC activations — GoogLeNet
     b512 measured +17% (20.1k → 23.6k img/s).
 
-    Only batch-polymorphic graphs qualify: a Reshape that DROPS the batch
-    dim (e.g. SSD's (1, 7668) → (1917, 4) box decode) has no consistent
-    baked realization and fails the rederive with the op's own shape
-    error — callers fall back to vmap batching (batched_fn).  Subgraph
-    bodies (TensorIterator/Loop/If) are NOT rewritten — their Parameters
-    stay at the declared batch, so TI models also take the vmap path
-    (measured fine there: ocr-ti 312k img/s at b512 vmapped)."""
+    Reshape targets are patched BY EVIDENCE, not by pattern: inference
+    walks the graph with the batched Parameters, and any Reshape whose
+    DATA INPUT now leads with the batch while its constant target still
+    leads with 1 gets that 1 rewritten to ``batch`` (this covers both
+    failing flattens like GoogLeNet's (1, 1024) target AND
+    batch-ABSORBING targets like SSD's [1, -1], which would silently
+    fold the batch away).  Unit-leading reshapes whose input does not
+    carry the batch (a Reduce-to-(1,1,1,1) holder) are never touched.  A
+    batch-carrying Reshape whose target cannot be patched (shared Const,
+    non-constant, no leading 1) raises: graphs that genuinely drop the
+    batch have no baked realization — callers fall back to vmap batching
+    (bench.py does).  Batch-sensitive ops (DetectionOutput) get an
+    explicit ``_baked_batch`` attr so they never have to guess from
+    shapes.  Subgraph bodies (TensorIterator/Loop/If) are NOT rewritten —
+    their Parameters stay at the declared batch, so TI models take the
+    vmap path (measured fine there: ocr-ti 312k img/s at b512 vmapped)."""
     import dataclasses as _dc
+
+    from pyopenvino_tpu.ops import get_op
 
     if batch < 1:
         raise ValueError(f"bake_batch: bad batch {batch}")
     nodes = dict(model.nodes)
     for n in model.nodes.values():
-        if n.op_type != "Reshape" or 1 not in model.in_edges[n.id]:
-            continue
-        src, _ = model.in_edges[n.id][1]
-        cn = model.nodes[src]
-        data_in = n.inputs.get(0)
+        if n.op_type == "DetectionOutput":
+            attrs = dict(n.attrs)
+            attrs["_baked_batch"] = str(batch)
+            nodes[n.id] = _dc.replace(n, attrs=attrs)
+    by_name = {n.name: n for n in model.parameters}
+    for p in model.parameters:
+        shape = (batch,) + tuple(p.outputs[p.out_port].shape[1:])
+        outs = {
+            port: _dc.replace(info, shape=shape)
+            for port, info in p.outputs.items()
+        }
+        nodes[p.id] = _dc.replace(nodes.get(p.id, p), outputs=outs)
+    m = Model(model.name, nodes, list(model.edges))
+
+    # evidence walk: batched shapes flow forward; patch targets in place
+    shapes, values = {}, {}
+    for node in m:
+        ins = sorted(m.in_edges[node.id].items())
+        in_shapes = {p: shapes[k] for p, k in ins}
+        in_values = {p: values.get(k) for p, k in ins}
         if (
-            cn.op_type == "Const"
-            and cn.const is not None
-            and cn.const.size
-            and int(np.asarray(cn.const).reshape(-1)[0]) == 1
-            and (data_in is None or not data_in.shape
-                 or data_in.shape[0] == 1)
-            # a shared Const (feeding anything besides this Reshape's
-            # target port) must not be rewritten under other consumers
-            and len(model.out_edges[src]) == 1
+            node.op_type == "Reshape"
+            and batch > 1
+            and in_shapes.get(0)
+            and in_shapes[0][0] == batch
+            and in_values.get(1) is not None
+            and int(np.asarray(in_values[1]).reshape(-1)[0]) == 1
         ):
+            src, _sport = m.in_edges[node.id][1]
+            cn = m.nodes[src]
+            if (cn.op_type != "Const" or cn.const is None
+                    or len(m.out_edges[src]) != 1):
+                raise ValueError(
+                    f"bake_batch: Reshape {node.name!r} consumes the "
+                    f"batch but its target is shared or non-constant — "
+                    f"use vmap batching")
+            from pyopenvino_tpu.ir.model import TensorInfo
+
             t = np.asarray(cn.const).copy().reshape(-1)
             t[0] = batch
-            nodes[cn.id] = _dc.replace(cn, const=t)
-    new_shapes = {
-        p.name: (batch,) + tuple(p.outputs[p.out_port].shape[1:])
-        for p in model.parameters
-    }
-    return reshape_model(Model(model.name, nodes, list(model.edges)),
-                         new_shapes)
+            # REPLACE, never mutate: the nodes dict shares Node objects
+            # with the caller's model
+            m.nodes[src] = _dc.replace(
+                cn, const=t,
+                outputs={cn.out_port: TensorInfo(shape=t.shape,
+                                                 dtype=t.dtype)})
+            values[(src, cn.out_port)] = t
+            in_values[1] = t
+        res = get_op(node.op_type).infer_shapes(node, in_shapes, in_values)
+        for port, shape in res.shapes.items():
+            shapes[(node.id, port)] = tuple(int(d) for d in shape)
+        for port, val in res.values.items():
+            if val is not None:
+                values[(node.id, port)] = np.asarray(val)
+
+    return rederive_ports(m)
 
 
 def rederive_ports(model: Model) -> Model:

@@ -1,3 +1,5 @@
-from pyopenvino_tpu.utils.platform import force_cpu, select_device
+from pyopenvino_tpu.utils.platform import (
+    force_cpu, persistent_compile_cache, select_device,
+)
 
-__all__ = ["force_cpu", "select_device"]
+__all__ = ["force_cpu", "persistent_compile_cache", "select_device"]

@@ -31,3 +31,23 @@ def select_device(device: str):
     (TPU when the tunnel is up)."""
     if device == "cpu":
         force_cpu()
+
+
+def persistent_compile_cache(repo_root=None):
+    """Point jax at the repo's persistent XLA compile cache (.jax_cache)
+    — the one wiring shared by bench.py and tools/benchmark_app.py
+    (a cold SSD batch-1 chain compile is ~5 min; cached it is seconds)."""
+    import os
+
+    import jax
+
+    if repo_root is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(repo_root, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax without the persistent cache — harmless

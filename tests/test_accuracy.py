@@ -257,3 +257,29 @@ def test_flagship_googlenet_real_gate():
         out = run_model(family, mode, images, calibration)
         val, delta = score_cls(ref, out, labels)
         assert delta <= 0.5 + 1e-9, (mode, val, delta)
+
+
+def test_flagship_ssd_real_map_gate():
+    """The FLAGSHIP multi-scale detector gate (VERDICT r4 Next #4): the
+    actual ssd_mobilenet_v1_coco IR graph (×4-narrowed, 5-class head, all
+    6 PriorBox branches / 1917 anchors) trained on labeled shapes at
+    300² — INT8w and INT8-FULL mAP (full COCO IoU grid) within 0.5 of
+    FP32 against REAL GT boxes, floor = 0.  Uses the committed
+    assets/trained/ssd_shapes_ms artifact (tools/train_flagship.py)."""
+    from tools import datasets
+    from tools.accuracy import (
+        CAL_SEED, MODELS, eval_images, run_model, score_det,
+    )
+
+    family = "ssd_shapes_ms"
+    images, gt = eval_images(family, 48)
+    in_name = MODELS[family][0]
+    cx, _ = datasets.shapes_det300(32, CAL_SEED)
+    calibration = [{in_name: cx[i][None]} for i in range(len(cx))]
+    ref = run_model(family, "fp32", images, calibration)
+    fp32_map, _ = score_det(ref, ref, gt)
+    assert fp32_map >= 60.0, fp32_map
+    for mode in ("int8w", "int8full"):
+        out = run_model(family, mode, images, calibration)
+        val, delta = score_det(ref, out, gt)
+        assert delta <= 0.5 + 1e-9, (mode, val, delta)

@@ -132,3 +132,32 @@ def test_bake_batch_rejects_batch_dropping_graphs():
     b.result(b.relu(y), "out")
     with pytest.raises(ValueError):
         bake_batch(b.build(), 8)
+
+
+def test_bake_batch_spares_non_batch_unit_reshapes():
+    """A Reshape whose leading 1 is NOT the batch (a Reduce-to-(1,1,1,1)
+    scalar holder) must survive baking untouched — targets are patched
+    only when inference actually fails under the batched Parameters."""
+    import numpy as np
+
+    from pyopenvino_tpu.config import Config
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.passes.shape_infer import bake_batch
+    from pyopenvino_tpu.runtime.compiler import compile_model
+    from pyopenvino_tpu.runtime.interpreter import Interpreter
+
+    b = GraphBuilder("side")
+    x = b.parameter("x", (1, 4, 6, 6))
+    g = b.reduce("Mean", x, axes=(0, 1, 2, 3), keep_dims=True)  # (1,1,1,1)
+    g = b.reshape(g, (1, 1, 1, 1))       # non-batch unit-leading target
+    b.result(b.add(x, g), "out")
+    m = b.build()
+    B = 8
+    baked = bake_batch(m, B)
+    rng = np.random.default_rng(0)
+    blob = rng.standard_normal((B, 4, 6, 6)).astype(np.float32)
+    got = compile_model(baked, Config()).infer({"x": blob})["out"]
+    # per the baked graph, the global mean now spans the batch — compare
+    # against that semantic directly
+    want = blob + blob.mean()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -412,8 +412,9 @@ def test_if_branch_dtype_mismatch_refused():
 
 
 def test_ti_last_value_not_stacked():
-    """Last-value outputs ride the scan carry: the jaxpr must not contain
-    a (T, ...) stacked buffer for the final-state output."""
+    """Last-value outputs ride the scan carry: the traced program's scan
+    must stack exactly ONE ys output (the concat Y) — H_last comes from
+    the final carry, not a (T, ...) buffer read at [-1]."""
     import jax
 
     W, R, bias = _weights()
@@ -422,6 +423,13 @@ def test_ti_last_value_not_stacked():
 
     net = cm(m, Config(backend=Backend.XLA))
     feed = _feed()
+    jaxpr = jax.make_jaxpr(net._fn)(
+        net.weights, {k: np.asarray(v) for k, v in feed.items()})
+    scans = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "scan"]
+    assert len(scans) == 1, [e.primitive.name for e in jaxpr.jaxpr.eqns]
+    eqn = scans[0]
+    n_ys = len(eqn.outvars) - eqn.params["num_carry"]
+    assert n_ys == 1, (n_ys, eqn.params)   # only the concat output stacks
     ref = Interpreter(m).run(feed)
     got = net(feed)
     for k in ref:

@@ -286,3 +286,23 @@ def test_lstm_unsupported_configs_refused():
 
     with pytest.raises(NotImplementedError, match="unidirectional"):
         convert_torch_module(M().eval(), (1, 5, 4))
+
+
+def test_lstm_explicit_initial_state_refused():
+    """A user-supplied (h0, c0) must refuse loudly — silently
+    zero-initializing computes wrong values."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.lstm = nn.LSTM(4, 6, batch_first=True)
+            self.register_buffer("h0", torch.randn(1, 1, 6))
+            self.register_buffer("c0", torch.randn(1, 1, 6))
+
+        def forward(self, x):
+            return self.lstm(x, (self.h0, self.c0))[0]
+
+    with pytest.raises(NotImplementedError, match="initial state"):
+        convert_torch_module(M().eval(), (1, 5, 4))

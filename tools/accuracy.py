@@ -135,12 +135,22 @@ BIAS_CORRECTION_DEFAULT = {
     # systematic activation-quantization bias: int8full top-1 delta is
     # 2.0 plain vs 0.0 with the correction (int8w 0.0 either way)
     "googlenet_shapes",
+    # flagship multi-scale SSD: same regression-head sensitivity as the
+    # toy (int8full mAP delta 2.8 plain vs -0.1 with correction + the
+    # head exclusion below)
+    "ssd_shapes_ms",
 }
 
 # Per-model first/last-layer exclusion (Config.quant_min_elems): the toy
 # SSD's 1x1 loc/conf heads (<1k elements) stay float — measured real-GT
 # mAP deltas drop int8w 0.55->0.20 (see passes/quantize.py docstring).
-QUANT_MIN_ELEMS_MODEL = {"shapes_ssd": 4096}
+QUANT_MIN_ELEMS_MODEL = {
+    "shapes_ssd": 4096,
+    # the flagship SSD's 12 multi-scale 1x1 loc/conf heads are as tiny
+    # and as sensitive as the toy's — measured int8full mAP delta
+    # 2.8 -> -0.1 with the exclusion
+    "ssd_shapes_ms": 4096,
+}
 
 
 def _bias_corr(model_name: str, quant) -> bool:

@@ -160,23 +160,10 @@ def run_async(exe, feeds, niter, t_budget, nireq):
     return done, 1, time.perf_counter() - t0
 
 
-def _persistent_cache():
-    """Same persistent XLA compile cache bench.py uses — a cold SSD b1
-    chain compile is ~6+ min; cached it is seconds."""
-    import jax
-
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.join(os.path.dirname(os.path.dirname(
-                os.path.abspath(__file__))), ".jax_cache"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
-
-
 def main():
-    _persistent_cache()
+    from pyopenvino_tpu.utils import persistent_compile_cache
+
+    persistent_compile_cache()
     ap = argparse.ArgumentParser(
         description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("-m", "--model", required=True,

@@ -198,6 +198,11 @@ class _Converter:
                 x, sizes, mode=mode,
                 align_corners=bool(mod.align_corners))
         if isinstance(mod, nn.LSTM):
+            if len(node.args) > 1 and node.args[1] is not None:
+                raise NotImplementedError(
+                    "nn.LSTM with an explicit initial state (h0, c0) is "
+                    "unsupported — the conversion zero-initializes; drop "
+                    "the state argument or fold it into the model")
             return self._lstm(mod, x)
         raise NotImplementedError(
             f"unmapped torch module {type(mod).__name__} at {node.target!r}")
