@@ -42,7 +42,7 @@ def _random_graph(seed):
              "residual", "dwconv", "lrn", "concat", "transpose2",
              "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
              "act2", "mvn", "deconv", "fq", "nl2", "blockspatial",
-             "unary3", "moe", "maskselect", "topkgate", "ti"]
+             "unary3", "moe", "maskselect", "topkgate", "ti", "ifcond"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -183,6 +183,22 @@ def _random_graph(seed):
                 output_map=[("y_out", sl)],
                 back_edges=[("s_out", "s_in")])
             out = b.reshape(y, (1, c, h, w))
+        elif kind == "ifcond":
+            # data-dependent If: branch on the feature-map mean sign —
+            # lax.cond through both executors (ops/subgraph.py)
+            tb = GraphBuilder(f"then_{len(live)}")
+            xa = tb.parameter("xa", (1, c, h, w))
+            tb.result(tb.relu(xa), "r")
+            eb = GraphBuilder(f"else_{len(live)}")
+            xb_ = eb.parameter("xb", (1, c, h, w))
+            eb.result(eb.multiply(
+                xb_, eb.const(np.float32(rng.uniform(0.5, 1.5)).reshape(
+                    ()))), "r")
+            gm = b.reduce("Mean", src, axes=(0, 1, 2, 3), keep_dims=False)
+            cond = b.compare("Greater", gm,
+                             b.const(np.float32(0).reshape(())))
+            out = b.if_op(cond, [src], tb.build(), eb.build(),
+                          ["xa"], ["xb"], ["r"], ["r"])
         elif kind == "moe":
             # dense-gated expert mixture on the GAP vector, re-applied to
             # the feature map as an SE-style gate — exercises Tile,
@@ -223,6 +239,15 @@ def _random_graph(seed):
             gapv = b.reduce("Mean", src, axes=(2, 3), keep_dims=False)
             vals, _idx = b.top_k(gapv, k, axis=1, mode="max", sort="value")
             kth = b.gather(b.reshape(vals, (k,)), [k - 1], axis=0)
+            # compare against kth MINUS a fat margin: under sharded
+            # execution GSPMD may materialize gapv twice with different
+            # reduction orders, and an exact-tie `gapv >= kth` (the kth
+            # element compares against ITSELF) flips on that sub-ULP
+            # noise — found by the round-5 200-seed sweep (seed 75,
+            # dp2_sp2: one flipped channel → 72% of outputs wrong).
+            # The margin keeps the gate's semantics (k strongest pass)
+            # while making the discontinuity noise-proof.
+            kth = b.subtract(kth, b.const(np.float32(1e-3).reshape(())))
             gate = b.compare("GreaterEqual", gapv,
                              b.reshape(kth, (1, 1)))
             gatef = b.convert(gate, "f32")
