@@ -1663,9 +1663,11 @@ class Broadcast(Op):
         return t
 
     @staticmethod
-    def _explicit_interim(in_shape, target, aval):
-        """Shape with the input dims pinned at axes_mapping positions and
-        1 elsewhere — reshape to it, then broadcast_to(target)."""
+    def _explicit_plan(in_shape, target, aval):
+        """(input permutation, interim shape): transpose the input into
+        ascending-target-axis order (a plain reshape CANNOT permute —
+        an unsorted axes_mapping like (1, 0) would silently scramble the
+        data), then reshape to the 1-padded interim and broadcast."""
         if aval is None:
             raise ValueError(
                 "Broadcast explicit: axes_mapping (input 2) must be "
@@ -1675,6 +1677,10 @@ class Broadcast(Op):
             raise ValueError(
                 f"Broadcast explicit: axes_mapping {axes} rank != input "
                 f"{in_shape}")
+        if len(set(axes)) != len(axes):
+            raise ValueError(
+                f"Broadcast explicit: duplicate axes in {axes}")
+        perm = tuple(int(i) for i in np.argsort(axes))
         interim = [1] * len(target)
         for a, d in zip(axes, in_shape):
             if not 0 <= a < len(target):
@@ -1686,18 +1692,19 @@ class Broadcast(Op):
                     f"Broadcast explicit: input dim {d} pinned to target "
                     f"axis {a} of extent {target[a]}")
             interim[a] = d
-        return tuple(interim)
+        return perm, tuple(interim)
 
     def infer_shapes(self, node, in_shapes, in_values) -> ShapeResult:
         out = self._target(node, in_shapes[0], in_values.get(1))
         if self._mode(node) == "explicit":
-            self._explicit_interim(in_shapes[0], out, in_values.get(2))
+            self._explicit_plan(in_shapes[0], out, in_values.get(2))
         res = ShapeResult({node.out_port: out})
         if in_values.get(0) is not None:
             v = in_values[0]
             if self._mode(node) == "explicit":
-                v = v.reshape(self._explicit_interim(
-                    v.shape, out, in_values.get(2)))
+                perm, interim = self._explicit_plan(
+                    v.shape, out, in_values.get(2))
+                v = np.transpose(v, perm).reshape(interim)
             res.values[node.out_port] = np.broadcast_to(v, out)
         return res
 
@@ -1705,8 +1712,9 @@ class Broadcast(Op):
         x = inputs[0]
         out = self._target(node, x.shape, inputs[1])
         if self._mode(node) == "explicit":
-            x = x.reshape(self._explicit_interim(
-                x.shape, out, inputs.get(2)))
+            perm, interim = self._explicit_plan(
+                x.shape, out, inputs.get(2))
+            x = np.transpose(x, perm).reshape(interim)
         return {node.out_port: np.ascontiguousarray(
             np.broadcast_to(x, out))}
 
@@ -1716,8 +1724,9 @@ class Broadcast(Op):
         x = inputs[0].nchw()
         out = self._target(node, x.shape, ctx.static_value(node, 1))
         if self._mode(node) == "explicit":
-            x = x.reshape(self._explicit_interim(
-                x.shape, out, ctx.static_value(node, 2)))
+            perm, interim = self._explicit_plan(
+                x.shape, out, ctx.static_value(node, 2))
+            x = jnp.transpose(x, perm).reshape(interim)
         return {node.out_port: TValue(jnp.broadcast_to(x, out), "L")}
 
 

@@ -40,11 +40,18 @@ def resolve_reshape_dims(
         if d == 0 and special_zero:
             d = in_shape[idx]
         if d == -1:
-            assert deferred == -1, "multiple -1 dims in Reshape"
+            if deferred != -1:
+                raise ValueError("Reshape: multiple -1 dims in target")
             deferred = idx
             dims.append(-1)
             continue
-        assert remaining % d == 0, f"reshape dim {d} does not divide {remaining}"
+        if d == 0 or remaining % d:
+            # ValueError (not assert): callers catch it for fallbacks
+            # (bake_batch → vmap batching), and -O must not erase it
+            raise ValueError(
+                f"Reshape: dim {d} does not divide {remaining} "
+                f"(input {in_shape}, target "
+                f"{tuple(int(t) for t in target)})")
         dims.append(d)
         remaining //= d
     if deferred != -1:

@@ -159,7 +159,6 @@ def bake_batch(model: Model, batch: int) -> Model:
             attrs = dict(n.attrs)
             attrs["_baked_batch"] = str(batch)
             nodes[n.id] = _dc.replace(n, attrs=attrs)
-    by_name = {n.name: n for n in model.parameters}
     for p in model.parameters:
         shape = (batch,) + tuple(p.outputs[p.out_port].shape[1:])
         outs = {
@@ -175,6 +174,36 @@ def bake_batch(model: Model, batch: int) -> Model:
         ins = sorted(m.in_edges[node.id].items())
         in_shapes = {p: shapes[k] for p, k in ins}
         in_values = {p: values.get(k) for p, k in ins}
+        if (
+            node.op_type == "Reshape"
+            and batch > 1
+            and in_shapes.get(0)
+            and in_shapes[0][0] == batch
+            and in_values.get(1) is not None
+            and int(np.asarray(in_values[1]).reshape(-1)[0]) == -1
+        ):
+            # leading -1 on a batch-leading input: fine iff the REST of
+            # the target covers exactly the per-example size (the -1
+            # then resolves to the batch, e.g. mnist's (-1, 576)
+            # flatten); anything else silently ABSORBS the batch into
+            # the row axis — refuse (the vmap-fallback signal)
+            t = [int(v) for v in np.asarray(in_values[1]).reshape(-1)]
+            per_ex = int(np.prod(in_shapes[0][1:])) if len(
+                in_shapes[0]) > 1 else 1
+            rest = 1
+            ok = True
+            for i, v in enumerate(t[1:], start=1):
+                if v == -1:
+                    ok = False  # a second -1: underdetermined
+                    break
+                if v == 0:
+                    v = in_shapes[0][i] if i < len(in_shapes[0]) else 0
+                rest *= v
+            if not ok or rest != per_ex:
+                raise ValueError(
+                    f"bake_batch: Reshape {node.name!r} consumes the "
+                    f"batch through a leading -1 target — use vmap "
+                    f"batching")
         if (
             node.op_type == "Reshape"
             and batch > 1
@@ -207,7 +236,10 @@ def bake_batch(model: Model, batch: int) -> Model:
         for port, shape in res.shapes.items():
             shapes[(node.id, port)] = tuple(int(d) for d in shape)
         for port, val in res.values.items():
-            if val is not None:
+            # same folding cap as infer_shapes(): without it every
+            # weight-processing chain constant-folds in host numpy on
+            # each bake, for values rederive discards anyway
+            if val is not None and val.size <= _MAX_FOLD_ELEMS:
                 values[(node.id, port)] = np.asarray(val)
 
     return rederive_ports(m)

@@ -1767,3 +1767,22 @@ def test_broadcast_explicit_bad_mapping():
     am = b.const(np.asarray([1], np.int64))
     with pytest.raises(ValueError, match="pinned to target"):
         b._add_node("Broadcast", [x, t, am], {"mode": "explicit"})
+
+
+def test_broadcast_explicit_unsorted_axes_transposes():
+    """axes_mapping (1, 0): the input must be PERMUTED into target order
+    — a plain reshape would silently scramble rows."""
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+
+    x = np.arange(12, dtype=np.float32).reshape(3, 4)
+    b = GraphBuilder("bx")
+    p = b.parameter("x", (3, 4))
+    t = b.const(np.asarray([4, 3], np.int64))
+    am = b.const(np.asarray([1, 0], np.int64))
+    b.result(b._add_node("Broadcast", [p, t, am], {"mode": "explicit"}),
+             "out")
+    m = b.build()
+    ref = Interpreter(m).run({"x": x})["out"]
+    np.testing.assert_array_equal(ref, x.T)
+    got = compile_model(m, Config(backend=Backend.XLA))({"x": x})["out"]
+    np.testing.assert_array_equal(got, ref)

@@ -59,7 +59,7 @@ def test_reshape_failure_contracts():
     net = ie.read_network(*_model_paths("mnist"))
     # fixed flatten target cannot absorb a new resolution — the op's
     # own shape error surfaces (real-engine contract)
-    with pytest.raises(Exception, match="reshape"):
+    with pytest.raises(Exception, match="(?i)reshape"):
         net.reshape({"conv2d_input": (1, 1, 56, 56)})
     # unknown input name fails fast with the valid names listed
     net2 = ie.read_network(*_unet_paths())
@@ -161,3 +161,20 @@ def test_bake_batch_spares_non_batch_unit_reshapes():
     # against that semantic directly
     want = blob + blob.mean()
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_bake_batch_refuses_leading_minus_one_absorber():
+    """A Reshape whose -1-leading target would silently absorb the batch
+    must raise (the vmap-fallback signal), not change semantics."""
+    import numpy as np
+    import pytest
+
+    from pyopenvino_tpu.ir.builder import GraphBuilder
+    from pyopenvino_tpu.passes.shape_infer import bake_batch
+
+    b = GraphBuilder("ab")
+    x = b.parameter("x", (1, 12))
+    y = b.reshape(x, (-1, 4))
+    b.result(b.relu(y), "out")
+    with pytest.raises(ValueError, match="leading -1"):
+        bake_batch(b.build(), 8)

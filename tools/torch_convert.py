@@ -198,7 +198,9 @@ class _Converter:
                 x, sizes, mode=mode,
                 align_corners=bool(mod.align_corners))
         if isinstance(mod, nn.LSTM):
-            if len(node.args) > 1 and node.args[1] is not None:
+            extra = (len(node.args) > 1 and node.args[1] is not None) or \
+                any(v is not None for v in node.kwargs.values())
+            if extra:
                 raise NotImplementedError(
                     "nn.LSTM with an explicit initial state (h0, c0) is "
                     "unsupported — the conversion zero-initializes; drop "
@@ -220,7 +222,11 @@ class _Converter:
                 "batch_first=True without dropout is supported")
         b = self.b
         H = mod.hidden_size
-        _, T, F_ = x.shape
+        n, T, F_ = x.shape
+        if n != 1:
+            raise NotImplementedError(
+                f"nn.LSTM conversion supports batch 1 (got example batch "
+                f"{n}) — batch via infer_batch like every family")
 
         def reorder(a):  # torch i,f,g,o → opset fico
             i, f, g, o = np.split(a, 4, axis=0)

@@ -48,8 +48,9 @@ import numpy as np
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TRAINED_DIR = os.path.join(REPO, "assets", "trained")
 
-# bump to invalidate cached flagship artifacts
-FLAGSHIP_VERSION = 1
+# bump to invalidate cached flagship artifacts WHENEVER the recipe
+# changes (v2: 1200/1800 steps + cosine decay + SSD grad clipping)
+FLAGSHIP_VERSION = 2
 
 # name: (default steps, batch)
 FLAGSHIP = {
