@@ -306,3 +306,36 @@ def test_lstm_explicit_initial_state_refused():
 
     with pytest.raises(NotImplementedError, match="initial state"):
         convert_torch_module(M().eval(), (1, 5, 4))
+
+
+def test_gru_emits_tensor_iterator():
+    """nn.GRU converts to TensorIterator[GRUCell linear_before_reset]
+    (torch's candidate resets after the hidden linear) with parity —
+    gate reorder r,z,n -> z,r,n and the [bz, br, Wbh, Rbh] bias map."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as nn
+
+    T, F, H = 8, 5, 6
+
+    class M(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.gru = nn.GRU(F, H, batch_first=True)
+            self.fc = nn.Linear(H, 3)
+
+        def forward(self, x):
+            y, _hn = self.gru(x)
+            return self.fc(y[:, -1])
+
+    mod = M().eval()
+    m = convert_torch_module(mod, (1, T, F))
+    ti = m.find_by_type("TensorIterator")
+    assert len(ti) == 1
+    assert ti[0].subgraphs["body"].model.find_by_type("GRUCell")
+    x = np.random.default_rng(0).standard_normal((1, T, F)).astype(
+        np.float32)
+    want = mod(torch.from_numpy(x)).detach().numpy()
+    ref = next(iter(Interpreter(m).run({"data": x}).values()))
+    np.testing.assert_allclose(ref, want, rtol=1e-5, atol=1e-6)
+    got = next(iter(compile_model(m, Config())({"data": x}).values()))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -197,15 +197,16 @@ class _Converter:
             return self.b.interpolate(
                 x, sizes, mode=mode,
                 align_corners=bool(mod.align_corners))
-        if isinstance(mod, nn.LSTM):
+        if isinstance(mod, (nn.LSTM, nn.GRU)):
             extra = (len(node.args) > 1 and node.args[1] is not None) or \
                 any(v is not None for v in node.kwargs.values())
             if extra:
                 raise NotImplementedError(
-                    "nn.LSTM with an explicit initial state (h0, c0) is "
-                    "unsupported — the conversion zero-initializes; drop "
-                    "the state argument or fold it into the model")
-            return self._lstm(mod, x)
+                    f"{type(mod).__name__} with an explicit initial state "
+                    f"is unsupported — the conversion zero-initializes; "
+                    f"drop the state argument or fold it into the model")
+            return (self._lstm(mod, x) if isinstance(mod, nn.LSTM)
+                    else self._gru(mod, x))
         raise NotImplementedError(
             f"unmapped torch module {type(mod).__name__} at {node.target!r}")
 
@@ -263,6 +264,59 @@ class _Converter:
         hn = b.reshape(hn, (1, 1, H))
         cn = b.reshape(cn, (1, 1, H))
         return (y, (hn, cn))
+
+    def _gru(self, mod, x):
+        """nn.GRU → TensorIterator[GRUCell] with linear_before_reset —
+        torch's candidate resets AFTER the hidden linear, the opset's
+        lbr form; gates reorder r,z,n → z,r,n and the biases map to
+        B = [bz, br, Wbh, Rbh] (same layout the Keras reset_after
+        on-ramp emits, tools/tf_convert.py)."""
+        if (mod.num_layers != 1 or mod.bidirectional
+                or not mod.batch_first or mod.dropout):
+            raise NotImplementedError(
+                "nn.GRU: only single-layer unidirectional "
+                "batch_first=True without dropout is supported")
+        b = self.b
+        H = mod.hidden_size
+        n, T, F_ = x.shape
+        if n != 1:
+            raise NotImplementedError(
+                f"nn.GRU conversion supports batch 1 (got example batch "
+                f"{n}) — batch via infer_batch like every family")
+
+        def reorder(a):  # torch r,z,n → opset z,r,n
+            r, z, nn_ = np.split(a, 3, axis=0)
+            return np.concatenate([z, r, nn_], axis=0)
+
+        W = reorder(_np(mod.weight_ih_l0)).astype(np.float32)  # (3H, F)
+        R = reorder(_np(mod.weight_hh_l0)).astype(np.float32)  # (3H, H)
+        if mod.bias:
+            bi = reorder(_np(mod.bias_ih_l0))
+            bh = reorder(_np(mod.bias_hh_l0))
+            B_ = np.concatenate([
+                bi[:2 * H] + bh[:2 * H],   # bz, br (combined)
+                bi[2 * H:], bh[2 * H:],    # Wbh, Rbh (kept apart)
+            ]).astype(np.float32)
+        else:
+            B_ = np.zeros(4 * H, np.float32)
+
+        bb = GraphBuilder("gru_cell")
+        xt = bb.parameter("x_t", (1, 1, F_))
+        h = bb.parameter("h_in", (1, H))
+        xf = bb.reshape(xt, (1, F_))
+        ho = bb._add_node(
+            "GRUCell", [xf, h, bb.const(W), bb.const(R), bb.const(B_)],
+            {"hidden_size": H, "linear_before_reset": "1"})
+        bb.result(ho, "h_out")
+        bb.result(bb.reshape(ho, (1, 1, H)), "y_out")
+
+        h0 = b.const(np.zeros((1, H), np.float32))
+        y, hn = b.tensor_iterator(
+            [x, h0], bb.build(),
+            input_map=[("x_t", {"axis": 1}), "h_in"],
+            output_map=[("y_out", {"axis": 1}), "h_out"],
+            back_edges=[("h_out", "h_in")])
+        return (y, b.reshape(hn, (1, 1, H)))
 
     def _tensor_getitem(self, x, idx):
         """Tensor indexing with full slices and integer axes (the
