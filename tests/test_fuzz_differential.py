@@ -42,7 +42,8 @@ def _random_graph(seed):
              "residual", "dwconv", "lrn", "concat", "transpose2",
              "meansub", "stddiv", "minmax", "pad", "chansplit", "resize",
              "act2", "mvn", "deconv", "fq", "nl2", "blockspatial",
-             "unary3", "moe", "maskselect", "topkgate", "ti", "ifcond"]
+             "unary3", "moe", "maskselect", "topkgate", "ti", "ifcond",
+             "loopcnt"]
         )
         if kind == "conv":
             k = int(rng.choice([1, 3]))
@@ -199,6 +200,23 @@ def _random_graph(seed):
                              b.const(np.float32(0).reshape(())))
             out = b.if_op(cond, [src], tb.build(), eb.build(),
                           ["xa"], ["xb"], ["r"], ["r"])
+        elif kind == "loopcnt":
+            # static-trip-count Loop: k damped accumulations of the map
+            # onto itself — lax.while_loop with carried state
+            # (ops/subgraph.py Loop)
+            bb = GraphBuilder(f"loop_body_{len(live)}")
+            st = bb.parameter("s_in", (1, c, h, w))
+            inc = bb.parameter("inc", (1, c, h, w))
+            bb.result(bb.add(bb.multiply(
+                st, bb.const(np.float32(0.8).reshape(()))), inc), "s_out")
+            bb.result(bb.const(np.asarray(True).reshape(())), "cond")
+            trips = int(rng.integers(2, 5))
+            tc = b.const(np.asarray(trips, np.int64).reshape(()))
+            ec = b.const(np.asarray(True).reshape(()))
+            out = b.loop(tc, ec, [src, src], bb.build(),
+                         input_map=["s_in", "inc"], output_map=["s_out"],
+                         back_edges=[("s_out", "s_in")],
+                         condition_result="cond")
         elif kind == "moe":
             # dense-gated expert mixture on the GAP vector, re-applied to
             # the feature map as an SE-style gate — exercises Tile,
