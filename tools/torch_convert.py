@@ -210,81 +210,84 @@ class _Converter:
         raise NotImplementedError(
             f"unmapped torch module {type(mod).__name__} at {node.target!r}")
 
-    def _lstm(self, mod, x):
-        """nn.LSTM → TensorIterator[LSTMCell] — the same MO graph shape
-        the Keras on-ramp emits (tools/tf_convert.py _recurrent;
-        ops/subgraph.py).  Returns the torch-shaped result tuple
-        (output, (h_n, c_n)) of Ports; fx getitem indexes into it.
-        Scope: single layer, unidirectional, batch_first=True."""
+    def _recurrent_ti(self, kind, mod, x, n_state, W, R, B_, cell_attrs):
+        """Shared nn.LSTM / nn.GRU → TensorIterator[cell] scaffold — the
+        same MO graph shape the Keras on-ramp emits
+        (tools/tf_convert.py _recurrent; ops/subgraph.py).  Scope:
+        single layer, unidirectional, batch_first=True, rank-3 (1, T, F)
+        input.  Returns the per-cell outputs of one TI:
+        (Y, [final states...])."""
         if (mod.num_layers != 1 or mod.bidirectional
                 or not mod.batch_first or mod.dropout):
             raise NotImplementedError(
-                "nn.LSTM: only single-layer unidirectional "
-                "batch_first=True without dropout is supported")
-        b = self.b
-        H = mod.hidden_size
-        n, T, F_ = x.shape
+                f"{kind}: only single-layer unidirectional "
+                f"batch_first=True without dropout is supported")
+        if len(x.shape) != 3:
+            raise NotImplementedError(
+                f"{kind}: expected rank-3 (1, T, F) batch_first input, "
+                f"got {x.shape} (unbatched (T, F) calls are unsupported)")
+        n, _T, F_ = x.shape
         if n != 1:
             raise NotImplementedError(
-                f"nn.LSTM conversion supports batch 1 (got example batch "
+                f"{kind} conversion supports batch 1 (got example batch "
                 f"{n}) — batch via infer_batch like every family")
+        b = self.b
+        H = mod.hidden_size
+        bb = GraphBuilder(f"{kind.lower()}_cell")
+        xt = bb.parameter("x_t", (1, 1, F_))
+        states = [bb.parameter(f"s{i}_in", (1, H)) for i in range(n_state)]
+        xf = bb.reshape(xt, (1, F_))
+        w, r, bias = bb.const(W), bb.const(R), bb.const(B_)
+        if n_state == 2:
+            outs = list(bb.lstm_cell(xf, states[0], states[1], w, r, bias,
+                                     hidden_size=H, **cell_attrs))
+        else:
+            outs = [bb.gru_cell(xf, states[0], w, r, bias,
+                                hidden_size=H, **cell_attrs)]
+        for i, p in enumerate(outs):
+            bb.result(p, f"s{i}_out")
+        bb.result(bb.reshape(outs[0], (1, 1, H)), "y_out")
 
-        def reorder(a):  # torch i,f,g,o → opset fico
+        inits = [b.const(np.zeros((1, H), np.float32))
+                 for _ in range(n_state)]
+        res = b.tensor_iterator(
+            [x] + inits, bb.build(),
+            input_map=[("x_t", {"axis": 1})]
+            + [f"s{i}_in" for i in range(n_state)],
+            output_map=[("y_out", {"axis": 1})]
+            + [f"s{i}_out" for i in range(n_state)],
+            back_edges=[(f"s{i}_out", f"s{i}_in")
+                        for i in range(n_state)])
+        # torch final states carry a (num_layers, B, H) leading dim
+        return res[0], [b.reshape(s, (1, 1, H)) for s in res[1:]]
+
+    def _lstm(self, mod, x):
+        """nn.LSTM: torch gates i,f,g,o reorder to opset fico; ih/hh
+        biases sum.  Returns the torch result tuple (output, (h_n, c_n))
+        of Ports; fx getitem indexes into it."""
+        H = mod.hidden_size
+
+        def reorder(a):
             i, f, g, o = np.split(a, 4, axis=0)
             return np.concatenate([f, i, g, o], axis=0)
 
         W = reorder(_np(mod.weight_ih_l0)).astype(np.float32)  # (4H, F)
         R = reorder(_np(mod.weight_hh_l0)).astype(np.float32)  # (4H, H)
-        if mod.bias:
-            B_ = reorder(_np(mod.bias_ih_l0)
-                         + _np(mod.bias_hh_l0)).astype(np.float32)
-        else:
-            B_ = np.zeros(4 * H, np.float32)
-
-        bb = GraphBuilder("lstm_cell")
-        xt = bb.parameter("x_t", (1, 1, F_))
-        h = bb.parameter("h_in", (1, H))
-        c = bb.parameter("c_in", (1, H))
-        xf = bb.reshape(xt, (1, F_))
-        ho, co = bb._add_node(
-            "LSTMCell", [xf, h, c, bb.const(W), bb.const(R), bb.const(B_)],
-            {"hidden_size": H})
-        bb.result(ho, "h_out")
-        bb.result(co, "c_out")
-        bb.result(bb.reshape(ho, (1, 1, H)), "y_out")
-
-        h0 = b.const(np.zeros((1, H), np.float32))
-        c0 = b.const(np.zeros((1, H), np.float32))
-        y, hn, cn = b.tensor_iterator(
-            [x, h0, c0], bb.build(),
-            input_map=[("x_t", {"axis": 1}), "h_in", "c_in"],
-            output_map=[("y_out", {"axis": 1}), "h_out", "c_out"],
-            back_edges=[("h_out", "h_in"), ("c_out", "c_in")])
-        # torch h_n/c_n carry a (num_layers, B, H) leading dim
-        hn = b.reshape(hn, (1, 1, H))
-        cn = b.reshape(cn, (1, 1, H))
+        B_ = (reorder(_np(mod.bias_ih_l0)
+                      + _np(mod.bias_hh_l0)).astype(np.float32)
+              if mod.bias else np.zeros(4 * H, np.float32))
+        y, (hn, cn) = self._recurrent_ti(
+            "nn.LSTM", mod, x, 2, W, R, B_, {})
         return (y, (hn, cn))
 
     def _gru(self, mod, x):
-        """nn.GRU → TensorIterator[GRUCell] with linear_before_reset —
-        torch's candidate resets AFTER the hidden linear, the opset's
-        lbr form; gates reorder r,z,n → z,r,n and the biases map to
-        B = [bz, br, Wbh, Rbh] (same layout the Keras reset_after
-        on-ramp emits, tools/tf_convert.py)."""
-        if (mod.num_layers != 1 or mod.bidirectional
-                or not mod.batch_first or mod.dropout):
-            raise NotImplementedError(
-                "nn.GRU: only single-layer unidirectional "
-                "batch_first=True without dropout is supported")
-        b = self.b
+        """nn.GRU: torch's candidate resets AFTER the hidden linear —
+        the opset's linear_before_reset form; gates reorder r,z,n →
+        z,r,n and the biases map to B = [bz, br, Wbh, Rbh] (same layout
+        the Keras reset_after on-ramp emits, tools/tf_convert.py)."""
         H = mod.hidden_size
-        n, T, F_ = x.shape
-        if n != 1:
-            raise NotImplementedError(
-                f"nn.GRU conversion supports batch 1 (got example batch "
-                f"{n}) — batch via infer_batch like every family")
 
-        def reorder(a):  # torch r,z,n → opset z,r,n
+        def reorder(a):
             r, z, nn_ = np.split(a, 3, axis=0)
             return np.concatenate([z, r, nn_], axis=0)
 
@@ -299,24 +302,10 @@ class _Converter:
             ]).astype(np.float32)
         else:
             B_ = np.zeros(4 * H, np.float32)
-
-        bb = GraphBuilder("gru_cell")
-        xt = bb.parameter("x_t", (1, 1, F_))
-        h = bb.parameter("h_in", (1, H))
-        xf = bb.reshape(xt, (1, F_))
-        ho = bb._add_node(
-            "GRUCell", [xf, h, bb.const(W), bb.const(R), bb.const(B_)],
-            {"hidden_size": H, "linear_before_reset": "1"})
-        bb.result(ho, "h_out")
-        bb.result(bb.reshape(ho, (1, 1, H)), "y_out")
-
-        h0 = b.const(np.zeros((1, H), np.float32))
-        y, hn = b.tensor_iterator(
-            [x, h0], bb.build(),
-            input_map=[("x_t", {"axis": 1}), "h_in"],
-            output_map=[("y_out", {"axis": 1}), "h_out"],
-            back_edges=[("h_out", "h_in")])
-        return (y, b.reshape(hn, (1, 1, H)))
+        y, (hn,) = self._recurrent_ti(
+            "nn.GRU", mod, x, 1, W, R, B_,
+            {"linear_before_reset": "1"})
+        return (y, hn)
 
     def _tensor_getitem(self, x, idx):
         """Tensor indexing with full slices and integer axes (the
